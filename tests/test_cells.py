@@ -1,0 +1,104 @@
+"""Cell index parity: Spark SQL == DuckDB SQL == numpy, bit-for-bit."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gis_shapefile_spark.functions import cells as C
+
+RNG = np.random.default_rng(42)
+N = 2000
+LNG = RNG.uniform(-180, 180, N)
+LAT = RNG.uniform(-90, 90, N)
+
+
+@pytest.mark.parametrize("res", [0, 1, 4, 8, 12, 20, 26])
+def test_numpy_vs_duckdb(res):
+    pdf = pd.DataFrame({"lng": LNG, "lat": LAT})
+    sql = C.cell_sql("lng", "lat", res, "duckdb")
+    got = duckdb.sql(f"SELECT {sql} AS cell FROM pdf").df()["cell"].to_numpy()
+    want = C.cell_of_numpy(LNG, LAT, res)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("res", [0, 8, 26])
+def test_numpy_vs_spark(spark, res):
+    pdf = pd.DataFrame({"lng": LNG, "lat": LAT})
+    df = spark.createDataFrame(pdf)
+    got = np.array(
+        [r.cell for r in df.select(C.cell_col("lng", "lat", res).alias("cell")).collect()]
+    )
+    want = C.cell_of_numpy(LNG, LAT, res)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_unpack_roundtrip():
+    for res in (0, 3, 13, 26):
+        cells = C.cell_of_numpy(LNG, LAT, res)
+        r, xi, yi = C.cell_xy(cells)
+        assert (r == res).all()
+        np.testing.assert_array_equal(C.pack_xy(xi, yi, res), cells)
+
+
+def test_cell_bounds_contain_point():
+    res = 9
+    cells = C.cell_of_numpy(LNG, LAT, res)
+    minx, miny, maxx, maxy = C.cell_bounds(cells)
+    assert (LNG >= minx - 1e-9).all() and (LNG <= maxx + 1e-9).all()
+    assert (LAT >= miny - 1e-9).all() and (LAT <= maxy + 1e-9).all()
+
+
+def test_parent_is_ancestor():
+    res, pres = 12, 7
+    cells = C.cell_of_numpy(LNG, LAT, res)
+    parents = C.cell_of_numpy(LNG, LAT, pres)
+    pdf = pd.DataFrame({"cell": cells})
+    sql = C.parent_sql("cell", res, pres, "duckdb")
+    got = duckdb.sql(f"SELECT {sql} AS p FROM pdf").df()["p"].to_numpy()
+    np.testing.assert_array_equal(got, parents)
+
+
+def test_cover_bbox_contains_interior_cells():
+    res = 8
+    cover = set(C.cover_bbox(-100.0, 30.0, -90.0, 40.0, res).tolist())
+    inside_lng = RNG.uniform(-100, -90, 200)
+    inside_lat = RNG.uniform(30, 40, 200)
+    pts = C.cell_of_numpy(inside_lng, inside_lat, res)
+    assert set(pts.tolist()) <= cover
+
+
+def test_neighbors_ring():
+    c = int(C.cell_of_numpy([-95.0], [35.0], 10)[0])
+    ring1 = C.neighbors(c, 1)
+    assert len(ring1) == 8
+    _, xi, yi = C.cell_xy(np.asarray([c]))
+    for nb in ring1:
+        _, nx, ny = C.cell_xy(np.asarray([nb]))
+        assert max(abs(int(nx[0]) - int(xi[0])), abs(int(ny[0]) - int(yi[0]))) == 1
+
+
+@given(
+    lng=st.floats(-180, 180, allow_nan=False),
+    lat=st.floats(-90, 90, allow_nan=False),
+    res=st.integers(0, 26),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_duckdb_matches_numpy(lng, lat, res):
+    want = int(C.cell_of_numpy([lng], [lat], res)[0])
+    sql = C.cell_sql(
+        f"cast({lng!r} as double)", f"cast({lat!r} as double)", res, "duckdb"
+    )
+    got = duckdb.sql(f"SELECT {sql} AS c").fetchone()[0]
+    assert got == want
+
+
+def test_resolution_policy_bounds_cover():
+    for w, h in [(360, 180), (50, 30), (1, 1), (0.01, 0.02)]:
+        r = C.resolution_for_bbox(w, h, max_cells=256)
+        cover = C.cover_bbox(-w / 2, -h / 2, w / 2, h / 2, r)
+        assert len(cover) <= 256
