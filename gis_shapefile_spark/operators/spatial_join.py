@@ -1,0 +1,463 @@
+"""Spatial joins: point-in-polygon, within-distance, kNN, bbox query sets.
+
+Re-expresses the reference's R-tree query paths as Catalyst-planned joins
+(SURVEY.md §2.3):
+
+* J1 point-in-polygon lookup  — ``src/spatial/spatial_index.cpp:356-380``
+* J2 kNN                      — ``src/spatial/spatial_index.cpp:91-121``
+* J3 within-distance          — ``src/spatial/spatial_index.cpp:123-149``
+* J5 bbox query               — ``src/spatial/spatial_index.cpp:64-89``
+
+Scale design (10^12-point table, dimension-scale polygon side):
+
+* The point side is NEVER exploded, NEVER touches Python except the PIP
+  refine on boundary-cell candidates; its cell key is a pure integer
+  expression inside whole-stage codegen.
+* All covering/cell enumeration happens on the polygon side (driver numpy —
+  thousands of rows), which then broadcasts. When the dimension outgrows
+  broadcast, ``salt_buckets > 0`` replicates dimension rows per salt bucket
+  and keys points by ``pmod(xxhash64(point_id), S)`` so one hot urban cell
+  spreads over S shuffle partitions (AQE skew-join is the backstop).
+* Cells fully interior to a polygon are classified FULL at prep time: points
+  landing there match with no exact test. Only boundary (PARTIAL) cells pay
+  the vectorized ray-cast, and polygon rings travel once per executor via a
+  Spark broadcast variable — not once per candidate row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions import cells as C
+from ..functions import geometry as G
+
+DEFAULT_RES = 8
+
+
+# ---------------------------------------------------------------------------
+# polygon-side prep (driver numpy; dimension-scale)
+# ---------------------------------------------------------------------------
+
+def _rings_of_row(row) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    xs = np.asarray(row["xs"], np.float64)
+    ys = np.asarray(row["ys"], np.float64)
+    sizes = np.asarray(row["ring_sizes"], np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    rx = [xs[offs[i]: offs[i + 1]] for i in range(len(sizes))]
+    ry = [ys[offs[i]: offs[i + 1]] for i in range(len(sizes))]
+    return rx, ry
+
+
+def _cell_fully_inside(rx, ry, cminx, cminy, cmaxx, cmaxy) -> bool:
+    """Conservative FULL test: 4 corners inside AND no ring edge crosses the
+    cell bbox. Sound because a boundary entering the cell implies an edge
+    whose own bbox intersects the cell bbox."""
+    corners_x = np.array([cminx, cmaxx, cmaxx, cminx])
+    corners_y = np.array([cminy, cminy, cmaxy, cmaxy])
+    if not G.polygon_contains_points(rx, ry, corners_x, corners_y).all():
+        return False
+    for x, y in zip(rx, ry):
+        ex0 = np.minimum(x, np.roll(x, 1))
+        ex1 = np.maximum(x, np.roll(x, 1))
+        ey0 = np.minimum(y, np.roll(y, 1))
+        ey1 = np.maximum(y, np.roll(y, 1))
+        hit = (ex0 <= cmaxx) & (ex1 >= cminx) & (ey0 <= cmaxy) & (ey1 >= cminy)
+        if hit.any():
+            return False
+    return True
+
+
+def prepare_polygon_cells(
+    features_pdf: pd.DataFrame, res: int = DEFAULT_RES
+) -> pd.DataFrame:
+    """Explode each polygon into covering cells at ``res`` with a FULL flag.
+
+    Returns a pandas frame ``(cell, record_number, is_full)`` — the join
+    dimension. Covering = every cell whose extent intersects the polygon
+    bbox AND (corner-inside OR edge-crossing OR full) — cells disjoint from
+    the polygon are pruned so the dimension stays tight.
+    """
+    out_cell, out_rec, out_full = [], [], []
+    for _, row in features_pdf.iterrows():
+        if row["shape_type"] != 5 or len(row["ring_sizes"]) == 0:
+            continue
+        rx, ry = _rings_of_row(row)
+        cover = C.cover_bbox(row["minx"], row["miny"], row["maxx"], row["maxy"], res)
+        minx, miny, maxx, maxy = C.cell_bounds(cover)
+        for c, x0, y0, x1, y1 in zip(cover, minx, miny, maxx, maxy):
+            full = _cell_fully_inside(rx, ry, x0, y0, x1, y1)
+            if full:
+                keep = True
+            else:
+                # prune cells that provably miss the polygon: no corner
+                # inside and no edge bbox overlap => disjoint
+                cx = np.array([x0, x1, x1, x0])
+                cy = np.array([y0, y0, y1, y1])
+                corner_in = G.polygon_contains_points(rx, ry, cx, cy).any()
+                edge_hit = False
+                for x, y in zip(rx, ry):
+                    ex0 = np.minimum(x, np.roll(x, 1))
+                    ex1 = np.maximum(x, np.roll(x, 1))
+                    ey0 = np.minimum(y, np.roll(y, 1))
+                    ey1 = np.maximum(y, np.roll(y, 1))
+                    if ((ex0 <= x1) & (ex1 >= x0) & (ey0 <= y1) & (ey1 >= y0)).any():
+                        edge_hit = True
+                        break
+                keep = corner_in or edge_hit
+            if keep:
+                out_cell.append(int(c))
+                out_rec.append(int(row["record_number"]))
+                out_full.append(bool(full))
+    return pd.DataFrame(
+        {"cell": np.asarray(out_cell, np.int64),
+         "record_number": np.asarray(out_rec, np.int64),
+         "is_full": np.asarray(out_full, bool)}
+    )
+
+
+def rings_broadcast(spark: SparkSession, features_pdf: pd.DataFrame):
+    """Broadcast {record_number: (ring_xs, ring_ys)} once per executor."""
+    lookup = {}
+    for _, row in features_pdf.iterrows():
+        if row["shape_type"] == 5 and len(row["ring_sizes"]) > 0:
+            lookup[int(row["record_number"])] = _rings_of_row(row)
+    return spark.sparkContext.broadcast(lookup)
+
+
+# ---------------------------------------------------------------------------
+# J1: point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def point_in_polygon_join(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    res: int = DEFAULT_RES,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "image_id",
+    salt_buckets: int = 0,
+    dedup_first: bool = True,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join points to the polygons that exactly contain them.
+
+    Plan: cell equi-join (broadcast, or salted shuffle when requested) →
+    FULL cells pass through → PARTIAL cells refine with the vectorized
+    ray-cast (geometry.cpp:82-119 semantics) → deterministic tie-break
+    ``min(record_number)`` when ``dedup_first`` (the engine's defensible
+    replacement for the reference's traversal-order-dependent first hit,
+    spatial_index.cpp:367-375).
+    """
+    cells_pdf = prepare_polygon_cells(features_pdf, res)
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+
+    if salt_buckets > 0:
+        # Shuffle-join variant for a dimension too big to broadcast: the
+        # dimension replicates per salt bucket (dim-scale cost), points key
+        # by (cell, hash(point_id) % S) so a hot cell spreads S-ways.
+        s = salt_buckets
+        salted = pd.concat(
+            [cells_pdf.assign(salt=np.int32(i)) for i in range(s)],
+            ignore_index=True,
+        )
+        dim = spark.createDataFrame(salted)
+        pts = pts.withColumn(
+            "__psalt", F.pmod(F.xxhash64(F.col(point_id_col)), F.lit(s)).cast("int")
+        )
+        joined = pts.join(
+            dim.hint("shuffle_hash"),
+            (pts["__cell"] == dim["cell"]) & (pts["__psalt"] == dim["salt"]),
+            "inner",
+        ).drop("cell", "salt", "__psalt")
+    else:
+        dim = spark.createDataFrame(cells_pdf)
+        joined = pts.join(
+            F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
+        ).drop("cell")
+
+    full = joined.where(F.col("is_full")).drop("is_full", "__cell")
+    partial = joined.where(~F.col("is_full")).drop("is_full", "__cell")
+
+    refined = _pip_refine(spark, partial, features_pdf, lng_col, lat_col)
+    matched = full.unionByName(refined)
+
+    if dedup_first:
+        w = Window.partitionBy(point_id_col).orderBy("record_number")
+        matched = (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if attrs:
+        attr_dim = spark.createDataFrame(
+            features_pdf[["record_number"] + list(attrs)].assign(
+                record_number=features_pdf["record_number"].astype(np.int64)
+            )
+        )
+        matched = matched.join(F.broadcast(attr_dim), "record_number", "left")
+    return matched
+
+
+def _pip_refine(
+    spark: SparkSession,
+    candidates: DataFrame,
+    features_pdf: pd.DataFrame,
+    lng_col: str,
+    lat_col: str,
+) -> DataFrame:
+    """Exact ray-cast refine over (point, record_number) candidate rows.
+
+    ``mapInPandas`` + broadcast ring lookup: Arrow batches in, vectorized
+    numpy per polygon-group, no per-row Python.
+    """
+    bc = rings_broadcast(spark, features_pdf)
+    schema = candidates.schema
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lookup = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            recs = pdf["record_number"].to_numpy()
+            px = pdf[lng_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            for rec in np.unique(recs):
+                rings = lookup.get(int(rec))
+                if rings is None:
+                    continue
+                m = recs == rec
+                keep[m] = G.polygon_contains_points(rings[0], rings[1], px[m], py[m])
+            yield pdf[keep]
+
+    return candidates.mapInPandas(refine, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# J3: within-distance join (distance to feature bbox CENTER, ref semantics)
+# ---------------------------------------------------------------------------
+
+def within_distance_join(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    distance: float,
+    res: int | None = None,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All (point, feature) pairs with Euclidean-degrees distance from the
+    feature's bbox center <= ``distance`` (spatial_index.cpp:123-149: the
+    coarse bbox-square phase is implied by the refine, so the final
+    predicate is exactly the center-distance).
+
+    Plan: features explode to cells covering [center ± d] (driver-side;
+    explode factor bounded by resolution policy) → broadcast → point cell
+    equi-join → native column refine. Zero Python on the point side.
+    """
+    feats = features_pdf[features_pdf["shape_type"] == 5].copy()
+    feats["cx"] = (feats["minx"] + feats["maxx"]) / 2.0
+    feats["cy"] = (feats["miny"] + feats["maxy"]) / 2.0
+    if res is None:
+        res = C.resolution_for_bbox(2 * distance, 2 * distance, max_cells=64)
+    rows = []
+    for _, r in feats.iterrows():
+        cover = C.cover_bbox(r.cx - distance, r.cy - distance,
+                             r.cx + distance, r.cy + distance, res)
+        for c in cover:
+            rows.append((int(c), int(r.record_number), float(r.cx), float(r.cy)))
+    dim = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "record_number", "cx", "cy"])
+    )
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    out = (
+        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        .drop("cell", "__cell")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.pow(F.col(lng_col) - F.col("cx"), 2)
+                + F.pow(F.col(lat_col) - F.col("cy"), 2)
+            ),
+        )
+        .where(F.col("dist") <= F.lit(distance))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J2: kNN join (reference semantics: distance to feature bbox center)
+# ---------------------------------------------------------------------------
+
+def knn_join_bruteforce(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    k: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "image_id",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Exact-parity kNN: broadcast all feature centers, score every pair,
+    window top-k. Matches spatial_index.cpp:91-121 bit-for-bit (centroid
+    Euclidean distance, ties by feature order). Only viable when
+    |features| is dimension-scale — which it is (<= thousands)."""
+    feats = features_pdf[features_pdf["shape_type"] == 5]
+    dim_pdf = pd.DataFrame(
+        {
+            "record_number": feats["record_number"].astype(np.int64),
+            "cx": (feats["minx"] + feats["maxx"]) / 2.0,
+            "cy": (feats["miny"] + feats["maxy"]) / 2.0,
+        }
+    )
+    for a in attrs or []:
+        dim_pdf[a] = feats[a].to_numpy()
+    dim = spark.createDataFrame(dim_pdf)
+    scored = points.crossJoin(F.broadcast(dim)).withColumn(
+        "dist",
+        F.sqrt(
+            F.pow(F.col(lng_col) - F.col("cx"), 2)
+            + F.pow(F.col(lat_col) - F.col("cy"), 2)
+        ),
+    )
+    w = Window.partitionBy(point_id_col).orderBy("dist", "record_number")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+
+
+def knn_join(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    k: int,
+    res: int = 6,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "image_id",
+) -> DataFrame:
+    """Scale-path kNN via per-cell candidate lists (cell-ring expansion done
+    once on the dimension side, not per point).
+
+    For every point-occupied cell c (distinct-cell pass: output bounded by
+    4^res, not by |points|), compute on the driver the candidate set
+    {f : dist(f, center(c)) <= d_k(c) + 2r(c)} where d_k is the k-th
+    nearest feature-center distance to the cell center and r the
+    center-to-corner radius. Any point in c has its true top-k inside that
+    set (triangle inequality), so the per-point window over candidates is
+    exact. Candidate table broadcasts; points pay one equi-join + window.
+    """
+    feats = features_pdf[features_pdf["shape_type"] == 5]
+    fx = ((feats["minx"] + feats["maxx"]) / 2.0).to_numpy()
+    fy = ((feats["miny"] + feats["maxy"]) / 2.0).to_numpy()
+    frec = feats["record_number"].to_numpy(np.int64)
+
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    occupied = np.array(
+        [r["__cell"] for r in pts.select("__cell").distinct().collect()],
+        dtype=np.int64,
+    )
+    if len(occupied) == 0:
+        return knn_join_bruteforce(spark, points, features_pdf, k,
+                                   lng_col, lat_col, point_id_col).drop("__cell")
+
+    minx, miny, maxx, maxy = C.cell_bounds(occupied)
+    ccx = (minx + maxx) / 2.0
+    ccy = (miny + maxy) / 2.0
+    r_cell = np.sqrt((maxx - minx) ** 2 + (maxy - miny) ** 2) / 2.0
+    # (cells x features) distance matrix — dimension-scale both sides
+    dmat = np.sqrt((ccx[:, None] - fx[None, :]) ** 2 + (ccy[:, None] - fy[None, :]) ** 2)
+    kk = min(k, dmat.shape[1])
+    dk = np.sort(dmat, axis=1)[:, kk - 1]
+    keep = dmat <= (dk + 2.0 * r_cell)[:, None]
+    ci, fi = np.nonzero(keep)
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": occupied[ci],
+                "record_number": frec[fi],
+                "cx": fx[fi],
+                "cy": fy[fi],
+            }
+        )
+    )
+    scored = (
+        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        .drop("cell", "__cell")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.pow(F.col(lng_col) - F.col("cx"), 2)
+                + F.pow(F.col(lat_col) - F.col("cy"), 2)
+            ),
+        )
+    )
+    w = Window.partitionBy(point_id_col).orderBy("dist", "record_number")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: bbox query-set join
+# ---------------------------------------------------------------------------
+
+def bbox_join(
+    spark: SparkSession,
+    queries: DataFrame,  # (query_id, qminx, qminy, qmaxx, qmaxy)
+    features_pdf: pd.DataFrame,
+    res: int = 6,
+) -> DataFrame:
+    """All (query bbox, feature) pairs whose bboxes intersect (touching
+    edges count — geometry.cpp:14-17). Queries explode to covering cells of
+    their own box via a generated cell range; features pre-exploded."""
+    feats = features_pdf[features_pdf["shape_type"] == 5]
+    rows = []
+    for _, r in feats.iterrows():
+        for c in C.cover_bbox(r.minx, r.miny, r.maxx, r.maxy, res):
+            rows.append((int(c), int(r.record_number), r.minx, r.miny, r.maxx, r.maxy))
+    dim = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "record_number", "minx", "miny", "maxx", "maxy"])
+    )
+    n = 1 << res
+    q = (
+        queries.withColumn("__x0", F.expr(C.axis_index_sql("qminx", 180.0, 360.0, res, "spark")))
+        .withColumn("__x1", F.expr(C.axis_index_sql("qmaxx", 180.0, 360.0, res, "spark")))
+        .withColumn("__y0", F.expr(C.axis_index_sql("qminy", 90.0, 180.0, res, "spark")))
+        .withColumn("__y1", F.expr(C.axis_index_sql("qmaxy", 90.0, 180.0, res, "spark")))
+        .withColumn("__xi", F.explode(F.sequence("__x0", "__x1")))
+        .withColumn("__yi", F.explode(F.sequence("__y0", "__y1")))
+        .withColumn(
+            "__cell",
+            F.expr(
+                f"({res << C.RES_SHIFT} | "
+                f"{C._spread_sql('__xi', 'spark')} | "
+                f"shiftleft({C._spread_sql('__yi', 'spark')}, 1))"
+            ),
+        )
+    )
+    out = (
+        q.join(F.broadcast(dim), q["__cell"] == dim["cell"], "inner")
+        .where(
+            ~(
+                (F.col("minx") > F.col("qmaxx"))
+                | (F.col("maxx") < F.col("qminx"))
+                | (F.col("miny") > F.col("qmaxy"))
+                | (F.col("maxy") < F.col("qminy"))
+            )
+        )
+        .dropDuplicates(["query_id", "record_number"])
+        .drop("cell", "__cell", "__x0", "__x1", "__y0", "__y1", "__xi", "__yi")
+    )
+    return out

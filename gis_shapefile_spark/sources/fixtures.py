@@ -1,0 +1,283 @@
+"""Deterministic synthetic fixtures (seed=42 everywhere; no external data).
+
+Two tables drive every test and benchmark:
+
+* ``features`` — GADM-shaped polygon table mirroring the reference's data
+  (``/root/reference/data/gadm41_USA_1.dbf``: 51 records, NAME_1 = US state
+  names — README.md:85-109 golden cases key off "Texas"/"New York").
+  Geometry is synthesized (the reference repo's .shp payloads are stripped):
+  a jittered-rectangle per state on a CONUS grid, some with holes, some
+  multi-ring, plus degenerate rows exercising reader skip paths.
+* ``images`` — the driver-mandated image+caption table (BASELINE.json
+  ``input_hint``): (image_id, bytes, w, h, fmt, caption, phash) plus a
+  deterministic (lng, lat) per image. Point distribution = uniform CONUS
+  mixed with a Zipfian hot cluster inside one "urban" cell so join skew is
+  real and salting measurable.
+
+Codecs are numpy/zlib only (no Pillow in the sandbox): ``raw`` is lossless,
+``qz`` quantizes to 6 bits/channel (PSNR ≈ 47 dB > 40 dB requirement).
+``phash`` is a 64-bit average-hash of the *decoded* pixels, so recompute
+equality holds through every stage for both codecs.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
+
+# 50 states + DC — mirrors the reference's state map (geocoder.cpp:26-44)
+STATE_ABBREV = {
+    "AL": "Alabama", "AK": "Alaska", "AZ": "Arizona", "AR": "Arkansas",
+    "CA": "California", "CO": "Colorado", "CT": "Connecticut", "DE": "Delaware",
+    "FL": "Florida", "GA": "Georgia", "HI": "Hawaii", "ID": "Idaho",
+    "IL": "Illinois", "IN": "Indiana", "IA": "Iowa", "KS": "Kansas",
+    "KY": "Kentucky", "LA": "Louisiana", "ME": "Maine", "MD": "Maryland",
+    "MA": "Massachusetts", "MI": "Michigan", "MN": "Minnesota", "MS": "Mississippi",
+    "MO": "Missouri", "MT": "Montana", "NE": "Nebraska", "NV": "Nevada",
+    "NH": "New Hampshire", "NJ": "New Jersey", "NM": "New Mexico", "NY": "New York",
+    "NC": "North Carolina", "ND": "North Dakota", "OH": "Ohio", "OK": "Oklahoma",
+    "OR": "Oregon", "PA": "Pennsylvania", "RI": "Rhode Island", "SC": "South Carolina",
+    "SD": "South Dakota", "TN": "Tennessee", "TX": "Texas", "UT": "Utah",
+    "VT": "Vermont", "VA": "Virginia", "WA": "Washington", "WV": "West Virginia",
+    "WI": "Wisconsin", "WY": "Wyoming", "DC": "District of Columbia",
+}
+STATE_NAMES = sorted(STATE_ABBREV.values())
+
+# CONUS-ish canvas the synthetic states tile (no antimeridian crossing)
+CANVAS = (-125.0, 24.0, -66.0, 50.0)
+GRID_COLS, GRID_ROWS = 9, 6
+URBAN_CENTER = (-74.006, 40.7128)  # hot cluster ("New York"-ish)
+
+
+def _jitter_rect(rng: np.random.Generator, x0, y0, x1, y1, n_per_edge=6):
+    """Closed ring tracing a rectangle with jittered edge vertices (CCW)."""
+    jx = (x1 - x0) * 0.04
+    jy = (y1 - y0) * 0.04
+    xs, ys = [], []
+
+    def edge(ax, ay, bx, by):
+        t = np.linspace(0.0, 1.0, n_per_edge, endpoint=False)
+        ex = ax + (bx - ax) * t
+        ey = ay + (by - ay) * t
+        # jitter interior vertices only (keep corners exact)
+        ex[1:] += rng.uniform(-jx, jx, n_per_edge - 1) * (1.0 if ax == bx else 0.0)
+        ey[1:] += rng.uniform(-jy, jy, n_per_edge - 1) * (1.0 if ay == by else 0.0)
+        xs.extend(ex.tolist())
+        ys.extend(ey.tolist())
+
+    edge(x0, y0, x1, y0)
+    edge(x1, y0, x1, y1)
+    edge(x1, y1, x0, y1)
+    edge(x0, y1, x0, y0)
+    xs.append(x0)  # close the ring, as shapefile rings repeat the first point
+    ys.append(y0)
+    return np.asarray(xs), np.asarray(ys)
+
+
+def make_features(n_extra_parts: int = 0) -> pd.DataFrame:
+    """The 51-row state-level feature table.
+
+    Columns follow FIXTURES.md §1: record_number, shape_type, rings as
+    flattened arrays (xs, ys, ring_sizes), bbox, GADM attribute columns.
+    Rows 1..51 are polygons; a trailing Null-shape row and a deleted-DBF
+    row exercise the skip paths (shapefile_reader.cpp:155-177, 320-323).
+    """
+    rng = np.random.default_rng(SEED)
+    cx0, cy0, cx1, cy1 = CANVAS
+    cw = (cx1 - cx0) / GRID_COLS
+    ch = (cy1 - cy0) / GRID_ROWS
+    rows = []
+    for i, name in enumerate(STATE_NAMES):
+        col, rw = i % GRID_COLS, i // GRID_COLS
+        x0 = cx0 + col * cw + cw * 0.06
+        y0 = cy0 + rw * ch + ch * 0.06
+        x1 = x0 + cw * 0.88
+        y1 = y0 + ch * 0.88
+        sx, sy = _jitter_rect(rng, x0, y0, x1, y1)
+        ring_xs, ring_ys = [sx], [sy]
+        # every 5th state gets a hole in its center
+        if i % 5 == 0:
+            hx0 = x0 + (x1 - x0) * 0.4
+            hy0 = y0 + (y1 - y0) * 0.4
+            hx1 = x0 + (x1 - x0) * 0.6
+            hy1 = y0 + (y1 - y0) * 0.6
+            hxs, hys = _jitter_rect(rng, hx0, hy0, hx1, hy1, n_per_edge=3)
+            ring_xs.append(hxs)
+            ring_ys.append(hys)
+        flat_x = np.concatenate(ring_xs)
+        flat_y = np.concatenate(ring_ys)
+        sizes = [len(r) for r in ring_xs]
+        abbrev = [a for a, n in STATE_ABBREV.items() if n == name][0]
+        rows.append(
+            dict(
+                record_number=i + 1,
+                shape_type=5,
+                xs=flat_x.tolist(),
+                ys=flat_y.tolist(),
+                ring_sizes=sizes,
+                minx=float(flat_x.min()),
+                miny=float(flat_y.min()),
+                maxx=float(flat_x.max()),
+                maxy=float(flat_y.max()),
+                deleted=False,
+                GID_1=f"USA.{i + 1}_1",
+                GID_0="USA",
+                COUNTRY="United States",
+                NAME_1=name,
+                VARNAME_1="",
+                NL_NAME_1="",
+                TYPE_1="State",
+                ENGTYPE_1="State",
+                CC_1="",
+                HASC_1=f"US.{abbrev}",
+                ISO_1=f"US-{abbrev}",
+                num_attr=float(i) * 1.5,
+                flag_attr=bool(i % 2),
+            )
+        )
+    # degenerate rows: null shape; deleted record (attrs emptied, geom kept)
+    rows.append(
+        dict(
+            record_number=52, shape_type=0, xs=[], ys=[], ring_sizes=[],
+            minx=0.0, miny=0.0, maxx=0.0, maxy=0.0, deleted=False,
+            GID_1="", GID_0="", COUNTRY="", NAME_1="", VARNAME_1="",
+            NL_NAME_1="", TYPE_1="", ENGTYPE_1="", CC_1="", HASC_1="",
+            ISO_1="", num_attr=0.0, flag_attr=False,
+        )
+    )
+    dx, dy = _jitter_rect(rng, -80.0, 20.0, -78.0, 22.0, n_per_edge=3)
+    rows.append(
+        dict(
+            record_number=53, shape_type=5, xs=dx.tolist(), ys=dy.tolist(),
+            ring_sizes=[len(dx)], minx=float(dx.min()), miny=float(dy.min()),
+            maxx=float(dx.max()), maxy=float(dy.max()), deleted=True,
+            GID_1="", GID_0="", COUNTRY="", NAME_1="", VARNAME_1="",
+            NL_NAME_1="", TYPE_1="", ENGTYPE_1="", CC_1="", HASC_1="",
+            ISO_1="", num_attr=0.0, flag_attr=False,
+        )
+    )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# image codecs (numpy/zlib only)
+# ---------------------------------------------------------------------------
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: (h, w, 3) uint8 -> bytes. 'raw' lossless, 'qz' 6-bit lossy."""
+    h, w, _ = pixels.shape
+    if fmt == "raw":
+        payload = pixels.tobytes()
+    elif fmt == "qz":
+        q = (pixels >> 2).astype(np.uint8)  # 6 bits/channel
+        payload = q.tobytes()
+    else:
+        raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+    return zlib.compress(payload, 1)
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    raw = zlib.decompress(data)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "raw":
+        return arr.copy()
+    if fmt == "qz":
+        # dequantize to bucket center: q*4 + 2 caps error at +/-2 -> PSNR ~47dB
+        return (arr.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+    raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average hash over an 8x8 luma downsample (deterministic)."""
+    h, w, _ = pixels.shape
+    luma = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # integer block-mean downsample to 8x8
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    small = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (small > small.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement int64
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def make_images(n: int, w: int = 16, h: int = 16, hot_frac: float = 0.2) -> pd.DataFrame:
+    """The input_hint table + deterministic (lng, lat) per image.
+
+    ``hot_frac`` of the points land in a tight Gaussian around URBAN_CENTER
+    (one hot cell at the join resolution) — the planted skew from
+    FIXTURES.md §2.
+    """
+    rng = np.random.default_rng(SEED)
+    cx0, cy0, cx1, cy1 = CANVAS
+    n_hot = int(n * hot_frac)
+    lng = np.empty(n)
+    lat = np.empty(n)
+    lng[: n - n_hot] = rng.uniform(cx0 - 5, cx1 + 5, n - n_hot)
+    lat[: n - n_hot] = rng.uniform(cy0 - 3, cy1 + 3, n - n_hot)
+    lng[n - n_hot:] = URBAN_CENTER[0] + rng.normal(0, 0.05, n_hot)
+    lat[n - n_hot:] = URBAN_CENTER[1] + rng.normal(0, 0.05, n_hot)
+
+    fmts = np.where(rng.random(n) < 0.5, "raw", "qz")
+    recs = []
+    for i in range(n):
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fmt = str(fmts[i])
+        data = encode_image(pix, fmt)
+        dec = decode_image(data, w, h, fmt)
+        recs.append(
+            dict(
+                image_id=f"img_{i:09d}",
+                bytes=data,
+                w=np.int32(w),
+                h=np.int32(h),
+                fmt=fmt,
+                caption=f"caption of img_{i:09d}: a synthetic scene #{i % 97}",
+                phash=phash64(dec),
+                lng=float(lng[i]),
+                lat=float(lat[i]),
+            )
+        )
+    return pd.DataFrame(recs)
+
+
+def images_parquet_path(n: int, w: int = 16, h: int = 16) -> str:
+    """Generate-once cache of the images table as parquet."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, f"images_n{n}_w{w}_h{h}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = make_images(n, w, h)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        os.rename(path + ".tmp", path)  # atomic publish
+    return path
+
+
+def features_parquet_path() -> str:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, "features_states.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = make_features()
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        os.rename(path + ".tmp", path)
+    return path

@@ -1,0 +1,191 @@
+"""Spatial join row-set parity vs an independent oracle.
+
+The oracle here is a direct per-point transliteration of the reference C++
+(geometry.cpp:82-119, spatial_index.cpp:91-149) — deliberately NOT sharing
+the engine's vectorized kernel, so kernel bugs can't self-validate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_shapefile_spark.operators import spatial_join as SJ
+from gis_shapefile_spark.sources import fixtures as FX
+from gis_shapefile_spark.functions import geometry as G
+
+
+# --- oracle: straight transliteration of the reference ----------------------
+
+def _ring_contains(rx, ry, px, py) -> bool:  # geometry.cpp:87-103
+    inside = False
+    j = len(rx) - 1
+    for i in range(len(rx)):
+        if ((ry[i] > py) != (ry[j] > py)) and (
+            px < (rx[j] - rx[i]) * (py - ry[i]) / (ry[j] - ry[i]) + rx[i]
+        ):
+            inside = not inside
+        j = i
+    return inside
+
+
+def _polygon_contains(rxs, rys, px, py) -> bool:  # geometry.cpp:106-118
+    if not rxs:
+        return False
+    if not _ring_contains(rxs[0], rys[0], px, py):
+        return False
+    for k in range(1, len(rxs)):
+        if _ring_contains(rxs[k], rys[k], px, py):
+            return False
+    return True
+
+
+def _rings(row):
+    xs = np.asarray(row["xs"])
+    ys = np.asarray(row["ys"])
+    offs = np.concatenate([[0], np.cumsum(row["ring_sizes"])]).astype(int)
+    return (
+        [xs[offs[i]: offs[i + 1]] for i in range(len(row["ring_sizes"]))],
+        [ys[offs[i]: offs[i + 1]] for i in range(len(row["ring_sizes"]))],
+    )
+
+
+@pytest.fixture(scope="module")
+def features():
+    return FX.make_features()
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    rng = np.random.default_rng(7)
+    n = 3000
+    lng = rng.uniform(-126, -64, n)
+    lat = rng.uniform(23, 51, n)
+    return pd.DataFrame(
+        {"image_id": [f"p{i:05d}" for i in range(n)], "lng": lng, "lat": lat}
+    )
+
+
+def oracle_pip_pairs(features, points_pdf):
+    pairs = set()
+    polys = [
+        (int(r["record_number"]), *_rings(r))
+        for _, r in features.iterrows()
+        if r["shape_type"] == 5 and len(r["ring_sizes"]) > 0
+    ]
+    for _, p in points_pdf.iterrows():
+        hits = [rec for rec, rxs, rys in polys if _polygon_contains(rxs, rys, p.lng, p.lat)]
+        if hits:
+            pairs.add((p.image_id, min(hits)))  # engine tie-break: min record
+    return pairs
+
+
+def test_vectorized_kernel_matches_transliteration(features, points_pdf):
+    px = points_pdf["lng"].to_numpy()
+    py = points_pdf["lat"].to_numpy()
+    for _, r in features.iterrows():
+        if r["shape_type"] != 5 or len(r["ring_sizes"]) == 0:
+            continue
+        rxs, rys = _rings(r)
+        fast = G.polygon_contains_points(rxs, rys, px, py)
+        slow = np.array(
+            [_polygon_contains(rxs, rys, x, y) for x, y in zip(px, py)]
+        )
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_pip_join_matches_oracle(spark, features, points_pdf):
+    points = spark.createDataFrame(points_pdf)
+    got = SJ.point_in_polygon_join(
+        spark, points, features, res=8, point_id_col="image_id"
+    )
+    got_pairs = {(r.image_id, r.record_number) for r in got.collect()}
+    assert got_pairs == oracle_pip_pairs(features, points_pdf)
+
+
+def test_pip_join_salted_same_result(spark, features, points_pdf):
+    points = spark.createDataFrame(points_pdf)
+    plain = SJ.point_in_polygon_join(spark, points, features, res=8)
+    salted = SJ.point_in_polygon_join(spark, points, features, res=8, salt_buckets=4)
+    a = {(r.image_id, r.record_number) for r in plain.collect()}
+    b = {(r.image_id, r.record_number) for r in salted.collect()}
+    assert a == b
+
+
+def test_within_distance_matches_oracle(spark, features, points_pdf):
+    d = 2.5
+    points = spark.createDataFrame(points_pdf)
+    got = SJ.within_distance_join(spark, points, features, distance=d)
+    got_pairs = {(r.image_id, r.record_number) for r in got.collect()}
+
+    feats = features[features["shape_type"] == 5]
+    cx = ((feats["minx"] + feats["maxx"]) / 2).to_numpy()
+    cy = ((feats["miny"] + feats["maxy"]) / 2).to_numpy()
+    recs = feats["record_number"].to_numpy()
+    want = set()
+    for _, p in points_pdf.iterrows():
+        dist = np.sqrt((p.lng - cx) ** 2 + (p.lat - cy) ** 2)
+        for rec in recs[dist <= d]:
+            want.add((p.image_id, int(rec)))
+    assert got_pairs == want
+
+
+def test_knn_bruteforce_matches_oracle(spark, features, points_pdf):
+    k = 3
+    sub = points_pdf.head(500)
+    points = spark.createDataFrame(sub)
+    got = SJ.knn_join_bruteforce(spark, points, features, k=k)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.image_id, []).append((r.knn_rank, r.record_number))
+
+    feats = features[features["shape_type"] == 5]
+    cx = ((feats["minx"] + feats["maxx"]) / 2).to_numpy()
+    cy = ((feats["miny"] + feats["maxy"]) / 2).to_numpy()
+    recs = feats["record_number"].to_numpy()
+    for _, p in sub.iterrows():
+        dist = np.sqrt((p.lng - cx) ** 2 + (p.lat - cy) ** 2)
+        order = np.lexsort((recs, dist))[:k]  # spatial_index.cpp:110-120
+        want = [int(recs[i]) for i in order]
+        gotk = [rec for _, rec in sorted(got_map[p.image_id])]
+        assert gotk == want, p.image_id
+
+
+def test_knn_cell_candidates_equals_bruteforce(spark, features, points_pdf):
+    k = 4
+    points = spark.createDataFrame(points_pdf.head(800))
+    brute = SJ.knn_join_bruteforce(spark, points, features, k=k)
+    fast = SJ.knn_join(spark, points, features, k=k, res=6)
+    a = {(r.image_id, r.knn_rank, r.record_number) for r in brute.collect()}
+    b = {(r.image_id, r.knn_rank, r.record_number) for r in fast.collect()}
+    assert a == b
+
+
+def test_bbox_join_matches_oracle(spark, features):
+    rng = np.random.default_rng(11)
+    nq = 200
+    qx = rng.uniform(-130, -60, nq)
+    qy = rng.uniform(20, 52, nq)
+    qw = rng.uniform(0.1, 15, nq)
+    qh = rng.uniform(0.1, 10, nq)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": np.arange(nq),
+            "qminx": qx, "qminy": qy, "qmaxx": qx + qw, "qmaxy": qy + qh,
+        }
+    )
+    queries = spark.createDataFrame(qpdf)
+    got = SJ.bbox_join(spark, queries, features, res=6)
+    got_pairs = {(r.query_id, r.record_number) for r in got.collect()}
+
+    feats = features[features["shape_type"] == 5]
+    want = set()
+    for _, q in qpdf.iterrows():
+        for _, f in feats.iterrows():
+            if not (
+                f.minx > q.qmaxx or f.maxx < q.qminx
+                or f.miny > q.qmaxy or f.maxy < q.qminy
+            ):
+                want.add((int(q.query_id), int(f.record_number)))
+    assert got_pairs == want
