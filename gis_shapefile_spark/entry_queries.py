@@ -1,0 +1,370 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Every query here is designed for *bit-exact* cross-engine determinism:
+
+* join keys / cells / hashes are integer math (identical in JVM and DuckDB);
+* doubles appear only as single IEEE ops on identical inputs (x*x, sqrt,
+  division) — never order-dependent float reductions;
+* float aggregates are integerized (``floor(x * 10^k)`` sums) so the sum is
+  an exact integer regardless of partition/accumulation order;
+* every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver hashes values after sorting columns by name).
+
+Spatial inputs are synthesized deterministically from the TPC-H-ish keys
+(pure integer → rational arithmetic, no RNG), so the same SQL text defines
+them in both engines. Polygon features for oracle-checked queries are exact
+rectangles (``fixtures.make_grid_features``) whose reference ray-cast
+semantics reduce to half-open box tests (left/bottom edge in, right/top
+out) — plain ANSI SQL — while the engine still runs its general
+cell-join + FULL/PARTIAL + ray-cast path. The general (jittered, holed)
+polygons are covered by the pytest oracle suite instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import cells as C
+from .sources import fixtures as FX
+
+# ---------------------------------------------------------------------------
+# deterministic point/box synthesis (same SQL text runs in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+# lng in [-125, -66), lat in [24, 50) — the fixture CANVAS
+POINT_LNG_SQL = "(-125.0 + ((c_custkey * 2654435761) % 59000000) / 1000000.0)"
+POINT_LAT_SQL = "(24.0 + ((c_custkey * 40503) % 26000000) / 1000000.0)"
+
+BOX_X0_SQL = "(-125.0 + ((o_orderkey * 48271) % 54000000) / 1000000.0)"
+BOX_Y0_SQL = "(24.0 + ((o_orderkey * 16807) % 21000000) / 1000000.0)"
+BOX_W_SQL = "(0.5 + ((o_orderkey * 69621) % 8000000) / 1000000.0)"
+BOX_H_SQL = "(0.3 + ((o_orderkey * 75571) % 5000000) / 1000000.0)"
+
+
+def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("point_id"),
+            F.expr(POINT_LNG_SQL).alias("lng"),
+            F.expr(POINT_LAT_SQL).alias("lat"),
+        )
+    )
+
+
+def _points_oracle_cte() -> str:
+    return (
+        f"SELECT c_custkey AS point_id, {POINT_LNG_SQL} AS lng, "
+        f"{POINT_LAT_SQL} AS lat FROM customer"
+    )
+
+
+def _grid_values_sql() -> str:
+    """The 51 grid rectangles as a VALUES list (record_number, x0, y0, x1, y1)."""
+    grid = FX.make_grid_features()
+    vals = ", ".join(
+        f"({int(r.record_number)}, {r.minx!r}, {r.miny!r}, {r.maxx!r}, {r.maxy!r})"
+        for _, r in grid.iterrows()
+    )
+    return f"(VALUES {vals}) AS g(record_number, x0, y0, x1, y1)"
+
+
+# ---------------------------------------------------------------------------
+# spatial queries
+# ---------------------------------------------------------------------------
+
+def q_pip_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: exact point-in-polygon join of synthesized points vs the grid."""
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    out = SJ.point_in_polygon_join(
+        spark, pts, FX.make_grid_features(), res=8, point_id_col="point_id"
+    )
+    return out.select("point_id", F.col("record_number").cast("long").alias("record_number"))
+
+
+def q_pip_grid_join_oracle() -> str:
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT p.point_id, g.record_number::BIGINT AS record_number
+        FROM pts p JOIN {_grid_values_sql()}
+          ON p.lng >= g.x0 AND p.lng < g.x1 AND p.lat >= g.y0 AND p.lat < g.y1
+    """
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point quadkey cell at res 12 (the tiling key of every image row)."""
+    return _points_df(spark, sf_dir).select(
+        "point_id", F.expr(C.cell_sql("lng", "lat", 12, "spark")).alias("cell")
+    )
+
+
+def q_cell_assign_oracle() -> str:
+    cell = C.cell_sql("lng", "lat", 12, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT point_id, {cell} AS cell FROM pts
+    """
+
+
+def q_cell_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile histogram: points per res-6 cell (raster side of tiling)."""
+    return (
+        _points_df(spark, sf_dir)
+        .groupBy(F.expr(C.cell_sql("lng", "lat", 6, "spark")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_cell_hist_oracle() -> str:
+    cell = C.cell_sql("lng", "lat", 6, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT {cell} AS cell, count(*) AS n_points FROM pts GROUP BY 1
+    """
+
+
+def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: all (point, rect-center) pairs with Euclidean distance <= 3.0.
+
+    Distance integerized: floor(dist * 1e6) (sqrt/floor are IEEE-exact on
+    identical inputs, so the value matches DuckDB bit-for-bit).
+    """
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    out = SJ.within_distance_join(
+        spark, pts, FX.make_grid_features(), distance=3.0
+    )
+    return out.select(
+        "point_id",
+        F.col("record_number").cast("long").alias("record_number"),
+        F.floor(F.col("dist") * 1000000).cast("long").alias("dist_u"),
+    )
+
+
+def q_within_distance_oracle() -> str:
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT p.point_id, g.record_number::BIGINT AS record_number,
+               CAST(floor(sqrt((p.lng-(g.x0+g.x1)/2)*(p.lng-(g.x0+g.x1)/2)
+                             + (p.lat-(g.y0+g.y1)/2)*(p.lat-(g.y0+g.y1)/2)) * 1000000) AS BIGINT) AS dist_u
+        FROM pts p CROSS JOIN {_grid_values_sql()}
+        WHERE sqrt((p.lng-(g.x0+g.x1)/2)*(p.lng-(g.x0+g.x1)/2)
+                 + (p.lat-(g.y0+g.y1)/2)*(p.lat-(g.y0+g.y1)/2)) <= 3.0
+    """
+
+
+def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 3 nearest rect centers per point (cell-candidate scale path)."""
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    out = SJ.knn_join(
+        spark, pts, FX.make_grid_features(), k=3, res=6, point_id_col="point_id"
+    )
+    return out.select(
+        "point_id",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.col("record_number").cast("long").alias("record_number"),
+    )
+
+
+def q_knn3_oracle() -> str:
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        scored AS (
+          SELECT p.point_id, g.record_number,
+                 sqrt((p.lng-(g.x0+g.x1)/2)*(p.lng-(g.x0+g.x1)/2)
+                    + (p.lat-(g.y0+g.y1)/2)*(p.lat-(g.y0+g.y1)/2)) AS dist
+          FROM pts p CROSS JOIN {_grid_values_sql()}
+        )
+        SELECT point_id,
+               row_number() OVER (PARTITION BY point_id ORDER BY dist, record_number)::BIGINT AS knn_rank,
+               record_number::BIGINT AS record_number
+        FROM scored
+        QUALIFY knn_rank <= 3
+    """
+
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: query boxes (from orders keys) x grid rects whose bboxes intersect."""
+    from .operators import spatial_join as SJ
+
+    boxes = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("query_id"),
+        F.expr(BOX_X0_SQL).alias("qminx"),
+        F.expr(BOX_Y0_SQL).alias("qminy"),
+        F.expr(f"{BOX_X0_SQL} + {BOX_W_SQL}").alias("qmaxx"),
+        F.expr(f"{BOX_Y0_SQL} + {BOX_H_SQL}").alias("qmaxy"),
+    )
+    out = SJ.bbox_join(spark, boxes, FX.make_grid_features(), res=6)
+    return out.select(
+        "query_id", F.col("record_number").cast("long").alias("record_number")
+    )
+
+
+def q_bbox_join_oracle() -> str:
+    return f"""
+        WITH boxes AS (
+          SELECT o_orderkey AS query_id,
+                 {BOX_X0_SQL} AS qminx, {BOX_Y0_SQL} AS qminy,
+                 {BOX_X0_SQL} + {BOX_W_SQL} AS qmaxx,
+                 {BOX_Y0_SQL} + {BOX_H_SQL} AS qmaxy
+          FROM orders)
+        SELECT b.query_id, g.record_number::BIGINT AS record_number
+        FROM boxes b CROSS JOIN {_grid_values_sql()}
+        WHERE NOT (g.x0 > b.qmaxx OR g.x1 < b.qminx OR g.y0 > b.qmaxy OR g.y1 < b.qminy)
+    """
+
+
+# ---------------------------------------------------------------------------
+# geocoder scalar semantics (F1/F2 normalize+tokenize) on relational data
+# ---------------------------------------------------------------------------
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 normalize (geocoder.cpp:113-133): upper, [,.]→space, collapse, trim."""
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.upper(F.col("c_name")), "[,.]", " "),
+                "\\s+",
+                " ",
+            )
+        ).alias("norm_name"),
+    )
+
+
+def q_normalize_oracle() -> str:
+    return """
+        SELECT c_custkey,
+               trim(regexp_replace(regexp_replace(upper(c_name), '[,.]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS norm_name
+        FROM customer
+    """
+
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1 shape (geocoder.cpp:231-236): argmax per group via window."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+def q_top1_per_group_oracle() -> str:
+    return """
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# relational plumbing (integerized TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape with order-independent integer sums (cents)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_c"),
+            F.sum(
+                F.floor(
+                    F.floor(F.col("l_extendedprice") * 100)
+                    * F.floor((1 - F.col("l_discount")) * 10000)
+                ).cast("long")
+            ).alias("sum_disc_price_u"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_pricing_summary_oracle() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+               CAST(sum(CAST(floor(floor(l_extendedprice * 100) * floor((1 - l_discount) * 10000)) AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + top-10, revenue integerized."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.floor(
+        F.floor(F.col("l_extendedprice") * 100)
+        * F.floor((1 - F.col("l_discount")) * 10000)
+    ).cast("long")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_u"))
+        .orderBy(F.desc("revenue_u"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_top_revenue_orders_oracle() -> str:
+    return """
+        SELECT o_orderkey,
+               CAST(sum(CAST(floor(floor(l_extendedprice * 100) * floor((1 - l_discount) * 10000)) AS BIGINT)) AS BIGINT) AS revenue_u
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue_u DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pip_grid_join": q_pip_grid_join,
+    "cell_assign": q_cell_assign,
+    "cell_hist": q_cell_hist,
+    "within_distance": q_within_distance,
+    "knn3": q_knn3,
+    "bbox_join": q_bbox_join,
+    "normalize": q_normalize,
+    "top1_per_group": q_top1_per_group,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+}
+
+ORACLES = {
+    "pip_grid_join": q_pip_grid_join_oracle(),
+    "cell_assign": q_cell_assign_oracle(),
+    "cell_hist": q_cell_hist_oracle(),
+    "within_distance": q_within_distance_oracle(),
+    "knn3": q_knn3_oracle(),
+    "bbox_join": q_bbox_join_oracle(),
+    "normalize": q_normalize_oracle(),
+    "top1_per_group": q_top1_per_group_oracle(),
+    "pricing_summary": q_pricing_summary_oracle(),
+    "top_revenue_orders": q_top_revenue_orders_oracle(),
+}

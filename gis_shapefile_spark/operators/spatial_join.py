@@ -284,8 +284,8 @@ def within_distance_join(
         .withColumn(
             "dist",
             F.sqrt(
-                F.pow(F.col(lng_col) - F.col("cx"), 2)
-                + F.pow(F.col(lat_col) - F.col("cy"), 2)
+                (F.col(lng_col) - F.col("cx")) * (F.col(lng_col) - F.col("cx"))
+                + (F.col(lat_col) - F.col("cy")) * (F.col(lat_col) - F.col("cy"))
             ),
         )
         .where(F.col("dist") <= F.lit(distance))
@@ -397,8 +397,8 @@ def knn_join(
         .withColumn(
             "dist",
             F.sqrt(
-                F.pow(F.col(lng_col) - F.col("cx"), 2)
-                + F.pow(F.col(lat_col) - F.col("cy"), 2)
+                (F.col(lng_col) - F.col("cx")) * (F.col(lng_col) - F.col("cx"))
+                + (F.col(lat_col) - F.col("cy")) * (F.col(lat_col) - F.col("cy"))
             ),
         )
     )

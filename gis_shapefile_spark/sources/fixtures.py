@@ -269,6 +269,45 @@ def images_parquet_path(n: int, w: int = 16, h: int = 16) -> str:
     return path
 
 
+def make_grid_features() -> pd.DataFrame:
+    """Exact-rectangle variant of the 51-state table (no jitter, no holes).
+
+    For axis-aligned rectangles the reference ray-cast (geometry.cpp:87-103)
+    reduces to the half-open box test ``x0 <= px < x1 AND y0 <= py < y1``
+    (left/bottom edges in, right/top out), which is plain ANSI SQL — so
+    these features anchor the driver's DuckDB-oracle checks while the
+    engine still runs its general cell-join + ray-cast path.
+
+    Grid pitch uses non-terminating decimals (59/9, 26/6) so synthesized
+    test points (1e-6 rationals) never land exactly on an edge.
+    """
+    cx0, cy0, cx1, cy1 = CANVAS
+    cw = (cx1 - cx0) / GRID_COLS
+    ch = (cy1 - cy0) / GRID_ROWS
+    rows = []
+    for i, name in enumerate(STATE_NAMES):
+        col, rw = i % GRID_COLS, i // GRID_COLS
+        x0 = cx0 + col * cw
+        y0 = cy0 + rw * ch
+        x1 = x0 + cw
+        y1 = y0 + ch
+        xs = [x0, x1, x1, x0, x0]
+        ys = [y0, y0, y1, y1, y0]
+        rows.append(
+            dict(
+                record_number=i + 1,
+                shape_type=5,
+                xs=xs,
+                ys=ys,
+                ring_sizes=[5],
+                minx=x0, miny=y0, maxx=x1, maxy=y1,
+                deleted=False,
+                NAME_1=name,
+            )
+        )
+    return pd.DataFrame(rows)
+
+
 def features_parquet_path() -> str:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     path = os.path.join(FIXTURE_DIR, "features_states.parquet")
