@@ -84,41 +84,47 @@ def prepare_polygon_cells(
     bbox AND (corner-inside OR edge-crossing OR full) — cells disjoint from
     the polygon are pruned so the dimension stays tight.
     """
-    out_cell, out_rec, out_full = [], [], []
+    out_cells, out_recs, out_fulls = [], [], []
     for _, row in features_pdf.iterrows():
         if row["shape_type"] != 5 or len(row["ring_sizes"]) == 0:
             continue
         rx, ry = _rings_of_row(row)
         cover = C.cover_bbox(row["minx"], row["miny"], row["maxx"], row["maxy"], res)
-        minx, miny, maxx, maxy = C.cell_bounds(cover)
-        for c, x0, y0, x1, y1 in zip(cover, minx, miny, maxx, maxy):
-            full = _cell_fully_inside(rx, ry, x0, y0, x1, y1)
-            if full:
-                keep = True
-            else:
-                # prune cells that provably miss the polygon: no corner
-                # inside and no edge bbox overlap => disjoint
-                cx = np.array([x0, x1, x1, x0])
-                cy = np.array([y0, y0, y1, y1])
-                corner_in = G.polygon_contains_points(rx, ry, cx, cy).any()
-                edge_hit = False
-                for x, y in zip(rx, ry):
-                    ex0 = np.minimum(x, np.roll(x, 1))
-                    ex1 = np.maximum(x, np.roll(x, 1))
-                    ey0 = np.minimum(y, np.roll(y, 1))
-                    ey1 = np.maximum(y, np.roll(y, 1))
-                    if ((ex0 <= x1) & (ex1 >= x0) & (ey0 <= y1) & (ey1 >= y0)).any():
-                        edge_hit = True
-                        break
-                keep = corner_in or edge_hit
-            if keep:
-                out_cell.append(int(c))
-                out_rec.append(int(row["record_number"]))
-                out_full.append(bool(full))
+        x0, y0, x1, y1 = C.cell_bounds(cover)
+        n_cells = len(cover)
+
+        # all 4 corners of all cells in one vectorized PIP call
+        cx = np.concatenate([x0, x1, x1, x0])
+        cy = np.concatenate([y0, y0, y1, y1])
+        corner_in = G.polygon_contains_points(rx, ry, cx, cy).reshape(4, n_cells)
+        all_in = corner_in.all(axis=0)
+        any_in = corner_in.any(axis=0)
+
+        # (edges x cells) bbox-overlap: does any ring edge cross each cell?
+        ex0 = np.concatenate([np.minimum(x, np.roll(x, 1)) for x in rx])
+        ex1 = np.concatenate([np.maximum(x, np.roll(x, 1)) for x in rx])
+        ey0 = np.concatenate([np.minimum(y, np.roll(y, 1)) for y in ry])
+        ey1 = np.concatenate([np.maximum(y, np.roll(y, 1)) for y in ry])
+        edge_hit = (
+            (ex0[:, None] <= x1[None, :])
+            & (ex1[:, None] >= x0[None, :])
+            & (ey0[:, None] <= y1[None, :])
+            & (ey1[:, None] >= y0[None, :])
+        ).any(axis=0)
+
+        full = all_in & ~edge_hit
+        keep = full | any_in | edge_hit
+        out_cells.append(cover[keep])
+        out_recs.append(np.full(int(keep.sum()), int(row["record_number"]), np.int64))
+        out_fulls.append(full[keep])
+    if not out_cells:
+        return pd.DataFrame({"cell": [], "record_number": [], "is_full": []}).astype(
+            {"cell": np.int64, "record_number": np.int64, "is_full": bool}
+        )
     return pd.DataFrame(
-        {"cell": np.asarray(out_cell, np.int64),
-         "record_number": np.asarray(out_rec, np.int64),
-         "is_full": np.asarray(out_full, bool)}
+        {"cell": np.concatenate(out_cells),
+         "record_number": np.concatenate(out_recs),
+         "is_full": np.concatenate(out_fulls)}
     )
 
 
@@ -135,10 +141,30 @@ def rings_broadcast(spark: SparkSession, features_pdf: pd.DataFrame):
 # J1: point-in-polygon join
 # ---------------------------------------------------------------------------
 
+class PolygonIndex:
+    """The engine's replacement for the reference's R-tree build
+    (spatial_index.cpp:295-306): a one-time materialization of the
+    covering-cell dimension (Spark DataFrame, broadcastable) plus the
+    ring-array broadcast used by the exact refine kernel.
+
+    Build once, join any number of point batches against it — at
+    10^12-point scale the index build cost (dimension-scale) is noise and
+    every join pays only the broadcast-hash-join + refine.
+    """
+
+    def __init__(self, spark: SparkSession, features_pdf: pd.DataFrame, res: int):
+        self.spark = spark
+        self.features_pdf = features_pdf
+        self.res = res
+        self.cells_pdf = prepare_polygon_cells(features_pdf, res)
+        self.dim = spark.createDataFrame(self.cells_pdf)
+        self.rings_bc = rings_broadcast(spark, features_pdf)
+
+
 def point_in_polygon_join(
     spark: SparkSession,
     points: DataFrame,
-    features_pdf: pd.DataFrame,
+    features_pdf: pd.DataFrame | PolygonIndex,
     res: int = DEFAULT_RES,
     lng_col: str = "lng",
     lat_col: str = "lat",
@@ -156,8 +182,14 @@ def point_in_polygon_join(
     replacement for the reference's traversal-order-dependent first hit,
     spatial_index.cpp:367-375).
     """
-    cells_pdf = prepare_polygon_cells(features_pdf, res)
-    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    if isinstance(features_pdf, PolygonIndex):
+        index = features_pdf
+        if index.res != res and res != DEFAULT_RES:
+            raise ValueError("res conflicts with the prebuilt PolygonIndex")
+    else:
+        index = PolygonIndex(spark, features_pdf, res)
+    cells_pdf = index.cells_pdf
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, index.res))
 
     if salt_buckets > 0:
         # Shuffle-join variant for a dimension too big to broadcast: the
@@ -178,7 +210,7 @@ def point_in_polygon_join(
             "inner",
         ).drop("cell", "salt", "__psalt")
     else:
-        dim = spark.createDataFrame(cells_pdf)
+        dim = index.dim
         joined = pts.join(
             F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
         ).drop("cell")
@@ -186,7 +218,7 @@ def point_in_polygon_join(
     full = joined.where(F.col("is_full")).drop("is_full", "__cell")
     partial = joined.where(~F.col("is_full")).drop("is_full", "__cell")
 
-    refined = _pip_refine(spark, partial, features_pdf, lng_col, lat_col)
+    refined = _pip_refine_bc(partial, index.rings_bc, lng_col, lat_col)
     matched = full.unionByName(refined)
 
     if dedup_first:
@@ -197,9 +229,10 @@ def point_in_polygon_join(
             .drop("__rn")
         )
     if attrs:
+        fpdf = index.features_pdf
         attr_dim = spark.createDataFrame(
-            features_pdf[["record_number"] + list(attrs)].assign(
-                record_number=features_pdf["record_number"].astype(np.int64)
+            fpdf[["record_number"] + list(attrs)].assign(
+                record_number=fpdf["record_number"].astype(np.int64)
             )
         )
         matched = matched.join(F.broadcast(attr_dim), "record_number", "left")
@@ -213,12 +246,22 @@ def _pip_refine(
     lng_col: str,
     lat_col: str,
 ) -> DataFrame:
+    return _pip_refine_bc(
+        candidates, rings_broadcast(spark, features_pdf), lng_col, lat_col
+    )
+
+
+def _pip_refine_bc(
+    candidates: DataFrame,
+    bc,
+    lng_col: str,
+    lat_col: str,
+) -> DataFrame:
     """Exact ray-cast refine over (point, record_number) candidate rows.
 
     ``mapInPandas`` + broadcast ring lookup: Arrow batches in, vectorized
     numpy per polygon-group, no per-row Python.
     """
-    bc = rings_broadcast(spark, features_pdf)
     schema = candidates.schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
