@@ -22,6 +22,7 @@ polygons are covered by the pytest oracle suite instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -270,6 +271,181 @@ def q_top1_per_group_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# geocoder queries (F1/F9/F11 cascade + full forward pipeline)
+# ---------------------------------------------------------------------------
+
+def _normalize_sql(x: str, dialect: str) -> str:
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return (
+        f"trim(regexp_replace(regexp_replace(upper({x}), '[,.]', ' '{g}), "
+        f"'\\\\s+', ' '{g}))"
+    )
+
+
+def _state_table_pdf() -> "pd.DataFrame":
+    """(idx, name, norm, abbrev) — name matches the grid fixture's NAME_1
+    (record_number = idx + 1), norm is the reference-normalized form."""
+    from .functions.text import STATE_ABBREV_UPPER
+
+    inv = {v: k for k, v in STATE_ABBREV_UPPER.items()}
+    names = FX.STATE_NAMES  # sorted title-case, same order as the grid
+    return pd.DataFrame(
+        {
+            "idx": range(len(names)),
+            "name": names,
+            "norm": [n.upper() for n in names],
+            "abbrev": [inv[n.upper()] for n in names],
+        }
+    )
+
+
+def _state_table_values(alias: str = "sn") -> str:
+    t = _state_table_pdf()
+    vals = ", ".join(
+        f"({r['idx']}, '{r['name']}', '{r['norm']}', '{r['abbrev']}')"
+        for _, r in t.iterrows()
+    )
+    return f"(VALUES {vals}) AS {alias}(idx, name, norm, abbrev)"
+
+
+# query/input mangles (identical SQL text both dialects):
+# 0 = raw title-case name, 1 = lowercased, 2 = typo (2nd char -> 'X'),
+# 3 = 2-letter abbreviation
+_MANGLE_SQL = (
+    "CASE {k} % 4 "
+    "WHEN 0 THEN {n} "
+    "WHEN 1 THEN lower({n}) "
+    "WHEN 2 THEN concat(substring({n}, 1, 1), 'X', substring({n}, 3, length({n}))) "
+    "ELSE {a} END"
+)
+
+
+def q_state_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 confidence cascade (geocoder.cpp:432-461) incl. the F9
+    positional-similarity kernel, over mangled (input, candidate) state
+    pairs; confidence integerized (floor(c * 1e9))."""
+    from .functions.text import state_confidence
+
+    ndf = spark.createDataFrame(_state_table_pdf())
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    mangle = _MANGLE_SQL.format(k="c_custkey", n="n1", a="a1")
+    pairs = (
+        cust.join(
+            F.broadcast(ndf.selectExpr("idx AS i1", "name AS n1", "abbrev AS a1")),
+            F.expr("c_custkey % 51") == F.col("i1"),
+        )
+        .join(
+            F.broadcast(ndf.selectExpr("idx AS i2", "name AS n2")),
+            F.expr("(c_custkey * 7) % 51") == F.col("i2"),
+        )
+        .select(
+            F.col("c_custkey").alias("pair_id"),
+            F.expr(mangle).alias("input_state"),
+            F.col("n2").alias("candidate_state"),
+        )
+    )
+    return pairs.select(
+        "pair_id",
+        F.floor(state_confidence("input_state", "candidate_state") * 1000000000)
+        .cast("long")
+        .alias("conf_u"),
+    )
+
+
+def q_state_confidence_oracle() -> str:
+    from .functions.text import positional_similarity_sql
+
+    mangle = _MANGLE_SQL.format(k="c_custkey", n="n1.name", a="n1.abbrev")
+    sim = positional_similarity_sql("p.ni", "p.nc", "duckdb")
+    return f"""
+        WITH raw AS (
+          SELECT c_custkey AS pair_id,
+                 {mangle} AS input_state,
+                 n2.name AS candidate_state
+          FROM customer
+          JOIN {_state_table_values('n1')} ON n1.idx = c_custkey % 51
+          JOIN {_state_table_values('n2')} ON n2.idx = (c_custkey * 7) % 51
+        ), p AS (
+          SELECT pair_id, input_state, candidate_state,
+                 {_normalize_sql('input_state', 'duckdb')} AS ni,
+                 {_normalize_sql('candidate_state', 'duckdb')} AS nc
+          FROM raw
+        )
+        SELECT p.pair_id,
+               CAST(floor(1000000000 * (
+                 CASE
+                   WHEN length(p.input_state) = 0 OR length(p.candidate_state) = 0 THEN 0.0
+                   WHEN p.input_state = p.candidate_state THEN 1.0
+                   WHEN p.ni = p.nc THEN 1.0
+                   WHEN length(p.input_state) = 2 AND ab.norm = p.nc THEN 1.0
+                   ELSE {sim}
+                 END)) AS BIGINT) AS conf_u
+        FROM p
+        LEFT JOIN {_state_table_values('ab')} ON ab.abbrev = p.ni
+    """
+
+
+def q_geocode_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full forward-geocode pipeline (J4: parse → 3-key probe → broadcast
+    equi-join → F11 score → 0.3 filter → W1 top-1) over mangled state-name
+    queries against the grid features."""
+    from .operators import geocode as GC
+
+    ndf = spark.createDataFrame(_state_table_pdf())
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    mangle = _MANGLE_SQL.format(k="c_custkey", n="name", a="abbrev")
+    queries = cust.join(
+        F.broadcast(ndf), F.expr("c_custkey % 51") == F.col("idx")
+    ).select(
+        F.col("c_custkey").alias("query_id"),
+        F.expr(mangle).alias("address"),
+    )
+    out = GC.forward_geocode(spark, queries, FX.make_grid_features())
+    return out.select(
+        "query_id",
+        F.col("record_number").cast("long").alias("record_number"),
+        F.floor(F.col("confidence") * 1000000000).cast("long").alias("conf_u"),
+        "match_type",
+    )
+
+
+def q_geocode_forward_oracle() -> str:
+    """Reference probe semantics in SQL. For these single-term queries
+    parse() leaves state='' (multi-word) or state=<abbrev> (2-letter), so
+    the search term is the raw query string either way; index keys per
+    feature = {raw name, normalized name, abbrev}; probes = {term,
+    norm(term), expand(norm(term)) if len=2}; matches here always score
+    1.0 ('exact') via the cascade (typo'd queries match no key and emit
+    no row). Top-1 by (confidence desc, record_number)."""
+    mangle = _MANGLE_SQL.format(k="c_custkey", n="n1.name", a="n1.abbrev")
+    return f"""
+        WITH queries AS (
+          SELECT c_custkey AS query_id, {mangle} AS term
+          FROM customer
+          JOIN {_state_table_values('n1')} ON n1.idx = c_custkey % 51
+        ), probes AS (
+          SELECT q.query_id, q.term,
+                 {_normalize_sql('q.term', 'duckdb')} AS norm_term,
+                 exp.norm AS expanded
+          FROM queries q
+          LEFT JOIN {_state_table_values('exp')}
+            ON length(q.term) = 2 AND exp.abbrev = {_normalize_sql('q.term', 'duckdb')}
+        ), cand AS (
+          SELECT p.query_id, sn.idx + 1 AS record_number
+          FROM probes p
+          JOIN {_state_table_values()}
+            ON p.term IN (sn.name, sn.norm, sn.abbrev)
+            OR p.norm_term IN (sn.name, sn.norm, sn.abbrev)
+            OR p.expanded IN (sn.name, sn.norm)
+        )
+        SELECT query_id, record_number::BIGINT AS record_number,
+               1000000000::BIGINT AS conf_u, 'exact' AS match_type
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY record_number) = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # relational plumbing (integerized TPC-H shapes)
 # ---------------------------------------------------------------------------
 
@@ -351,6 +527,8 @@ QUERIES = {
     "knn3": q_knn3,
     "bbox_join": q_bbox_join,
     "normalize": q_normalize,
+    "state_confidence": q_state_confidence,
+    "geocode_forward": q_geocode_forward,
     "top1_per_group": q_top1_per_group,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -364,6 +542,8 @@ ORACLES = {
     "knn3": q_knn3_oracle(),
     "bbox_join": q_bbox_join_oracle(),
     "normalize": q_normalize_oracle(),
+    "state_confidence": q_state_confidence_oracle(),
+    "geocode_forward": q_geocode_forward_oracle(),
     "top1_per_group": q_top1_per_group_oracle(),
     "pricing_summary": q_pricing_summary_oracle(),
     "top_revenue_orders": q_top_revenue_orders_oracle(),
