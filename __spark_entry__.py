@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gis_shapefile_spark import entry_queries as EQ  # noqa: E402
+from gis_shapefile_spark import entry_queries_pipeline as EQP  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(EQ.QUERIES)
+    return {**EQ.QUERIES, **EQP.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(EQ.ORACLES)
+    return {**EQ.ORACLES, **EQP.ORACLES}

@@ -1,0 +1,401 @@
+"""Driver-contract queries #2: training-data pipeline + reverse geocode.
+
+Same determinism contract as ``entry_queries.py`` (integer hashes, fixed
+IEEE expression trees, integerized floats, identical column aliases in the
+Spark plan and the DuckDB oracle). The corpus-level dedup queries run over
+``documents`` unioned with a deterministic mangled copy (doc_id + 1000000,
+first token dropped) so near-duplicate structure exists at every SF;
+``embedding_neardup`` likewise unions an exact copy of ``embeddings``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text_analysis as TA
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .sources import fixtures as FX
+
+EMB_DIM = 64
+NEARDUP_PLANES = 8
+
+# ---------------------------------------------------------------------------
+# corpora (documents + deterministic duplicates — same SQL both engines)
+# ---------------------------------------------------------------------------
+
+_COPY_TEXT = "substr(text, instr(text, ' ') + 1)"  # drop first token
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, mangle: bool) -> DataFrame:
+    """documents ∪ copy (doc_id+1000000); mangled copy drops the 1st token."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copy_text = F.expr(_COPY_TEXT) if mangle else F.col("text")
+    copy = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), copy_text.alias("text")
+    )
+    return d.unionByName(copy)
+
+
+def _dup_corpus_cte(mangle: bool) -> str:
+    text = _COPY_TEXT if mangle else "text"
+    return (
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + 1000000 AS doc_id, {text} AS text FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TA.token_count_col("text").alias("n_tokens"),
+        TA.bpe_count_col("text").alias("n_bpe"),
+    )
+
+
+def q_token_count_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               {TA.token_count_sql('text', 'duckdb')} AS n_tokens,
+               {TA.bpe_count_sql('text', 'duckdb')} AS n_bpe
+        FROM documents
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.lang_id_col("text").alias("lang_pred")
+    )
+
+
+def q_lang_id_oracle() -> str:
+    lang = TA.lang_id_sql(TA.tokens_sql("text", "duckdb"), "duckdb")
+    return f"SELECT doc_id, {lang} AS lang_pred FROM documents"
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/alpha/punct/stopword), integerized."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TA.quality_score_col("text").alias("quality_u")
+    )
+
+
+def q_quality_score_oracle() -> str:
+    return (
+        f"SELECT doc_id, {TA.quality_score_sql('text', 'duckdb')} AS quality_u "
+        "FROM documents"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-based 60-bit content fingerprint per document (explode +
+    partial-min aggregation — the 10^12-row shape)."""
+    return DD.minhash_fingerprints(_docs(spark, sf_dir), shingle_n=8)
+
+
+def q_doc_fingerprint_oracle() -> str:
+    return (
+        f"SELECT doc_id, {TA.fingerprint_sql('text', 8, 'duckdb')} AS fp "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ exact copy: doc -> canonical (min id)."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=False)
+    return DD.exact_duplicate_map(corpus).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_dedup_exact_oracle() -> str:
+    return f"""
+        WITH corpus AS ({_dup_corpus_cte(mangle=False)})
+        SELECT c.doc_id::BIGINT AS doc_id, m.canonical_id::BIGINT AS canonical_id
+        FROM corpus c
+        JOIN (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+              FROM corpus GROUP BY 1) m
+          ON md5(c.text) = m.h
+    """
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (16 perms, 4 bands x 4) candidates over documents ∪
+    mangled copy, verified with exact 3-gram Jaccard >= 0.5."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=True)
+    out = DD.near_duplicate_pairs(
+        corpus, threshold=0.5, bands=4, rows_per_band=4, shingle_n=3,
+        max_bucket=None,  # oracle parity: no bucket cap at test scale
+    )
+    return out.select(
+        F.col("id_1").cast("long").alias("id_1"),
+        F.col("id_2").cast("long").alias("id_2"),
+        "jaccard_u",
+    )
+
+
+def q_dedup_minhash_oracle() -> str:
+    toks = TA.tokens_sql("text", "duckdb")
+    sh = TA.shingles_sql(toks, 3, "duckdb")
+    hs = TA.token_hashes_sql("sh", "duckdb")
+    bands = ", ".join(
+        f"{TA.band_hash_sql('hs', b, 4, 'duckdb')} AS band{b}" for b in range(4)
+    )
+    cand_union = " UNION ".join(
+        f"SELECT a.doc_id AS id_1, b.doc_id AS id_2 FROM sig a JOIN sig b "
+        f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    return f"""
+        WITH corpus AS ({_dup_corpus_cte(mangle=True)}),
+        shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+        sig AS (SELECT doc_id, {bands} FROM (SELECT doc_id, {hs} AS hs FROM shs)),
+        cand AS ({cand_union}),
+        sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM shs),
+        scored AS (
+          SELECT c.id_1, c.id_2,
+                 CAST(floor(1000000 * (CASE WHEN len(list_distinct(list_concat(s1.ss, s2.ss))) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(s1.ss, s2.ss))) AS DOUBLE) END))
+                      AS BIGINT) AS jaccard_u
+          FROM cand c
+          JOIN sets s1 ON s1.doc_id = c.id_1
+          JOIN sets s2 ON s2.doc_id = c.id_2
+        )
+        SELECT id_1::BIGINT AS id_1, id_2::BIGINT AS id_2, jaccard_u
+        FROM scored WHERE jaccard_u >= 500000
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit token-level SimHash signature per document."""
+    return DD.simhash_table(_docs(spark, sf_dir)).select(
+        F.col("doc_id"), F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def q_dedup_simhash_oracle() -> str:
+    hs = TA.token_hashes_sql(TA.tokens_sql("text", "duckdb"), "duckdb")
+    sig = TA.simhash_sql("hs", 32, "duckdb")
+    return f"""
+        WITH h AS (SELECT doc_id, {hs} AS hs FROM documents)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM h
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_u",
+    )
+
+
+def q_ann_topk_oracle() -> str:
+    dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
+    nq = SIM.norm_u_sql("q.qv", "duckdb")
+    nc = SIM.norm_u_sql("c.embedding", "duckdb")
+    cos = SIM.cosine_u_sql(dot, nc, nq)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, c.vec_id, {cos} AS cos_u
+          FROM embeddings c CROSS JOIN q
+        )
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_u DESC, vec_id)::BIGINT AS rank,
+               vec_id::BIGINT AS vec_id, cos_u
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs (cos >= 0.95) over embeddings ∪ copy."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    out = SIM.cosine_near_duplicates(
+        corpus, threshold=0.95, dim=EMB_DIM, n_planes=NEARDUP_PLANES, use_lsh=True
+    )
+    return out.select(
+        F.col("id_1").cast("long").alias("id_1"),
+        F.col("id_2").cast("long").alias("id_2"),
+        "cos_u",
+    )
+
+
+def q_embedding_neardup_oracle() -> str:
+    planes = SIM.make_planes(EMB_DIM, NEARDUP_PLANES)
+    sig = SIM.hyperplane_signature_sql("embedding", planes, "duckdb")
+    dot = SIM.dot_u_sql("a.embedding", "b.embedding", "duckdb")
+    na = SIM.norm_u_sql("a.embedding", "duckdb")
+    nb = SIM.norm_u_sql("b.embedding", "duckdb")
+    cos = SIM.cosine_u_sql(dot, na, nb)
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+        sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM corpus),
+        pairs AS (
+          SELECT a.vec_id AS id_1, b.vec_id AS id_2, {cos} AS cos_u
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_1::BIGINT AS id_1, id_2::BIGINT AS id_2, cos_u
+        FROM pairs WHERE cos_u >= {int(0.95 * SIM.SCALE_COS)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregation (batch twin of the streaming stage)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling window x event_type: count + integerized sum(value)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+    )
+
+
+def q_events_window_oracle() -> str:
+    return """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# reverse geocode (J1 exact-PIP hits + J6 nearest-centroid fallback)
+# ---------------------------------------------------------------------------
+
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocode synthesized points against the 51-rect grid: PIP hit
+    => confidence 1.0; miss => nearest rect center (<= 100 deg), confidence
+    1 - d/100 (geocoder.cpp:260-316 semantics, integerized)."""
+    from .entry_queries import _points_df
+    from .operators import geocode as GC
+
+    pts = _points_df(spark, sf_dir).select(
+        F.col("point_id").alias("query_id"), "lng", "lat"
+    )
+    out = GC.reverse_geocode(spark, pts, FX.make_grid_features())
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("record_number").cast("long").alias("record_number"),
+        F.floor(F.col("confidence") * 1000000000).cast("long").alias("conf_u"),
+        "match_type",
+    )
+
+
+def q_reverse_geocode_oracle() -> str:
+    from .entry_queries import _grid_values_sql, _points_oracle_cte
+
+    dist = (
+        "sqrt((m.lng-(g.x0+g.x1)/2)*(m.lng-(g.x0+g.x1)/2)"
+        " + (m.lat-(g.y0+g.y1)/2)*(m.lat-(g.y0+g.y1)/2))"
+    )
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        hits AS (
+          SELECT p.point_id AS query_id, g.record_number
+          FROM pts p JOIN {_grid_values_sql()}
+            ON p.lng >= g.x0 AND p.lng < g.x1 AND p.lat >= g.y0 AND p.lat < g.y1
+        ),
+        miss AS (
+          SELECT * FROM pts p
+          WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.query_id = p.point_id)
+        ),
+        fb AS (
+          SELECT m.point_id AS query_id, g.record_number, {dist} AS dist
+          FROM miss m CROSS JOIN {_grid_values_sql()}
+          WHERE {dist} <= 100.0
+          QUALIFY row_number() OVER (PARTITION BY m.point_id
+                                     ORDER BY {dist}, g.record_number) = 1
+        )
+        SELECT query_id::BIGINT AS query_id,
+               record_number::BIGINT AS record_number,
+               1000000000::BIGINT AS conf_u, 'reverse' AS match_type
+        FROM hits
+        UNION ALL
+        SELECT query_id::BIGINT, record_number::BIGINT,
+               CAST(floor(1000000000 * (1.0 - dist / 100.0)) AS BIGINT), 'reverse'
+        FROM fb
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "events_window": q_events_window,
+    "reverse_geocode": q_reverse_geocode,
+}
+
+ORACLES = {
+    "token_count": q_token_count_oracle(),
+    "lang_id": q_lang_id_oracle(),
+    "quality_score": q_quality_score_oracle(),
+    "doc_fingerprint": q_doc_fingerprint_oracle(),
+    "dedup_exact": q_dedup_exact_oracle(),
+    "dedup_minhash": q_dedup_minhash_oracle(),
+    "dedup_simhash": q_dedup_simhash_oracle(),
+    "ann_topk": q_ann_topk_oracle(),
+    "embedding_neardup": q_embedding_neardup_oracle(),
+    "events_window": q_events_window_oracle(),
+    "reverse_geocode": q_reverse_geocode_oracle(),
+}

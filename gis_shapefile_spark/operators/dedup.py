@@ -1,0 +1,286 @@
+"""Deduplication operators for the training-data pipeline.
+
+The reference's only dedup is sort+unique of geocode candidate ids
+(``src/geocoding/geocoder.cpp:392-394``); a 100 TB corpus pipeline needs
+document-level dedup. Four families, all DataFrame-native:
+
+* exact        — md5 groupBy (one shuffle, map-side partial min);
+* MinHash+LSH  — shingle → minhash → band → bucket equi-join;
+* SimHash      — pigeonhole block tables for hamming <= k;
+* n-gram Jaccard — exact verify kernel for candidate pairs.
+
+Scale design (10^12 docs, 1000 executors):
+
+* signatures are pure JVM expressions (``functions/text_analysis.py``) —
+  they pipeline with the scan, no Python, no extra pass;
+* candidate generation is an equi-join on (band, bucket) keys — Catalyst
+  plans a shuffled hash join; hot buckets (boilerplate docs) are both
+  capped explicitly (``max_bucket``) and covered by AQE skew splitting;
+* the expensive exact-Jaccard verify runs only on candidate pairs, which
+  LSH keeps at O(duplicates), not O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text_analysis as TA
+
+
+def exact_duplicate_map(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Map every doc to the canonical (min-id) doc with byte-identical text.
+
+    Returns (id_col, canonical_id). One shuffle on the content hash;
+    the min() is computed with map-side partial aggregation.
+    """
+    h = F.md5(F.col(text_col)).alias("content_h")
+    canon = (
+        df.select(F.col(id_col), h)
+        .groupBy("content_h")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+    return (
+        df.select(F.col(id_col), h)
+        .join(canon, "content_h")
+        .select(id_col, "canonical_id")
+    )
+
+
+def minhash_values(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{num_perm-1}) MinHash signature columns.
+
+    Computed as explode(shingles) → per-shingle 60-bit hash → groupBy(id)
+    with one ``min(perm_p(h))`` per permutation. The tokenizer runs ONCE
+    per document and md5 once per shingle (a nested-lambda formulation
+    re-evaluates the tokenizer per array reference — measured 10-100×
+    slower); the shuffle moves only ``num_perm`` partial mins per doc
+    thanks to map-side partial aggregation, so this is also the shape that
+    survives 10^12 docs. Shingle-less docs get the sentinel P.
+    """
+    sh = TA.shingles_sql(TA.tokens_sql(text_col, "spark"), shingle_n, "spark")
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(F.expr(sh)).alias("_sh")
+    )
+    hashed = exploded.select(
+        F.col(id_col), F.expr(TA.hash60_sql("_sh", "spark")).alias("_h")
+    )
+    aggs = [
+        F.min(F.expr(TA.perm_hash_sql("_h", *TA.MINHASH_PERMS[p]))).alias(f"mh{p}")
+        for p in range(num_perm)
+    ]
+    out = hashed.groupBy(id_col).agg(*aggs)
+    return out.select(
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(f"mh{p}"), F.lit(TA.MINHASH_P)).alias(f"mh{p}")
+            for p in range(num_perm)
+        ],
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, LSH band).
+
+    The band bucket combines ``rows_per_band`` MinHash values; two docs
+    share a bucket in some band iff their signatures agree on that whole
+    band (the standard S-curve: P[candidate] = 1-(1-j^r)^b).
+    """
+    mh = minhash_values(df, id_col, text_col, bands * rows_per_band, shingle_n)
+
+    def band_expr(b: int) -> str:
+        out = "CAST(1 AS BIGINT)"
+        for r in range(rows_per_band):
+            out = f"((31 * {out} + mh{b * rows_per_band + r}) % 1000000007)"
+        return out
+
+    wide = mh.select(
+        F.col(id_col),
+        *[F.expr(band_expr(b)).alias(f"_b{b}") for b in range(bands)],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return wide.select(
+        F.col(id_col), F.explode(pairs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """(id, fp): MinHash(perm 0) over word ``shingle_n``-gram hashes — the
+    scale-path twin of ``functions.text_analysis.fingerprint_col``."""
+    return minhash_values(df, id_col, text_col, 1, shingle_n).select(
+        F.col(id_col), F.col("mh0").alias("fp")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_1 < id_2) from MinHash LSH.
+
+    Self-equi-join of the band table on (band, bucket). ``max_bucket``
+    drops degenerate buckets (e.g. empty-shingle docs all hash to the
+    sentinel) before the join — at corpus scale one boilerplate bucket of
+    10^7 docs would otherwise produce 10^14 pairs. AQE skew-join splitting
+    backstops the remaining moderate skew.
+    """
+    bt = minhash_band_table(df, id_col, text_col, bands, rows_per_band, shingle_n)
+    if max_bucket is not None:
+        sized = bt.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        bt = bt.join(
+            sized.where(F.col("_n") <= max_bucket).drop("_n"), ["band", "bucket"]
+        )
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact distinct-shingle Jaccard for (id_1, id_2) pairs, integerized.
+
+    Output: (id_1, id_2, jaccard_u = floor(1e6 * |A∩B| / |A∪B|)).
+    Two broadcast-able dimension joins bring in shingle sets; intersection/
+    union are JVM array ops (distinct semantics on both engines).
+    """
+    sh = TA.shingles_sql(TA.tokens_sql(text_col, "spark"), shingle_n, "spark")
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(F.expr(sh)).alias("shset")
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_1").withColumnRenamed("shset", "s1"), "id_1")
+        .join(sets.withColumnRenamed(id_col, "id_2").withColumnRenamed("shset", "s2"), "id_2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn("uni", F.size(F.array_union("s1", "s2")))
+    )
+    jac = F.when(F.col("uni") == 0, F.lit(0.0)).otherwise(
+        F.col("inter").cast("double") / F.col("uni").cast("double")
+    )
+    return out.select(
+        "id_1", "id_2", F.floor(jac * 1000000).cast("long").alias("jaccard_u")
+    )
+
+
+def near_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard >= threshold."""
+    cand = lsh_candidate_pairs(
+        docs, id_col, text_col, bands, rows_per_band, shingle_n, max_bucket
+    )
+    scored = ngram_jaccard_pairs(cand, docs, id_col, text_col, shingle_n)
+    return scored.where(F.col("jaccard_u") >= int(threshold * 1000000))
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 32
+) -> DataFrame:
+    """(id, simhash) — token-level SimHash signature per doc."""
+    return df.select(
+        F.col(id_col), TA.simhash_col(text_col, nbits).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole block scheme: split the signature into ``max_hamming + 1``
+    contiguous blocks; any pair within distance k must agree exactly on at
+    least one block, so candidates come from (block_idx, block_value)
+    equi-joins — never a cross join. Verified with exact bit_count.
+    """
+    blocks = max_hamming + 1
+    width = nbits // blocks
+    sig = simhash_table(df, id_col, text_col, nbits)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(
+                    f"(shiftright(simhash, {i * width}) & {(1 << width) - 1})"
+                ).alias("val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    bt = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    return cand.withColumn(
+        "hamming", F.expr(TA.hamming_sql("s1", "s2", "spark"))
+    ).where(F.col("hamming") <= max_hamming).select("id_1", "id_2", "hamming")

@@ -1,0 +1,237 @@
+"""Embedding similarity search (ANN) + embedding-based near-dup detection.
+
+The reference's closest notion is the kNN lookup over feature bbox centers
+(``src/spatial/spatial_index.cpp:91-121``, a brute-force scan + sort per
+query); here the same top-k pattern runs over an ``array<float>`` embedding
+column, with a hyperplane-LSH bucketed variant as the 10^12-row scale path.
+
+All kernels are JVM-side SQL expressions (``zip_with`` + ``aggregate``), no
+Python on the hot path. Cross-engine determinism for the DuckDB oracle:
+
+* per-dimension products are integerized (``floor(x_i * y_i * 1e12)``) and
+  summed as exact integers — order-independent, identical in both engines;
+* cosine = (dot_u/1e12) / (sqrt(nx_u/1e12) * sqrt(ny_u/1e12)) is a fixed
+  IEEE expression tree on identical doubles, then integerized to
+  ``cos_u = floor(cos * 1e9)`` before any ranking, so ties break on ids.
+
+Scale notes: brute-force top-k broadcasts the (small) query set and scans
+the corpus once — one shuffle (the per-query window). The LSH variant
+buckets both sides by a hyperplane sign signature, turning the cross
+product into an equi-join; recall is tunable via signature bits / probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE_DOT = 1_000_000_000_000  # 1e12: per-term integerization
+SCALE_COS = 1_000_000_000  # 1e9: final cosine integerization
+
+
+# ---------------------------------------------------------------------------
+# dual-dialect kernels (Spark expression == DuckDB oracle expression)
+# ---------------------------------------------------------------------------
+
+def dot_u_sql(a: str, b: str, dialect: str = "spark") -> str:
+    """Exact integer dot product: sum_i floor(a_i * b_i * 1e12) as BIGINT."""
+    term = (
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {SCALE_DOT}) AS BIGINT)"
+    )
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> {term}), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    term_d = (
+        f"CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"* {SCALE_DOT}) AS BIGINT)"
+    )
+    return (
+        f"CAST(coalesce(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {term_d})), 0) AS BIGINT)"
+    )
+
+
+def norm_u_sql(a: str, dialect: str = "spark") -> str:
+    return dot_u_sql(a, a, dialect)
+
+
+def cosine_u_sql(dot_u: str, n1_u: str, n2_u: str) -> str:
+    """cos_u = floor(1e9 * dot / (|x| * |y|)) from the integerized pieces.
+
+    Identical text in both dialects (sqrt/division/floor are IEEE-exact on
+    identical inputs). Zero-norm vectors score 0.
+    """
+    return (
+        f"(CASE WHEN {n1_u} <= 0 OR {n2_u} <= 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(floor({SCALE_COS} * ((CAST({dot_u} AS DOUBLE) / {SCALE_DOT}.0) / "
+        f"(sqrt(CAST({n1_u} AS DOUBLE) / {SCALE_DOT}.0) * "
+        f"sqrt(CAST({n2_u} AS DOUBLE) / {SCALE_DOT}.0)))) AS BIGINT) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.expr(norm_u_sql(vec_col, "spark")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query scored against every corpus row.
+
+    The query side is broadcast (small by construction); scoring pipelines
+    with the corpus scan; the only shuffle is the per-query top-k window.
+    Output: (query_id, rank, vec_id, cos_u), rank 1..k by (cos desc, id).
+    """
+    q = F.broadcast(
+        _with_norm(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col).alias("_qvec")
+            ),
+            "_qvec",
+            "_qn",
+        )
+    )
+    c = _with_norm(corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn")
+    scored = c.crossJoin(q).withColumn(
+        "cos_u",
+        F.expr(
+            cosine_u_sql(dot_u_sql(vec_col, "_qvec", "spark"), "_cn", "_qn")
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_u"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_u")
+    )
+
+
+def hyperplane_signature_sql(
+    vec: str, planes: np.ndarray, dialect: str = "spark"
+) -> str:
+    """Sign-of-dot LSH signature: bit p set iff dot(vec, plane_p) > 0.
+
+    ``planes`` is a (n_planes, dim) float matrix embedded as SQL literals
+    (deterministic — same constants in engine and oracle). The dot here is
+    a plain double sum with a fixed left-to-right expression order.
+    """
+    bits = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"CAST({vec}[{i if dialect == 'spark' else i + 1}] AS DOUBLE) * ({w!r})"
+            for i, w in enumerate(plane.tolist())
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST((" + " + ".join(bits) + ") AS BIGINT)"
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplanes, rounded so SQL literals are exact."""
+    rng = np.random.RandomState(seed)
+    return np.round(rng.standard_normal((n_planes, dim)), 6)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 10,
+) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucket equi-join + exact re-rank.
+
+    Both sides get a ``n_planes``-bit sign signature; candidates are rows
+    sharing the query's bucket (approximate — recall grows with fewer bits
+    or multi-probe). At 10^12 rows the bucket join replaces the cross
+    product; the window only ranks O(bucket) candidates per query.
+    """
+    planes = make_planes(dim, n_planes)
+    sig = hyperplane_signature_sql(vec_col, planes, "spark")
+    c = _with_norm(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn"
+    ).withColumn("_bucket", F.expr(sig))
+    qsig = hyperplane_signature_sql("_qvec", planes, "spark")
+    q = F.broadcast(
+        _with_norm(
+            queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+            "_qvec",
+            "_qn",
+        ).withColumn("_bucket", F.expr(qsig))
+    )
+    scored = c.join(q, "_bucket").withColumn(
+        "cos_u",
+        F.expr(
+            cosine_u_sql(dot_u_sql(vec_col, "_qvec", "spark"), "_cn", "_qn")
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_u"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_u")
+    )
+
+
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """All pairs (id_1 < id_2) with cosine >= threshold.
+
+    With ``use_lsh`` the self-join runs per LSH bucket (near-identical
+    vectors share all sign bits with high probability); without, it is the
+    exact O(n^2) verify (test/oracle path only). Output includes cos_u.
+    """
+    c = _with_norm(corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "_n")
+    if use_lsh:
+        planes = make_planes(dim, n_planes)
+        c = c.withColumn(
+            "_bucket", F.expr(hyperplane_signature_sql(vec_col, planes, "spark"))
+        )
+        join_cond = ["_bucket"]
+        a = c.alias("a")
+        b = c.select(
+            F.col("_bucket"),
+            F.col(id_col).alias("_id2"),
+            F.col(vec_col).alias("_v2"),
+            F.col("_n").alias("_n2"),
+        ).alias("b")
+        pairs = a.join(b, join_cond).where(F.col(id_col) < F.col("_id2"))
+    else:
+        b = c.select(
+            F.col(id_col).alias("_id2"),
+            F.col(vec_col).alias("_v2"),
+            F.col("_n").alias("_n2"),
+        )
+        pairs = c.crossJoin(b).where(F.col(id_col) < F.col("_id2"))
+    out = pairs.withColumn(
+        "cos_u",
+        F.expr(cosine_u_sql(dot_u_sql(vec_col, "_v2", "spark"), "_n", "_n2")),
+    )
+    return out.where(
+        F.col("cos_u") >= int(threshold * SCALE_COS)
+    ).select(
+        F.col(id_col).alias("id_1"), F.col("_id2").alias("id_2"), "cos_u"
+    )
