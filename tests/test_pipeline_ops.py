@@ -1,0 +1,201 @@
+"""Training-data pipeline operators: dedup / similarity / text analysis.
+
+Strategy mirrors SURVEY.md §5: every distributed operator is checked
+against an independent implementation — a local numpy/python oracle, or
+the engine's own single-expression twin (two code paths, same values).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.functions import text_analysis as TA
+from gis_shapefile_spark.operators import dedup as DD
+from gis_shapefile_spark.operators import similarity as SIM
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "quick brown fox jumps over the lazy dog near the river bank"),  # near-dup of 0
+    (2, "spark plans joins with catalyst and tungsten for columnar speed"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "completely different words about databases indexes and storage"),
+    (5, "tiny doc"),  # fewer tokens than any shingle window
+]
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    toks = text.lower().strip().split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _minhash(text: str, perm: int, n: int = 3) -> int:
+    a, b = TA.MINHASH_PERMS[perm]
+    hs = [(a * (_hash60(s) % TA.MINHASH_P) + b) % TA.MINHASH_P for s in _shingles(text, n)]
+    return min(hs) if hs else TA.MINHASH_P
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicate_map(spark, docs_df):
+    out = {
+        r.doc_id: r.canonical_id
+        for r in DD.exact_duplicate_map(docs_df).collect()
+    }
+    assert out[3] == 0 and out[0] == 0
+    assert all(out[i] == i for i in (1, 2, 4, 5))
+
+
+def test_minhash_values_match_python_oracle(spark, docs_df):
+    mh = DD.minhash_values(docs_df, num_perm=8, shingle_n=3).collect()
+    for r in mh:
+        text = dict(DOCS)[r.doc_id]
+        for p in range(8):
+            assert r[f"mh{p}"] == _minhash(text, p), (r.doc_id, p)
+
+
+def test_minhash_explode_path_matches_expression_path(spark, docs_df):
+    """The scale-path (explode + partial min) and the single-expression
+    column must agree — two independent code paths over the same spec."""
+    expr = docs_df.select(
+        "doc_id", TA.minhash_col("text", perm=2, shingle_n=3).alias("mh")
+    ).collect()
+    flat = {
+        r.doc_id: r.mh2
+        for r in DD.minhash_values(docs_df, num_perm=3, shingle_n=3).collect()
+    }
+    for r in expr:
+        assert flat[r.doc_id] == r.mh
+
+
+def test_near_duplicate_pairs_lsh(spark, docs_df):
+    pairs = {
+        (r.id_1, r.id_2): r.jaccard_u
+        for r in DD.near_duplicate_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1000000  # exact dup
+    assert (0, 1) in pairs and 500000 <= pairs[(0, 1)] < 1000000  # near-dup
+    assert not any(4 in p or 2 in p for p in pairs)  # dissimilar never paired
+    # jaccard value matches the python set oracle
+    s0, s1 = set(_shingles(DOCS[0][1], 3)), set(_shingles(DOCS[1][1], 3))
+    expected = int(np.floor(1e6 * len(s0 & s1) / len(s0 | s1)))
+    assert pairs[(0, 1)] == expected
+
+
+def test_lsh_max_bucket_caps_degenerate_buckets(spark):
+    # 30 copies of the same text -> one bucket of 30; cap at 10 kills it
+    pdf = pd.DataFrame(
+        {"doc_id": range(30), "text": ["same words everywhere all along"] * 30}
+    )
+    df = spark.createDataFrame(pdf)
+    assert DD.lsh_candidate_pairs(df, max_bucket=10).count() == 0
+    assert DD.lsh_candidate_pairs(df, max_bucket=None).count() == 30 * 29 // 2
+
+
+def test_simhash_pigeonhole_completeness(spark, docs_df):
+    """Every pair within hamming <= 3 must be found (block scheme is
+    complete for <= max_hamming); verified against brute force."""
+    sigs = {r.doc_id: r.simhash for r in DD.simhash_table(docs_df).collect()}
+    found = {
+        (r.id_1, r.id_2): r.hamming
+        for r in DD.simhash_near_pairs(docs_df, max_hamming=3).collect()
+    }
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                ham = bin(sigs[i] ^ sigs[j]).count("1")
+                if ham <= 3:
+                    assert found.get((i, j)) == ham
+                else:
+                    assert (i, j) not in found
+
+
+def _vecs(n: int, dim: int = 16, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal((n, dim)).astype(np.float32)
+    return pd.DataFrame({"vec_id": range(n), "embedding": [r.tolist() for r in v]})
+
+
+def test_cosine_topk_matches_numpy(spark):
+    pdf = _vecs(40)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(df, queries, k=4).collect()
+    mat = np.array([np.array(e, dtype=np.float64) for e in pdf["embedding"]])
+    # integerized cosine, exactly as the engine computes it
+    for q in range(3):
+        cos_u = []
+        for c in range(40):
+            d = int(np.sum(np.floor(mat[c] * mat[q] * SIM.SCALE_DOT)))
+            n1 = int(np.sum(np.floor(mat[c] * mat[c] * SIM.SCALE_DOT)))
+            n2 = int(np.sum(np.floor(mat[q] * mat[q] * SIM.SCALE_DOT)))
+            cu = int(
+                np.floor(
+                    SIM.SCALE_COS
+                    * ((d / SIM.SCALE_DOT) / (np.sqrt(n1 / SIM.SCALE_DOT) * np.sqrt(n2 / SIM.SCALE_DOT)))
+                )
+            )
+            cos_u.append((cu, c))
+        expect = sorted(cos_u, key=lambda t: (-t[0], t[1]))[:4]
+        got = sorted(
+            [(r.cos_u, r.vec_id) for r in out if r.query_id == q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got == expect, q
+
+
+def test_lsh_cosine_topk_finds_self(spark):
+    pdf = _vecs(60)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.lsh_cosine_topk(df, queries, k=1, dim=16).collect()
+    for r in out:
+        assert r.rank == 1 and r.vec_id == r.query_id  # self is always in-bucket
+
+
+def test_cosine_near_duplicates_copies(spark):
+    pdf = _vecs(25)
+    df = spark.createDataFrame(pdf)
+    corpus = df.unionByName(
+        df.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    pairs = SIM.cosine_near_duplicates(corpus, threshold=0.95, dim=16).collect()
+    got = {(r.id_1, r.id_2) for r in pairs}
+    assert {(i, i + 1000) for i in range(25)} <= got
+
+
+def test_lang_id_and_quality(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat sat in the house and it is warm",
+                "der hund ist nicht mit der katze und das haus",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", TA.lang_id_col("text").alias("lang")).collect()}
+    assert out == {0: "en", 1: "de", 2: "unk"}
+    q = {r.doc_id: r.q for r in df.select(
+        "doc_id", TA.quality_score_col("text").alias("q")).collect()}
+    assert q[0] > q[2]  # stopword-free junk scores lower
+    assert all(0 <= v <= 1000000 for v in q.values())
