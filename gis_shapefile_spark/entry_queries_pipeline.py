@@ -369,6 +369,32 @@ def q_reverse_geocode_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# image payload pipeline (rows-only driver check: binary codecs are not
+# SQL-expressible in DuckDB — invariants are pytest-verified instead,
+# tests/test_multimodal_tiling.py)
+# ---------------------------------------------------------------------------
+
+def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship north-rule composition over the input_hint image table:
+    cell assign -> exact PIP join vs the 51 grid features -> per-(state,
+    tile) rollup with per-row phash invariants verified in-plan."""
+    from .operators import tiling as TI
+
+    path = FX.images_parquet_path(n=2000)
+    images = spark.read.parquet(path)
+    out = TI.image_tiling_pipeline(
+        spark, images, FX.make_grid_features(), res=6
+    )
+    return out.select(
+        F.col("record_number").cast("long").alias("record_number"),
+        "cell",
+        "n_images",
+        "n_bytes",
+        "n_phash_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -384,6 +410,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "reverse_geocode": q_reverse_geocode,
+    "image_tiling": q_image_tiling,
 }
 
 ORACLES = {

@@ -1,0 +1,238 @@
+"""Raster <-> vector tiling over the image point table.
+
+The reference has no tiling at all (its only aggregate is the R-tree
+bounds fold, ``src/spatial/spatial_index.cpp:240-275``); this module is
+the engine's raster<->vector leg mandated by the north rule:
+
+* ``tile_stats``        — raster side: per-cell aggregates (counts,
+  bounds, payload bytes) — a single groupBy with map-side partial agg;
+* ``rasterize_points``  — vector->raster: per-tile density grids
+  (``applyInPandas`` per cell, numpy 2-D histogram, zlib-packed);
+* ``rasterize_polygons``— vector->raster for the feature table: per-tile
+  coverage masks from the exact ray-cast kernel on pixel centers;
+* ``image_tiling_pipeline`` — the flagship composition: cell assign ->
+  PIP join -> per-(state, tile) stats + invariant verify.
+
+Scale notes: every stage keys by the packed cell id, so the shuffle is a
+single hash partitioning on cell; the planted urban hot cell (FIXTURES.md)
+is handled by AQE skew splitting plus the PIP join's explicit salting.
+Tile payloads are bounded (tile_px^2 * 4 bytes before compression), so a
+1000-executor run is memory-safe regardless of points-per-cell skew —
+the histogram is accumulated streaming per Arrow batch, never a
+collect of raw points.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geometry as G
+
+
+def assign_cells(
+    points: DataFrame, res: int, lng_col: str = "lng", lat_col: str = "lat"
+) -> DataFrame:
+    """Append the packed quadkey ``cell`` column (pure JVM bit math)."""
+    return points.withColumn("cell", C.cell_col(lng_col, lat_col, res))
+
+
+def tile_stats(
+    points: DataFrame,
+    res: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    extra_aggs: list | None = None,
+) -> DataFrame:
+    """Per-cell tile statistics: count + exact point bounds (+ caller aggs).
+
+    One shuffle; min/max/count all combine map-side so the exchange moves
+    one row per (partition, cell).
+    """
+    return (
+        assign_cells(points, res, lng_col, lat_col)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(lng_col).alias("minx"),
+            F.max(lng_col).alias("maxx"),
+            F.min(lat_col).alias("miny"),
+            F.max(lat_col).alias("maxy"),
+            *(extra_aggs or []),
+        )
+    )
+
+
+def rasterize_points(
+    points: DataFrame,
+    res: int,
+    tile_px: int = 32,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Vector->raster: per-cell ``tile_px x tile_px`` density grid.
+
+    applyInPandas per cell: histogram point positions inside the cell's
+    extent onto the pixel grid (uint32), zlib-pack row-major bytes.
+    Output: (cell, n_points, tile_w, tile_h, density: binary).
+    """
+    schema = "cell long, n_points long, tile_w int, tile_h int, density binary"
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        minx, miny, maxx, maxy = (
+            float(v[0]) for v in C.cell_bounds(np.asarray([cell]))
+        )
+        xs = pdf[lng_col].to_numpy(np.float64)
+        ys = pdf[lat_col].to_numpy(np.float64)
+        xi = np.clip(
+            ((xs - minx) / (maxx - minx) * tile_px).astype(np.int64), 0, tile_px - 1
+        )
+        yi = np.clip(
+            ((ys - miny) / (maxy - miny) * tile_px).astype(np.int64), 0, tile_px - 1
+        )
+        grid = np.zeros((tile_px, tile_px), dtype=np.uint32)
+        np.add.at(grid, (yi, xi), 1)
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "n_points": [len(pdf)],
+                "tile_w": [tile_px],
+                "tile_h": [tile_px],
+                "density": [zlib.compress(grid.tobytes(), 1)],
+            }
+        )
+
+    return (
+        assign_cells(points, res, lng_col, lat_col)
+        .groupBy("cell")
+        .applyInPandas(fn, schema)
+    )
+
+
+def rasterize_polygons(
+    spark: SparkSession,
+    features_pdf: pd.DataFrame,
+    res: int,
+    tile_px: int = 32,
+    max_cells_per_feature: int = 512,
+) -> DataFrame:
+    """Vector->raster for polygons: per-(cell, feature) coverage masks.
+
+    For every covering cell of every polygon, test the ``tile_px^2`` pixel
+    centers with the exact ray-cast kernel (``functions/geometry.py``,
+    mirrors geometry.cpp:82-119 incl. holes) and emit a packed bitmask.
+    Runs distributed over an exploded (feature, cell) task table so a
+    continent-sized polygon parallelizes across executors.
+    Output: (cell, record_number, coverage_px, mask: binary).
+    """
+    feats = features_pdf[features_pdf["shape_type"] == 5]
+    tasks = []
+    for _, r in feats.iterrows():
+        cov = C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], res)
+        if len(cov) > max_cells_per_feature:
+            raise ValueError(
+                f"feature {r['record_number']} covers {len(cov)} cells at res "
+                f"{res}; lower res (resolution_for_bbox) or raise the cap"
+            )
+        for cell in cov:
+            tasks.append(
+                (
+                    int(cell),
+                    int(r["record_number"]),
+                    list(map(float, r["xs"])),
+                    list(map(float, r["ys"])),
+                    [int(s) for s in r["ring_sizes"]],
+                )
+            )
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame(
+            tasks, columns=["cell", "record_number", "xs", "ys", "ring_sizes"]
+        )
+    ).repartition("cell")
+
+    schema = "cell long, record_number long, coverage_px long, mask binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, t in pdf.iterrows():
+                minx, miny, maxx, maxy = (
+                    float(v[0]) for v in C.cell_bounds(np.asarray([t["cell"]]))
+                )
+                px = (np.arange(tile_px) + 0.5) / tile_px * (maxx - minx) + minx
+                py = (np.arange(tile_px) + 0.5) / tile_px * (maxy - miny) + miny
+                gx, gy = np.meshgrid(px, py)
+                sizes = [int(s) for s in t["ring_sizes"]]
+                offs = np.cumsum([0] + sizes)
+                xs_all = np.asarray(t["xs"], dtype=np.float64)
+                ys_all = np.asarray(t["ys"], dtype=np.float64)
+                rings_x = [xs_all[offs[i]: offs[i + 1]] for i in range(len(sizes))]
+                rings_y = [ys_all[offs[i]: offs[i + 1]] for i in range(len(sizes))]
+                inside = G.polygon_contains_points(
+                    rings_x, rings_y, gx.ravel(), gy.ravel()
+                ).reshape(tile_px, tile_px)
+                rows.append(
+                    (
+                        int(t["cell"]),
+                        int(t["record_number"]),
+                        int(inside.sum()),
+                        zlib.compress(np.packbits(inside).tobytes(), 1),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["cell", "record_number", "coverage_px", "mask"]
+                )
+
+    return tasks_df.mapInPandas(fn, schema)
+
+
+def image_tiling_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    features_pdf: pd.DataFrame,
+    res: int = 8,
+    verify: bool = True,
+) -> DataFrame:
+    """Flagship composition over the input_hint table: assign cells ->
+    exact PIP join to features -> per-(state, cell) tile rollup, with the
+    per-row payload invariants verified in the same plan.
+
+    Output: (record_number, cell, n_images, n_bytes, n_phash_ok).
+    """
+    from . import multimodal as MM
+    from . import spatial_join as SJ
+
+    pts = images.select(
+        "image_id", "bytes", "phash", "lng", "lat"
+    )
+    joined = SJ.point_in_polygon_join(
+        spark,
+        pts.select(F.col("image_id").alias("point_id"), "lng", "lat"),
+        features_pdf,
+        res=res,
+        point_id_col="point_id",
+    ).select(F.col("point_id").alias("image_id"), "record_number")
+
+    enriched = assign_cells(pts, res).join(joined, "image_id", "left")
+    if verify:
+        inv = MM.verify_invariants(images.select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        ))
+        enriched = enriched.join(inv.select("image_id", "phash_ok"), "image_id")
+        phash_agg = F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok")
+    else:
+        phash_agg = F.lit(None).cast("long").alias("n_phash_ok")
+
+    return enriched.groupBy("record_number", "cell").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.length("bytes")).alias("n_bytes"),
+        phash_agg,
+    )

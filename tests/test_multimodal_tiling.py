@@ -1,0 +1,167 @@
+"""Image payload (multimodal) stages + raster<->vector tiling.
+
+Covers the input_hint invariants (decoded-pixel allclose / PSNR >= 40 dB
+for the lossy codec, byte-exact caption, phash recompute equality) and the
+tile materialization oracles (numpy histogram / area-fraction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.functions import cells as C
+from gis_shapefile_spark.operators import multimodal as MM
+from gis_shapefile_spark.operators import tiling as TI
+from gis_shapefile_spark.sources import fixtures as FX
+
+N_IMG = 120
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    return FX.make_images(N_IMG, w=16, h=16)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, images_pdf):
+    return spark.createDataFrame(images_pdf)
+
+
+def test_codec_invariants_at_generation():
+    """decoded-pixel invariant vs the pre-encode originals (input_hint)."""
+    rng = np.random.default_rng(7)
+    for fmt in ("raw", "qz"):
+        pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        dec = FX.decode_image(FX.encode_image(pix, fmt), 16, 16, fmt)
+        if fmt == "raw":
+            assert np.array_equal(dec, pix)
+        else:
+            assert FX.psnr(pix, dec) >= 40.0
+    with pytest.raises(NotImplementedError):
+        FX.encode_image(pix, "jpeg")  # real codecs are a stubbed seam
+
+
+def test_decode_stats_matches_numpy(spark, images_df, images_pdf):
+    out = {r.image_id: r for r in MM.decode_stats(images_df).collect()}
+    assert len(out) == N_IMG
+    for _, r in images_pdf.head(10).iterrows():
+        pix = FX.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        got = out[r["image_id"]]
+        assert got.phash_ok and got.phash_rec == r["phash"]
+        assert got.mean_r == int(np.floor(pix[:, :, 0].mean() * 1e6))
+
+
+def test_verify_invariants_stage(spark, images_df, images_pdf):
+    out = MM.verify_invariants(images_df).collect()
+    assert len(out) == N_IMG
+    assert all(r.phash_ok for r in out)
+    assert all(r.psnr_ok for r in out)
+    caps = {r["image_id"]: r["caption"] for _, r in images_pdf.iterrows()}
+    for r in out:
+        assert r.caption_sha == hashlib.sha256(
+            caps[r.image_id].encode()
+        ).hexdigest()[:16]
+
+
+def test_resize_preserves_schema_and_caption(spark, images_df, images_pdf):
+    small = MM.resize_images(images_df, 8, 8)
+    rows = {r.image_id: r for r in small.collect()}
+    assert [f.name for f in small.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    caps = {r["image_id"]: r["caption"] for _, r in images_pdf.iterrows()}
+    for iid, r in rows.items():
+        assert (r.w, r.h) == (8, 8)
+        assert r.caption == caps[iid]  # byte-exact passthrough
+        pix = FX.decode_image(r.bytes, 8, 8, r.fmt)
+        assert pix.shape == (8, 8, 3)
+        assert FX.phash64(pix) == r.phash  # phash carried = recomputable
+
+
+def test_extract_features_deterministic_unit_norm(spark, images_df):
+    a = {r.image_id: r.embedding for r in MM.extract_features(images_df).collect()}
+    b = {r.image_id: r.embedding for r in MM.extract_features(images_df).collect()}
+    assert a == b
+    for v in a.values():
+        assert len(v) == 16
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_rasterize_points_histogram_oracle(spark, images_df, images_pdf):
+    res = 4
+    out = {r.cell: r for r in TI.rasterize_points(images_df, res, tile_px=8).collect()}
+    # python oracle: same cell assignment + histogram
+    cells = C.cell_of_numpy(images_pdf["lng"].values, images_pdf["lat"].values, res)
+    assert sum(r.n_points for r in out.values()) == N_IMG
+    for cell in set(cells[:40].tolist()):
+        mask = cells == cell
+        minx, miny, maxx, maxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+        xi = np.clip(((images_pdf["lng"].values[mask] - minx) / (maxx - minx) * 8).astype(int), 0, 7)
+        yi = np.clip(((images_pdf["lat"].values[mask] - miny) / (maxy - miny) * 8).astype(int), 0, 7)
+        grid = np.zeros((8, 8), dtype=np.uint32)
+        np.add.at(grid, (yi, xi), 1)
+        got = np.frombuffer(
+            zlib.decompress(out[cell].density), dtype=np.uint32
+        ).reshape(8, 8)
+        assert np.array_equal(got, grid)
+        assert out[cell].n_points == int(mask.sum())
+
+
+def test_rasterize_polygons_area_fraction(spark):
+    res = 6
+    grid = FX.make_grid_features().head(4)
+    px = 32
+    out = TI.rasterize_polygons(spark, grid, res, tile_px=px).toPandas()
+    assert (out["coverage_px"] <= px * px).all()
+    # per-feature total coverage approximates the rect's area (pixel-center
+    # sampling => boundary error ~ half a pixel along the perimeter)
+    for _, feat in grid.iterrows():
+        mine = out[out["record_number"] == feat["record_number"]]
+        cell_area = (360.0 / (1 << res)) * (180.0 / (1 << res))
+        rect_area = (feat["maxx"] - feat["minx"]) * (feat["maxy"] - feat["miny"])
+        covered = mine["coverage_px"].sum() / (px * px) * cell_area
+        assert covered == pytest.approx(rect_area, rel=0.10)
+        # masks unpack to the counted bits
+        m = mine.iloc[0]
+        bits = np.unpackbits(
+            np.frombuffer(zlib.decompress(m["mask"]), dtype=np.uint8)
+        )[: px * px]
+        assert int(bits.sum()) == m["coverage_px"]
+
+
+def test_image_tiling_pipeline_counts(spark, images_df, images_pdf):
+    res = 6
+    out = TI.image_tiling_pipeline(
+        spark, images_df, FX.make_grid_features(), res=res
+    ).toPandas()
+    assert out["n_images"].sum() == N_IMG
+    assert (out["n_phash_ok"] == out["n_images"]).all()  # invariant holds
+    # python oracle: half-open box assignment x cell id
+    g = FX.make_grid_features()
+    recs = np.full(N_IMG, -1, dtype=np.int64)
+    for _, feat in g.iterrows():
+        hit = (
+            (images_pdf["lng"].values >= feat["minx"])
+            & (images_pdf["lng"].values < feat["maxx"])
+            & (images_pdf["lat"].values >= feat["miny"])
+            & (images_pdf["lat"].values < feat["maxy"])
+        )
+        recs[hit] = feat["record_number"]
+    cells = C.cell_of_numpy(images_pdf["lng"].values, images_pdf["lat"].values, res)
+    import collections
+
+    oracle = collections.Counter(
+        (int(r) if r > 0 else None, int(c)) for r, c in zip(recs, cells)
+    )
+    # note: iterrows() would coerce the row to float64 and destroy the
+    # 58-bit cell id's low bits — iterate columns instead
+    got = {
+        (None if rec is None or (isinstance(rec, float) and np.isnan(rec)) else int(rec), int(cell)): int(n)
+        for rec, cell, n in zip(out["record_number"], out["cell"], out["n_images"])
+    }
+    assert got == dict(oracle)
