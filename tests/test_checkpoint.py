@@ -1,0 +1,129 @@
+"""Checkpoint/lineage layer: atomic commits, resume, lineage metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _pipeline(spark, ck: CheckpointTable, calls: list, n: int = 100):
+    s1 = ck.stage(
+        "numbers", f"n={n}",
+        lambda: (calls.append("numbers"), spark.range(n).withColumn(
+            "v", F.col("id") * 2))[1],
+    )
+    s2 = ck.stage(
+        "evens", f"n={n}",
+        lambda: (calls.append("evens"), s1.where(F.col("id") % 2 == 0))[1],
+    )
+    s3 = ck.stage(
+        "total", f"n={n}",
+        lambda: (calls.append("total"), s2.agg(F.sum("v").alias("t")))[1],
+    )
+    return s3
+
+
+def test_run_then_resume_skips_completed_stages(spark, root):
+    calls: list = []
+    out1 = _pipeline(spark, CheckpointTable(spark, root), calls).collect()
+    assert calls == ["numbers", "evens", "total"]
+
+    # "restart": fresh table object over the same root — nothing recomputes
+    calls2: list = []
+    out2 = _pipeline(spark, CheckpointTable(spark, root), calls2).collect()
+    assert calls2 == []
+    assert out1 == out2
+
+
+def test_mid_pipeline_kill_and_resume(spark, root):
+    """Run stages 1-2, 'die', restart the full pipeline: only stage 3 runs
+    and the final output matches an uninterrupted run."""
+    calls: list = []
+    ck = CheckpointTable(spark, root)
+    s1 = ck.stage("numbers", "n=100", lambda: (calls.append("numbers"),
+                  spark.range(100).withColumn("v", F.col("id") * 2))[1])
+    ck.stage("evens", "n=100", lambda: (calls.append("evens"),
+             s1.where(F.col("id") % 2 == 0))[1])
+    assert calls == ["numbers", "evens"]
+
+    calls2: list = []
+    out = _pipeline(spark, CheckpointTable(spark, root), calls2).collect()
+    assert calls2 == ["total"]
+    assert out[0]["t"] == sum(2 * i for i in range(100) if i % 2 == 0)
+
+
+def test_fingerprint_change_invalidates_stage(spark, root):
+    calls: list = []
+    _pipeline(spark, CheckpointTable(spark, root), calls, n=100)
+    calls2: list = []
+    out = _pipeline(spark, CheckpointTable(spark, root), calls2, n=50).collect()
+    assert calls2 == ["numbers", "evens", "total"]  # new inputs => rerun
+    assert out[0]["t"] == sum(2 * i for i in range(50) if i % 2 == 0)
+
+
+def test_manifest_commits_are_versioned_and_atomic(spark, root):
+    ck = CheckpointTable(spark, root)
+    calls: list = []
+    _pipeline(spark, ck, calls)
+    m = ck.manifest()
+    assert m["version"] == 3
+    assert set(m["stages"]) == {"numbers", "evens", "total"}
+    for st in m["stages"].values():
+        assert st["rows"] >= 1 and st["bytes"] > 0
+        assert sum(st["partitions"].values()) == st["rows"]  # lineage adds up
+    # every committed manifest on disk is complete, valid JSON
+    mdir = os.path.join(root, "_manifests")
+    for fn in os.listdir(mdir):
+        assert fn.startswith("v")
+        with open(os.path.join(mdir, fn)) as f:
+            json.load(f)
+
+
+def test_checkpointed_image_tiling_resumes(spark, root):
+    from gis_shapefile_spark.plans.pipelines import checkpointed_image_tiling
+    from gis_shapefile_spark.sources import fixtures as FX
+
+    path = FX.images_parquet_path(n=300)
+    tiles1, ck1 = checkpointed_image_tiling(
+        spark, path, FX.make_grid_features(), root, res=6
+    )
+    total1 = tiles1.agg(F.sum("n_images")).collect()[0][0]
+    assert total1 == 300
+    v1 = ck1.manifest()["version"]
+    assert v1 == 3
+
+    # restart: same inputs -> zero new manifest versions, same output
+    tiles2, ck2 = checkpointed_image_tiling(
+        spark, path, FX.make_grid_features(), root, res=6
+    )
+    assert ck2.manifest()["version"] == v1  # nothing recomputed
+    assert sorted(map(tuple, tiles2.collect()), key=str) == sorted(
+        map(tuple, tiles1.collect()), key=str
+    )
+
+    # resolution change invalidates all chained stages
+    _, ck3 = checkpointed_image_tiling(
+        spark, path, FX.make_grid_features(), root, res=7
+    )
+    assert ck3.manifest()["version"] == v1 + 3
+
+
+def test_lineage_table(spark, root):
+    ck = CheckpointTable(spark, root)
+    calls: list = []
+    _pipeline(spark, ck, calls)
+    rows = {r.stage: r for r in ck.lineage().collect()}
+    assert rows["numbers"].rows == 100
+    assert rows["evens"].rows == 50
+    assert rows["total"].rows == 1
+    assert all(r.bytes > 0 and r.n_partitions >= 1 for r in rows.values())
