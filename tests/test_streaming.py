@@ -1,0 +1,68 @@
+"""Structured Streaming: windowed aggregation + stateful op parity with
+the batch twins, replayed across multiple micro-batches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.streaming import events as EV
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The events table split into 4 files => 4 micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream") / "events")
+    spark.read.parquet(SRC).repartition(4).write.parquet(d)
+    return d
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = EV.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    win = EV.windowed_event_counts(stream)
+    EV.run_to_memory(
+        win, "win_test", str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = {
+        (r.hour_epoch, r.event_type): (r.n_events, r.sum_value_c)
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("s"),
+        )
+    )
+    exp = {(r.hour_epoch, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == exp
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    stream = EV.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    tot = EV.running_user_totals(stream)
+    EV.run_to_memory(tot, "tot_test", str(tmp_path / "ckpt2"), output_mode="update")
+    # memory sink accumulates one row per (user, micro-batch); the running
+    # totals are monotone, so the max per user is the final state
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(sum_value_c) AS s "
+        "FROM tot_test GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, r.s) for r in rows}
+
+    pdf = spark.read.parquet(events_dir).toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        assert got[int(uid)] == (
+            len(grp),
+            int(np.floor(grp["value"].values * 100).sum()),
+        )
+    # multiple micro-batches actually happened (rows > distinct users)
+    n_rows = spark.sql("SELECT count(*) c FROM tot_test").collect()[0].c
+    assert n_rows > len(got)
