@@ -163,6 +163,35 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
         )
     ))
 
+    # training-data pipeline leg: MinHash-LSH near-dup over documents + a
+    # mangled copy (the driver-contract corpus), brute-force ANN top-k
+    from gis_shapefile_spark.operators import dedup as DD
+    from gis_shapefile_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    timed("dedup_minhash", lambda: DD.near_duplicate_pairs(corpus, threshold=0.5),
+          reps=2)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_topk", lambda: SIM.cosine_topk(emb, q, k=10), reps=2)
+
+    # image payload leg: input_hint table -> cells -> PIP join -> tile
+    # rollup with in-plan phash invariant verification
+    from gis_shapefile_spark.operators import tiling as TI
+
+    images = spark.read.parquet(FX.images_parquet_path(n=20000))
+    timed("image_tiling", lambda: TI.image_tiling_pipeline(
+        spark, images, FX.make_grid_features(), res=8), reps=2)
+
     return {"timings": timings, "counts": counts}
 
 

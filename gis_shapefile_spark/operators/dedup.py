@@ -148,30 +148,30 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_1 < id_2) from MinHash LSH.
 
-    Self-equi-join of the band table on (band, bucket). ``max_bucket``
-    drops degenerate buckets (e.g. empty-shingle docs all hash to the
-    sentinel) before the join — at corpus scale one boilerplate bucket of
-    10^7 docs would otherwise produce 10^14 pairs. AQE skew-join splitting
-    backstops the remaining moderate skew.
+    Bucket-collect formulation: group the band table by (band, bucket),
+    collect member ids, expand pairs with an array expression. One
+    aggregation + one shuffle — a self-equi-join would recompute the whole
+    signature pipeline for both sides. ``max_bucket`` drops degenerate
+    buckets (e.g. boilerplate docs) before expansion — at corpus scale one
+    bucket of 10^7 docs would otherwise produce 10^14 pairs; the cap also
+    bounds the collected array (memory-safe per group).
     """
     bt = minhash_band_table(df, id_col, text_col, bands, rows_per_band, shingle_n)
+    grouped = (
+        bt.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     if max_bucket is not None:
-        sized = bt.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        bt = bt.join(
-            sized.where(F.col("_n") <= max_bucket).drop("_n"), ["band", "bucket"]
-        )
-    a = bt.alias("a")
-    b = bt.alias("b")
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) AS id_1, greatest(x, y) AS id_2))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
-        )
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_1", "p.id_2")
         .dropDuplicates(["id_1", "id_2"])
     )
 
@@ -265,20 +265,23 @@ def simhash_near_pairs(
     bt = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("bb")
     ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
-    a, b = bt.alias("a"), bt.alias("b")
+    # bucket-collect + in-expression pair expansion (see lsh_candidate_pairs)
+    grouped = (
+        bt.groupBy("blk", "val")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> struct("
+        "least(x.id, y.id) AS id_1, greatest(x.id, y.id) AS id_2, "
+        "x.simhash AS s1, y.simhash AS s2))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
-        )
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_1", "p.id_2", "p.s1", "p.s2")
         .dropDuplicates(["id_1", "id_2"])
     )
     return cand.withColumn(

@@ -48,6 +48,37 @@ def _decode_batch(pdf: pd.DataFrame) -> list[np.ndarray]:
     return out
 
 
+def _decode_stacks(
+    pdf: pd.DataFrame,
+) -> Iterator[tuple[np.ndarray, str, np.ndarray]]:
+    """Decode an Arrow batch into uniform (w, h, fmt) pixel stacks.
+
+    Yields (row_positions, fmt, (n, h, w, 3) uint8 stack) — the per-image
+    zlib inflate is the only per-row work; everything downstream (phash,
+    stats, PSNR) vectorizes over the stack. Unknown ``fmt`` raises
+    NotImplementedError (real-codec seam).
+    """
+    import zlib
+
+    groups: dict[tuple, list[int]] = {}
+    for pos, key in enumerate(zip(pdf["w"], pdf["h"], pdf["fmt"])):
+        groups.setdefault(key, []).append(pos)
+    byts = pdf["bytes"].values
+    for (w, h, fmt), poss in groups.items():
+        w, h, fmt = int(w), int(h), str(fmt)
+        raws = [
+            np.frombuffer(zlib.decompress(byts[p]), dtype=np.uint8) for p in poss
+        ]
+        stack = np.stack(raws).reshape(len(poss), h, w, 3)
+        if fmt == "qz":
+            stack = (stack.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+        elif fmt != "raw":
+            raise NotImplementedError(
+                f"codec {fmt!r} not available in this sandbox"
+            )
+        yield np.asarray(poss), fmt, stack
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode + per-image channel stats and recomputed phash.
 
@@ -62,9 +93,11 @@ def decode_stats(images: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pix = _decode_batch(pdf)
-            means = np.array([p.reshape(-1, 3).mean(axis=0) for p in pix])
-            ph = np.array([FX.phash64(p) for p in pix], dtype=np.int64)
+            means = np.zeros((len(pdf), 3))
+            ph = np.zeros(len(pdf), dtype=np.int64)
+            for poss, _fmt, stack in _decode_stacks(pdf):
+                means[poss] = stack.reshape(len(poss), -1, 3).mean(axis=1)
+                ph[poss] = FX.phash64_batch(stack)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].values,
@@ -90,25 +123,21 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             rows = []
-            for (_, r), pix in zip(pdf.iterrows(), _decode_batch(pdf)):
+            for iid, cap, h, w, fmt, pix in zip(
+                pdf["image_id"], pdf["caption"], pdf["h"], pdf["w"],
+                pdf["fmt"], _decode_batch(pdf),
+            ):
                 # nearest-pixel sample grid: deterministic for any ratio
-                yi = (np.arange(out_h) * r["h"] // out_h).astype(np.int64)
-                xi = (np.arange(out_w) * r["w"] // out_w).astype(np.int64)
+                yi = (np.arange(out_h) * int(h) // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * int(w) // out_w).astype(np.int64)
                 small = pix[yi][:, xi]
-                fmt = str(r["fmt"])
+                fmt = str(fmt)
                 dec = FX.decode_image(
                     FX.encode_image(small, fmt), out_w, out_h, fmt
                 )
                 rows.append(
-                    (
-                        r["image_id"],
-                        FX.encode_image(small, fmt),
-                        out_w,
-                        out_h,
-                        fmt,
-                        r["caption"],
-                        FX.phash64(dec),
-                    )
+                    (iid, FX.encode_image(small, fmt), out_w, out_h, fmt,
+                     cap, FX.phash64(dec))
                 )
             yield pd.DataFrame(
                 rows,
@@ -133,16 +162,17 @@ def extract_features(images: DataFrame, grid: int = 4) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            embs = []
-            for pix in _decode_batch(pdf):
-                luma = pix.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                h, w = luma.shape
+            embs = np.zeros((len(pdf), grid * grid), dtype=np.float32)
+            for poss, _fmt, stack in _decode_stacks(pdf):
+                ng, h, w, _ = stack.shape
+                luma = stack.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 bh, bw = max(h // grid, 1), max(w // grid, 1)
-                small = luma[: bh * grid, : bw * grid].reshape(
-                    grid, bh, grid, bw
-                ).mean(axis=(1, 3)).ravel()
-                n = np.linalg.norm(small)
-                embs.append((small / n if n > 0 else small).astype(np.float32))
+                small = luma[:, : bh * grid, : bw * grid].reshape(
+                    ng, grid, bh, grid, bw
+                ).mean(axis=(2, 4)).reshape(ng, -1)
+                norms = np.linalg.norm(small, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                embs[poss] = (small / norms).astype(np.float32)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].values,
@@ -180,29 +210,40 @@ def verify_invariants(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            phash_ok, psnr_u, psnr_ok, cap_sha = [], [], [], []
-            for (_, r), pix in zip(pdf.iterrows(), _decode_batch(pdf)):
-                phash_ok.append(FX.phash64(pix) == int(r["phash"]))
+            n = len(pdf)
+            phash_ok = np.zeros(n, dtype=bool)
+            psnr_u = np.full(n, 10**9, dtype=np.int64)
+            psnr_ok = np.ones(n, dtype=bool)
+            carried = pdf["phash"].values.astype(np.int64)
+            for poss, fmt, stack in _decode_stacks(pdf):
+                phash_ok[poss] = FX.phash64_batch(stack) == carried[poss]
                 if reencode:
-                    rt = FX.decode_image(
-                        FX.encode_image(pix, str(r["fmt"])),
-                        int(r["w"]), int(r["h"]), str(r["fmt"]),
-                    )
-                    p = FX.psnr(pix, rt)
-                else:
-                    p = float("inf")
-                psnr_u.append(
-                    10**9 if np.isinf(p) else int(np.floor(p * 1000))
-                )
-                psnr_ok.append(p >= min_psnr)
-                cap_sha.append(
-                    hashlib.sha256(str(r["caption"]).encode()).hexdigest()[:16]
-                )
+                    # re-encode + re-decode, vectorized over the stack (the
+                    # zlib wrapper is lossless, so the roundtrip transform
+                    # is exactly the codec's pixel map)
+                    if fmt == "qz":
+                        rt = ((stack >> 2).astype(np.uint16) * 4 + 2).clip(
+                            0, 255
+                        ).astype(np.uint8)
+                    else:
+                        rt = stack
+                    err = (
+                        (stack.astype(np.float64) - rt.astype(np.float64)) ** 2
+                    ).mean(axis=(1, 2, 3))
+                    finite = err > 0
+                    p = np.full(len(poss), np.inf)
+                    p[finite] = 10.0 * np.log10(255.0**2 / err[finite])
+                    psnr_u[poss[finite]] = np.floor(p[finite] * 1000).astype(np.int64)
+                    psnr_ok[poss] = p >= min_psnr
+            cap_sha = [
+                hashlib.sha256(str(c).encode()).hexdigest()[:16]
+                for c in pdf["caption"].values
+            ]
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].values,
                     "phash_ok": phash_ok,
-                    "psnr_u": np.asarray(psnr_u, dtype=np.int64),
+                    "psnr_u": psnr_u,
                     "psnr_ok": psnr_ok,
                     "caption_sha": cap_sha,
                 }

@@ -195,16 +195,26 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit average hash over an 8x8 luma downsample (deterministic)."""
-    h, w, _ = pixels.shape
-    luma = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    # integer block-mean downsample to 8x8
+    return int(phash64_batch(pixels[None, ...])[0])
+
+
+def phash64_batch(pix: np.ndarray) -> np.ndarray:
+    """Vectorized phash for a (n, h, w, 3) uint8 stack -> int64[n].
+
+    Bit order matches the scalar definition: bit i of the 8x8 mean-mask
+    (row-major) is bit (63 - i) of the value; int64 is the two's-complement
+    view of the packed uint64.
+    """
+    n, h, w, _ = pix.shape
+    luma = pix.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     bh, bw = max(h // 8, 1), max(w // 8, 1)
-    small = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (small > small.mean()).ravel()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement int64
+    small = luma[:, : bh * 8, : bw * 8].reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+    bits = small > small.mean(axis=(1, 2), keepdims=True)
+    packed = np.packbits(bits.reshape(n, 64), axis=1)  # (n, 8), MSB-first
+    v = np.zeros(n, dtype=np.uint64)
+    for i in range(8):
+        v = (v << np.uint64(8)) | packed[:, i].astype(np.uint64)
+    return v.view(np.int64)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
