@@ -33,14 +33,40 @@ from .sources import fixtures as FX
 # deterministic point/box synthesis (same SQL text runs in Spark and DuckDB)
 # ---------------------------------------------------------------------------
 
-# lng in [-125, -66), lat in [24, 50) — the fixture CANVAS
-POINT_LNG_SQL = "(-125.0 + ((c_custkey * 2654435761) % 59000000) / 1000000.0)"
-POINT_LAT_SQL = "(24.0 + ((c_custkey * 40503) % 26000000) / 1000000.0)"
+# lng in [-125, -66), lat in [24, 50) — the fixture CANVAS.
+# Every term is CAST to DOUBLE explicitly: Spark parses bare decimal
+# literals as DECIMAL (exact decimal arithmetic + one rounded cast) while
+# DuckDB's `/` yields DOUBLE — without the casts the two engines round
+# differently by 1 ulp, which floor(coord * 1e6)-style oracles expose.
+def _dbl(expr: str) -> str:
+    return f"CAST({expr} AS DOUBLE)"
 
-BOX_X0_SQL = "(-125.0 + ((o_orderkey * 48271) % 54000000) / 1000000.0)"
-BOX_Y0_SQL = "(24.0 + ((o_orderkey * 16807) % 21000000) / 1000000.0)"
-BOX_W_SQL = "(0.5 + ((o_orderkey * 69621) % 8000000) / 1000000.0)"
-BOX_H_SQL = "(0.3 + ((o_orderkey * 75571) % 5000000) / 1000000.0)"
+
+POINT_LNG_SQL = (
+    f"({_dbl('-125.0')} + {_dbl('(c_custkey * 2654435761) % 59000000')}"
+    f" / {_dbl('1000000')})"
+)
+POINT_LAT_SQL = (
+    f"({_dbl('24.0')} + {_dbl('(c_custkey * 40503) % 26000000')}"
+    f" / {_dbl('1000000')})"
+)
+
+BOX_X0_SQL = (
+    f"({_dbl('-125.0')} + {_dbl('(o_orderkey * 48271) % 54000000')}"
+    f" / {_dbl('1000000')})"
+)
+BOX_Y0_SQL = (
+    f"({_dbl('24.0')} + {_dbl('(o_orderkey * 16807) % 21000000')}"
+    f" / {_dbl('1000000')})"
+)
+BOX_W_SQL = (
+    f"({_dbl('0.5')} + {_dbl('(o_orderkey * 69621) % 8000000')}"
+    f" / {_dbl('1000000')})"
+)
+BOX_H_SQL = (
+    f"({_dbl('0.3')} + {_dbl('(o_orderkey * 75571) % 5000000')}"
+    f" / {_dbl('1000000')})"
+)
 
 
 def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,8 +90,13 @@ def _points_oracle_cte() -> str:
 def _grid_values_sql() -> str:
     """The 51 grid rectangles as a VALUES list (record_number, x0, y0, x1, y1)."""
     grid = FX.make_grid_features()
+    # CAST each coordinate literal to DOUBLE: DuckDB would otherwise parse
+    # the 17-digit reprs as exact DECIMALs and compute (x0+x1)/2 etc. in
+    # decimal arithmetic, diverging from the engine's IEEE doubles
     vals = ", ".join(
-        f"({int(r.record_number)}, {r.minx!r}, {r.miny!r}, {r.maxx!r}, {r.maxy!r})"
+        f"({int(r.record_number)}, CAST({r.minx!r} AS DOUBLE), "
+        f"CAST({r.miny!r} AS DOUBLE), CAST({r.maxx!r} AS DOUBLE), "
+        f"CAST({r.maxy!r} AS DOUBLE))"
         for _, r in grid.iterrows()
     )
     return f"(VALUES {vals}) AS g(record_number, x0, y0, x1, y1)"

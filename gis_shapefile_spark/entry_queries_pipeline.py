@@ -368,6 +368,86 @@ def q_reverse_geocode_oracle() -> str:
     """
 
 
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-side tile rollup: per res-8 cell, point count + exact bounds
+    (A1 bounds fold per tile), bounds integerized to floor(1e6 * coord)."""
+    from .entry_queries import _points_df
+    from .operators import tiling as TI
+
+    pts = _points_df(spark, sf_dir)
+    out = TI.tile_stats(pts, res=8, lng_col="lng", lat_col="lat")
+    return out.select(
+        "cell",
+        "n_points",
+        F.floor(F.col("minx") * 1000000).cast("long").alias("minx_u"),
+        F.floor(F.col("maxx") * 1000000).cast("long").alias("maxx_u"),
+        F.floor(F.col("miny") * 1000000).cast("long").alias("miny_u"),
+        F.floor(F.col("maxy") * 1000000).cast("long").alias("maxy_u"),
+    )
+
+
+def q_tile_bounds_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+    from .functions import cells as C
+
+    cell = C.cell_sql("lng", "lat", 8, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT {cell} AS cell, count(*) AS n_points,
+               CAST(floor(min(lng) * 1000000) AS BIGINT) AS minx_u,
+               CAST(floor(max(lng) * 1000000) AS BIGINT) AS maxx_u,
+               CAST(floor(min(lat) * 1000000) AS BIGINT) AS miny_u,
+               CAST(floor(max(lat) * 1000000) AS BIGINT) AS maxy_u
+        FROM pts GROUP BY 1
+    """
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over documents ∪ exact copy:
+    keep quality >= 0.5, heuristic lang = 'en', and only the canonical
+    (min-id) doc of each exact-duplicate group — the composition a corpus
+    pipeline runs before tokenization."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=False)
+    canon = DD.exact_duplicate_map(corpus)
+    kept = (
+        corpus.join(canon, "doc_id")
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select(
+            "doc_id",
+            TA.quality_score_col("text").alias("quality_u"),
+            TA.lang_id_col("text").alias("lang_pred"),
+            TA.token_count_col("text").alias("n_tokens"),
+        )
+        .where((F.col("quality_u") >= 500000) & (F.col("lang_pred") == "en"))
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "quality_u", "n_tokens"
+    )
+
+
+def q_corpus_curation_oracle() -> str:
+    quality = TA.quality_score_sql("text", "duckdb")
+    lang = TA.lang_id_sql(TA.tokens_sql("text", "duckdb"), "duckdb")
+    ntok = TA.token_count_sql("text", "duckdb")
+    return f"""
+        WITH corpus AS ({_dup_corpus_cte(mangle=False)}),
+        canon AS (
+          SELECT c.doc_id, m.canonical_id
+          FROM corpus c
+          JOIN (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+                FROM corpus GROUP BY 1) m ON md5(c.text) = m.h
+        ),
+        kept AS (
+          SELECT c.doc_id, {quality} AS quality_u, {lang} AS lang_pred,
+                 {ntok} AS n_tokens
+          FROM corpus c JOIN canon ON canon.doc_id = c.doc_id
+          WHERE c.doc_id = canon.canonical_id
+        )
+        SELECT doc_id::BIGINT AS doc_id, quality_u, n_tokens
+        FROM kept WHERE quality_u >= 500000 AND lang_pred = 'en'
+    """
+
+
 # ---------------------------------------------------------------------------
 # image payload pipeline (rows-only driver check: binary codecs are not
 # SQL-expressible in DuckDB — invariants are pytest-verified instead,
@@ -410,6 +490,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "reverse_geocode": q_reverse_geocode,
+    "tile_bounds": q_tile_bounds,
+    "corpus_curation": q_corpus_curation,
     "image_tiling": q_image_tiling,
 }
 
@@ -425,4 +507,6 @@ ORACLES = {
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
+    "tile_bounds": q_tile_bounds_oracle(),
+    "corpus_curation": q_corpus_curation_oracle(),
 }
