@@ -265,3 +265,14 @@ def levenshtein(a, b) -> Column:
     """Defined-but-never-called in the reference (geocoder.cpp:496-524);
     exposed via the Spark builtin for completeness."""
     return F.levenshtein(_c(a), _c(b))
+
+
+def expand_abbreviations(col) -> Column:
+    """F4 expandAbbreviations (geocoder.cpp:151-161) — word-boundary
+    replace of street-type abbreviations with their full forms. Dead code
+    in the reference (not called on the main geocode path); exposed for
+    API parity with the same semantics."""
+    out = _c(col)
+    for abbr, full in STREET_TYPE_ABBREV.items():
+        out = F.regexp_replace(out, r"\b" + abbr + r"\b", full)
+    return out
