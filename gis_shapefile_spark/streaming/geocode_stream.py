@@ -1,0 +1,107 @@
+"""Streaming spatial join: continuous image-point ingest geocoded against
+the polygon-cell dimension.
+
+The north-star pipeline ingests image records continuously; this leg runs
+the SAME point-in-polygon join the batch engine uses
+(operators/spatial_join.py, the Spark re-expression of the reference's
+``SpatialIndex::pointInPolygon`` — src/spatial/spatial_index.cpp:356-380)
+over a Structured Streaming source, two ways:
+
+* ``streaming_pip_matches`` — pure stream-static join: the point stream
+  equi-joins the broadcast covering-cell dimension, FULL cells pass
+  through, PARTIAL cells refine with the same vectorized ray-cast
+  ``mapInPandas`` kernel. Fully stateless ⇒ append mode, no state store;
+  emits ALL (point, polygon) matches. This is the shape that scales: a
+  1000-executor stream keeps the dimension broadcast-resident and pays
+  zero shuffle on the point side.
+* ``streaming_geocode_to_parquet`` — production sink path via
+  ``foreachBatch``: each micro-batch runs the full batch operator
+  (including the deterministic ``min(record_number)`` tie-break, which
+  needs a per-point window and so cannot run stateless inside the
+  stream), writing one parquet subdirectory per micro-batch id with
+  overwrite semantics. Re-running a failed batch overwrites its own
+  directory — idempotent, so checkpoint + restart gives exactly-once
+  output without a transactional sink.
+
+Correctness oracle (tests/test_streaming_geocode.py): replaying the whole
+input through the stream must produce exactly the batch join's row set,
+and restarting from checkpoint must process only unseen files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import spatial_join as SJ
+
+POINTS_SCHEMA = "point_id long, lng double, lat double"
+
+
+def read_points_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str = POINTS_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream of image points (local twin of the message bus)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def streaming_pip_matches(
+    points_stream: DataFrame,
+    index: SJ.PolygonIndex,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Stateless stream-static PIP join: all exact (point, polygon) matches.
+
+    Same plan as the batch operator minus the tie-break window: cell key
+    (pure integer expression, codegen) → broadcast equi-join → FULL
+    pass-through / PARTIAL ray-cast refine → union.
+    """
+    pts = points_stream.withColumn(
+        "__cell", SJ.C.cell_col(lng_col, lat_col, index.res)
+    )
+    dim = index.dim
+    joined = pts.join(
+        F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
+    ).drop("cell")
+    full = joined.where(F.col("is_full")).drop("is_full", "__cell")
+    partial = joined.where(~F.col("is_full")).drop("is_full", "__cell")
+    refined = SJ._pip_refine_bc(partial, index.rings_bc, lng_col, lat_col)
+    return full.unionByName(refined)
+
+
+def streaming_geocode_to_parquet(
+    spark: SparkSession,
+    points_stream: DataFrame,
+    index: SJ.PolygonIndex,
+    out_dir: str,
+    checkpoint_dir: str,
+    point_id_col: str = "point_id",
+    attrs: list[str] | None = None,
+):
+    """Sink path: per-micro-batch full geocode (tie-break included) written
+    to ``out_dir/batch_id=N/``, exactly-once via idempotent overwrite +
+    stream checkpoint. Returns the (terminated) StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        matched = SJ.point_in_polygon_join(
+            spark, batch_df, index,
+            point_id_col=point_id_col, attrs=attrs,
+        )
+        matched.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        points_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,98 @@
+"""Streaming PIP geocode: batch parity across micro-batches and
+checkpoint resume (only unseen files processed on restart)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.operators import spatial_join as SJ
+from gis_shapefile_spark.sources import fixtures as FX
+from gis_shapefile_spark.streaming import events as EV
+from gis_shapefile_spark.streaming import geocode_stream as GS
+
+N_POINTS = 4000
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return SJ.PolygonIndex(spark, FX.make_features(), res=SJ.DEFAULT_RES)
+
+
+def _synth_points(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("point_id"),
+        (F.lit(-125.0) + ((F.col("id") * 2654435761) % 59000000) / 1000000.0).alias("lng"),
+        (F.lit(24.0) + ((F.col("id") * 40503) % 26000000) / 1000000.0).alias("lat"),
+    )
+
+
+@pytest.fixture(scope="module")
+def points_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pts_stream") / "points")
+    _synth_points(spark, N_POINTS).repartition(4).write.parquet(d)
+    return d
+
+
+def test_stream_static_matches_batch(spark, index, points_dir, tmp_path):
+    stream = GS.read_points_stream(spark, points_dir, max_files_per_trigger=1)
+    matches = GS.streaming_pip_matches(stream, index)
+    EV.run_to_memory(
+        matches, "pip_stream", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {
+        (r.point_id, r.record_number)
+        for r in spark.sql("SELECT point_id, record_number FROM pip_stream").collect()
+    }
+    batch = SJ.point_in_polygon_join(
+        spark, spark.read.parquet(points_dir), index,
+        point_id_col="point_id", dedup_first=False,
+    )
+    exp = {
+        (r.point_id, r.record_number)
+        for r in batch.select("point_id", "record_number").collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_foreachbatch_sink_and_resume(spark, index, points_dir, tmp_path):
+    out = str(tmp_path / "geocoded")
+    ckpt = str(tmp_path / "ckpt_sink")
+    stream = GS.read_points_stream(spark, points_dir, max_files_per_trigger=2)
+    GS.streaming_geocode_to_parquet(
+        spark, stream, index, out, ckpt, attrs=["NAME_1"]
+    )
+    first_batches = set(glob.glob(f"{out}/batch_id=*"))
+    assert len(first_batches) == 2  # 4 files / 2 per trigger
+
+    sunk = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    batch = SJ.point_in_polygon_join(
+        spark, spark.read.parquet(points_dir), index,
+        point_id_col="point_id", attrs=["NAME_1"],
+    )
+    got = {(r.point_id, r.record_number, r.NAME_1)
+           for r in sunk.select("point_id", "record_number", "NAME_1").collect()}
+    exp = {(r.point_id, r.record_number, r.NAME_1)
+           for r in batch.select("point_id", "record_number", "NAME_1").collect()}
+    assert got == exp and len(got) > 0
+    # exactly one geocode per point (tie-break applied inside each batch)
+    assert sunk.count() == sunk.select("point_id").distinct().count()
+
+    # append new files; restart from the SAME checkpoint -> only new batches
+    _synth_points(spark, 500, start=N_POINTS).repartition(1).write.mode(
+        "append"
+    ).parquet(points_dir)
+    stream2 = GS.read_points_stream(spark, points_dir, max_files_per_trigger=2)
+    GS.streaming_geocode_to_parquet(
+        spark, stream2, index, out, ckpt, attrs=["NAME_1"]
+    )
+    new_batches = set(glob.glob(f"{out}/batch_id=*")) - first_batches
+    assert len(new_batches) >= 1
+    total = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    full_batch = SJ.point_in_polygon_join(
+        spark, spark.read.parquet(points_dir), index, point_id_col="point_id"
+    )
+    assert total.select("point_id").distinct().count() == full_batch.count()
+    assert total.count() > sunk.count()  # the resume actually added rows
