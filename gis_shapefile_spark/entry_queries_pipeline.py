@@ -474,6 +474,72 @@ def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: corpus bucketed by nearest deterministic centroid,
+    queries probe their 2 nearest buckets, exact cosine re-rank."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    out = SIM.ivf_topk(emb, queries, k=5, centroids=cents, nprobe=IVF_NPROBE)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_u",
+    )
+
+
+def q_ann_ivf_oracle() -> str:
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    k = len(cents)
+    qd = ", ".join(
+        f"{SIM.centroid_dist_sql('qv', c, 'duckdb')} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    cd = ", ".join(
+        f"{SIM.centroid_dist_sql('embedding', c, 'duckdb')} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    bucket = SIM.argmin_case_sql([f"d{i}" for i in range(k)])
+    probe_union = " UNION ALL ".join(
+        f"SELECT query_id, qv, {i} AS bucket, d{i} AS pdist FROM q"
+        for i in range(k)
+    )
+    dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
+    nq = SIM.norm_u_sql("q.qv", "duckdb")
+    nc = SIM.norm_u_sql("c.embedding", "duckdb")
+    cos = SIM.cosine_u_sql(dot, nc, nq)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {qd}
+                   FROM embeddings WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qv, bucket FROM ({probe_union})
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pdist, bucket) <= {IVF_NPROBE}
+        ),
+        cb AS (
+          SELECT vec_id, embedding, {bucket} AS bucket
+          FROM (SELECT vec_id, embedding, {cd} FROM embeddings)
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id, {cos} AS cos_u
+          FROM cb c JOIN probes q USING (bucket)
+        )
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_u DESC, vec_id)::BIGINT AS rank,
+               vec_id::BIGINT AS vec_id, cos_u
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -487,6 +553,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "reverse_geocode": q_reverse_geocode,
@@ -504,6 +571,7 @@ ORACLES = {
     "dedup_minhash": q_dedup_minhash_oracle(),
     "dedup_simhash": q_dedup_simhash_oracle(),
     "ann_topk": q_ann_topk_oracle(),
+    "ann_ivf": q_ann_ivf_oracle(),
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),

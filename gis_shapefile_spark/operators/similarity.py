@@ -235,3 +235,131 @@ def cosine_near_duplicates(
     ).select(
         F.col(id_col).alias("id_1"), F.col("_id2").alias("id_2"), "cos_u"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> bucket equi-join -> re-rank
+# ---------------------------------------------------------------------------
+
+def make_centroids(dim: int, n_centroids: int = 8, seed: int = 11) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids (seeded Gaussian, rounded so
+    SQL literals are exact in both engines). Used by the oracle-checked
+    driver query; data-trained centroids come from ``kmeans_fit``."""
+    rng = np.random.RandomState(seed)
+    return np.round(rng.standard_normal((n_centroids, dim)) * 0.5, 6)
+
+
+def kmeans_fit(
+    vectors: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Driver-side deterministic Lloyd k-means over a (sampled) vector matrix.
+
+    At 10^12 rows the sample is a hash-filtered ~10^4-row pull — the coarse
+    quantizer is dimension-scale state, like the polygon-cell index. The
+    result rounds to 6 decimals so centroid literals are engine-exact.
+    """
+    rng = np.random.RandomState(seed)
+    cent = vectors[rng.choice(len(vectors), n_centroids, replace=False)].astype(
+        np.float64
+    )
+    for _ in range(iters):
+        d = ((vectors[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = vectors[m].mean(axis=0)
+    return np.round(cent, 6)
+
+
+def centroid_dist_sql(vec: str, centroid: np.ndarray, dialect: str = "spark") -> str:
+    """Squared L2 distance to one centroid as a fixed left-to-right sum —
+    identical IEEE expression tree in both dialects (1-based in DuckDB)."""
+    base = 0 if dialect == "spark" else 1
+    terms = " + ".join(
+        f"(CAST({vec}[{i + base}] AS DOUBLE) - ({w!r})) * "
+        f"(CAST({vec}[{i + base}] AS DOUBLE) - ({w!r}))"
+        for i, w in enumerate(centroid.tolist())
+    )
+    return f"({terms})"
+
+
+def argmin_case_sql(dist_cols: list[str]) -> str:
+    """Earliest-index argmin over precomputed distance columns (ties to the
+    lower index; identical text in both dialects)."""
+    whens = []
+    k = len(dist_cols)
+    for i in range(k - 1):
+        cond = " AND ".join(f"{dist_cols[i]} <= {dist_cols[j]}" for j in range(i + 1, k))
+        whens.append(f"WHEN {cond} THEN {i}")
+    return "(CASE " + " ".join(whens) + f" ELSE {k - 1} END)"
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``_bucket`` = nearest-centroid index (pure JVM expressions —
+    the distances pipeline with the scan inside codegen)."""
+    k = len(centroids)
+    for i, c in enumerate(centroids):
+        df = df.withColumn(f"_d{i}", F.expr(centroid_dist_sql(vec_col, c, "spark")))
+    df = df.withColumn(
+        "_bucket", F.expr(argmin_case_sql([f"_d{i}" for i in range(k)]))
+    )
+    return df.drop(*[f"_d{i}" for i in range(k)])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus rows bucket by nearest centroid; each query probes its
+    ``nprobe`` nearest buckets; exact integerized cosine re-ranks candidates.
+
+    At 10^12 rows this replaces the brute cross product with a bucket
+    equi-join scanning ~nprobe/n_centroids of the corpus per query — and the
+    corpus can be written bucket-partitioned so probes prune at the source.
+    ``nprobe == len(centroids)`` degrades exactly to brute force (tested).
+    """
+    n_cent = len(centroids)
+    c = ivf_assign(
+        _with_norm(corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn"),
+        centroids, vec_col,
+    )
+    q = _with_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        "_qvec", "_qn",
+    )
+    for i, cen in enumerate(centroids):
+        q = q.withColumn(f"_d{i}", F.expr(centroid_dist_sql("_qvec", cen, "spark")))
+    probe_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("bucket"), F.col(f"_d{i}").alias("pdist"))
+            for i in range(n_cent)
+        ]
+    )
+    pw = Window.partitionBy(query_id_col).orderBy("pdist", "_bucket")
+    probes = (
+        q.withColumn("_p", F.explode(probe_arr))
+        .select(query_id_col, "_qvec", "_qn", F.col("_p.bucket").alias("_bucket"),
+                F.col("_p.pdist").alias("pdist"))
+        .withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= nprobe)
+        .drop("_pr", "pdist")
+    )
+    scored = c.join(F.broadcast(probes), "_bucket").withColumn(
+        "cos_u",
+        F.expr(cosine_u_sql(dot_u_sql(vec_col, "_qvec", "spark"), "_cn", "_qn")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_u"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_u")
+    )

@@ -199,3 +199,45 @@ def test_lang_id_and_quality(spark):
         "doc_id", TA.quality_score_col("text").alias("q")).collect()}
     assert q[0] > q[2]  # stopword-free junk scores lower
     assert all(0 <= v <= 1000000 for v in q.values())
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == n_centroids covers every bucket => exact brute-force result."""
+    pdf = _vecs(80)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = SIM.make_centroids(16, 4)
+    ivf = SIM.ivf_topk(df, queries, k=5, centroids=cents, nprobe=4).collect()
+    brute = SIM.cosine_topk(df, queries, k=5).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows)
+    assert key(ivf) == key(brute)
+
+
+def test_ivf_probe_pruning_and_recall(spark):
+    """nprobe=1 scans only the query's own bucket; planted near-identical
+    vectors land in the same bucket, so recall@1 on them is exact."""
+    pdf = _vecs(60)
+    # plant: vec 50 = vec 0 + tiny noise (same bucket, cosine ~ 1)
+    v0 = np.array(pdf["embedding"][0])
+    pdf.at[50, "embedding"] = (v0 + 1e-4).tolist()
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=4
+    )
+    out = SIM.ivf_topk(df, queries, k=2, centroids=cents, nprobe=1).collect()
+    got = {r.vec_id for r in out}
+    assert got == {0, 50}
+
+
+def test_kmeans_fit_deterministic():
+    rng = np.random.RandomState(0)
+    v = rng.standard_normal((200, 8))
+    c1 = SIM.kmeans_fit(v, 4)
+    c2 = SIM.kmeans_fit(v, 4)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (4, 8)
