@@ -546,6 +546,56 @@ def q_top_revenue_orders_oracle() -> str:
     """
 
 
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region->nation->customer->orders->
+    lineitem->supplier, local-supplier condition) + per-nation revenue.
+
+    Scale plan: region/nation broadcast (fixed-size dims), supplier
+    broadcasts until it outgrows the threshold, the customer⨝orders⨝
+    lineitem chain shuffles on its keys with AQE handling runtime sizing —
+    exactly the shape Catalyst reorders well because every join is a
+    declared equi-join.
+    """
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.floor(
+        F.floor(F.col("l_extendedprice") * 100)
+        * F.floor((1 - F.col("l_discount")) * 10000)
+    ).cast("long")
+    return (
+        F.broadcast(region.where(F.col("r_name") == "ASIA"))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_u"))
+    )
+
+
+def q_regional_volume_oracle() -> str:
+    return """
+        SELECT n_name,
+               CAST(sum(CAST(floor(floor(l_extendedprice * 100) * floor((1 - l_discount) * 10000)) AS BIGINT)) AS BIGINT) AS revenue_u
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+                    JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -563,6 +613,7 @@ QUERIES = {
     "top1_per_group": q_top1_per_group,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
+    "regional_volume": q_regional_volume,
 }
 
 ORACLES = {
@@ -578,4 +629,5 @@ ORACLES = {
     "top1_per_group": q_top1_per_group_oracle(),
     "pricing_summary": q_pricing_summary_oracle(),
     "top_revenue_orders": q_top_revenue_orders_oracle(),
+    "regional_volume": q_regional_volume_oracle(),
 }
