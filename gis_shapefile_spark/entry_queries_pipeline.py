@@ -474,6 +474,47 @@ def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tile pyramid (res 8 -> 6 -> 4): coarser levels folded
+    from child-level aggregates, one point scan total."""
+    from .entry_queries import _points_df
+    from .operators import tiling as TI
+
+    pts = _points_df(spark, sf_dir)
+    out = TI.tile_pyramid(pts, [8, 6, 4])
+    return out.select(
+        F.col("res").cast("long").alias("res"),
+        "cell",
+        "n_points",
+        F.floor(F.col("minx") * 1000000).cast("long").alias("minx_u"),
+        F.floor(F.col("maxx") * 1000000).cast("long").alias("maxx_u"),
+        F.floor(F.col("miny") * 1000000).cast("long").alias("miny_u"),
+        F.floor(F.col("maxy") * 1000000).cast("long").alias("maxy_u"),
+    )
+
+
+def q_tile_pyramid_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+    from .functions import cells as C
+
+    # the oracle recomputes each level from the points (associativity makes
+    # child-fold == direct grouping); engine folds from the child level
+    levels = " UNION ALL ".join(
+        f"""SELECT {r} AS res, {C.cell_sql('lng', 'lat', r, 'duckdb')} AS cell,
+               count(*) AS n_points,
+               CAST(floor(min(lng) * 1000000) AS BIGINT) AS minx_u,
+               CAST(floor(max(lng) * 1000000) AS BIGINT) AS maxx_u,
+               CAST(floor(min(lat) * 1000000) AS BIGINT) AS miny_u,
+               CAST(floor(max(lat) * 1000000) AS BIGINT) AS maxy_u
+        FROM pts GROUP BY 1, 2"""
+        for r in (8, 6, 4)
+    )
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        {levels}
+    """
+
+
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
@@ -558,6 +599,7 @@ QUERIES = {
     "events_window": q_events_window,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
+    "tile_pyramid": q_tile_pyramid,
     "corpus_curation": q_corpus_curation,
     "image_tiling": q_image_tiling,
 }
@@ -576,5 +618,6 @@ ORACLES = {
     "events_window": q_events_window_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
+    "tile_pyramid": q_tile_pyramid_oracle(),
     "corpus_curation": q_corpus_curation_oracle(),
 }

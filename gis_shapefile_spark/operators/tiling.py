@@ -69,6 +69,43 @@ def tile_stats(
     )
 
 
+def tile_pyramid(
+    points: DataFrame,
+    resolutions: list[int],
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Multi-resolution tile rollup: stats at ``max(resolutions)`` from the
+    points, every coarser level folded FROM THE CHILD LEVEL's aggregates
+    (count/min/max are associative), never rescanning the points.
+
+    At 10^12 points this is the difference between one full scan + L tiny
+    rollups (each input bounded by 4^res tiles) and L full scans. Output:
+    one row per (res, cell) across all levels.
+    """
+    rs = sorted(set(resolutions), reverse=True)
+    base = tile_stats(points, rs[0], lng_col, lat_col)
+    levels = [base.select(F.lit(rs[0]).alias("res"), "*")]
+    cur = base
+    for r in rs[1:]:
+        child_res = rs[len(levels) - 1]
+        cur = (
+            cur.groupBy(C.parent_col(F.col("cell"), child_res, r).alias("cell"))
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.min("minx").alias("minx"),
+                F.max("maxx").alias("maxx"),
+                F.min("miny").alias("miny"),
+                F.max("maxy").alias("maxy"),
+            )
+        )
+        levels.append(cur.select(F.lit(r).alias("res"), "*"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def rasterize_points(
     points: DataFrame,
     res: int,

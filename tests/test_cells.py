@@ -102,3 +102,20 @@ def test_resolution_policy_bounds_cover():
         r = C.resolution_for_bbox(w, h, max_cells=256)
         cover = C.cover_bbox(-w / 2, -h / 2, w / 2, h / 2, r)
         assert len(cover) <= 256
+
+
+def test_tile_pyramid_fold_equals_direct(spark):
+    """Child-level folding == direct per-level grouping (associativity)."""
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.operators import tiling as TI
+
+    pts = spark.range(5000).select(
+        (F.lit(-120.0) + ((F.col("id") * 7919) % 40000) / 1000.0).alias("lng"),
+        (F.lit(25.0) + ((F.col("id") * 104729) % 20000) / 1000.0).alias("lat"),
+    )
+    pyr = TI.tile_pyramid(pts, [8, 5]).collect()
+    got = {(r.res, r.cell): (r.n_points, r.minx, r.maxx, r.miny, r.maxy) for r in pyr}
+    for res in (8, 5):
+        direct = TI.tile_stats(pts, res).collect()
+        exp = {(res, r.cell): (r.n_points, r.minx, r.maxx, r.miny, r.maxy) for r in direct}
+        assert {k: v for k, v in got.items() if k[0] == res} == exp
