@@ -243,6 +243,13 @@ def image_tiling_pipeline(
     per-row payload invariants verified in the same plan.
 
     Output: (record_number, cell, n_images, n_bytes, n_phash_ok).
+
+    Do NOT repartition the image side for "more decode parallelism":
+    shuffling binary payloads costs ~10x the decode itself (measured:
+    20k images 1.1 s source-split parallelism vs 9.9 s after
+    repartition(32)). Decode parallelism comes from source splits
+    (files / row groups), which at production scale are plentiful; the
+    only shuffled columns here are the id/cell/stat projections.
     """
     from . import multimodal as MM
     from . import spatial_join as SJ
