@@ -309,6 +309,49 @@ def q_events_window_oracle() -> str:
     """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user: count, span, value sum."""
+    from .operators import sessionize as SE
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SE.session_stats(ev, gap_s=1800).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "start_epoch",
+        "end_epoch",
+        "sum_value_c",
+    )
+
+
+def q_sessionize_oracle() -> str:
+    return """
+        WITH lagged AS (
+          SELECT user_id, event_id, value, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        flagged AS (
+          SELECT *, CASE WHEN prev IS NULL OR ep - prev > 1800
+                         THEN 1 ELSE 0 END AS is_new
+          FROM lagged
+        ),
+        sess AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, session_idx::BIGINT AS session_idx,
+               count(*) AS n_events,
+               min(ep) AS start_epoch, max(ep) AS end_epoch,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM sess GROUP BY user_id, session_idx
+    """
+
+
 # ---------------------------------------------------------------------------
 # reverse geocode (J1 exact-PIP hits + J6 nearest-centroid fallback)
 # ---------------------------------------------------------------------------
@@ -597,6 +640,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -616,6 +660,7 @@ ORACLES = {
     "ann_ivf": q_ann_ivf_oracle(),
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
+    "sessionize": q_sessionize_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),

@@ -66,3 +66,32 @@ def test_stateful_running_totals(spark, events_dir, tmp_path):
     # multiple micro-batches actually happened (rows > distinct users)
     n_rows = spark.sql("SELECT count(*) c FROM tot_test").collect()[0].c
     assert n_rows > len(got)
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-built user timelines: session splits exactly at gap > 1800s."""
+    import datetime as dt
+    from gis_shapefile_spark.operators import sessionize as SE
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events in one session, then a 1801s gap -> new session
+        (1, 1, base, 1.0),
+        (2, 1, base + dt.timedelta(seconds=1800), 2.0),
+        (3, 1, base + dt.timedelta(seconds=3600), 3.0),
+        (4, 1, base + dt.timedelta(seconds=3600 + 1801), 4.0),
+        # user 2: single event
+        (5, 2, base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in SE.sessionize(df, gap_s=1800).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 2, (2, 5): 1}
+
+    stats = {
+        (r.user_id, r.session_idx): (r.n_events, r.sum_value_c)
+        for r in SE.session_stats(df, gap_s=1800).collect()
+    }
+    assert stats == {(1, 1): (3, 600), (1, 2): (1, 400), (2, 1): (1, 500)}
