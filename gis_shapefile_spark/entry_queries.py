@@ -596,6 +596,59 @@ def q_regional_volume_oracle() -> str:
     """
 
 
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (o_orderpriority, o_orderstatus): counts + totalprice cents at
+    every grouping level (partial aggregation handles all levels in one
+    pass; the reference has no grouping-sets machinery at all)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_c"),
+        )
+    )
+
+
+def q_priority_rollup_oracle() -> str:
+    return """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
+
+
+def q_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no URGENT orders (count + max balance
+    cents per nation). Anti/semi joins don't exist in the reference; at scale the
+    anti join broadcasts the distinct key set or shuffles on the key."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    quiet = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return quiet.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_quiet"),
+        F.max(F.floor(F.col("c_acctbal") * 100).cast("long")).alias("max_bal_c"),
+    )
+
+
+def q_quiet_customers_oracle() -> str:
+    return """
+        SELECT c_nationkey,
+               count(*) AS n_quiet,
+               CAST(max(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -614,6 +667,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "regional_volume": q_regional_volume,
+    "priority_rollup": q_priority_rollup,
+    "quiet_customers": q_quiet_customers,
 }
 
 ORACLES = {
@@ -630,4 +685,6 @@ ORACLES = {
     "pricing_summary": q_pricing_summary_oracle(),
     "top_revenue_orders": q_top_revenue_orders_oracle(),
     "regional_volume": q_regional_volume_oracle(),
+    "priority_rollup": q_priority_rollup_oracle(),
+    "quiet_customers": q_quiet_customers_oracle(),
 }
