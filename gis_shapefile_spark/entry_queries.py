@@ -649,6 +649,38 @@ def q_quiet_customers_oracle() -> str:
     """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⨝ part, revenue split by part type class.
+    The part side shuffles (fact-to-fact at scale) unless it fits the
+    broadcast threshold; revenue cents are exact integers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.floor(
+        F.floor(F.col("l_extendedprice") * 100)
+        * F.floor((1 - F.col("l_discount")) * 10000)
+    ).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(rev).alias("revenue_u"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.floor(F.col("p_retailprice") * 100).cast("long")).alias("sum_retail_c"),
+        )
+    )
+
+
+def q_promo_revenue_oracle() -> str:
+    return """
+        SELECT p_type,
+               CAST(sum(CAST(floor(floor(l_extendedprice * 100) * floor((1 - l_discount) * 10000)) AS BIGINT)) AS BIGINT) AS revenue_u,
+               count(*) AS n_items,
+               CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_retail_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -669,6 +701,7 @@ QUERIES = {
     "regional_volume": q_regional_volume,
     "priority_rollup": q_priority_rollup,
     "quiet_customers": q_quiet_customers,
+    "promo_revenue": q_promo_revenue,
 }
 
 ORACLES = {
@@ -687,4 +720,5 @@ ORACLES = {
     "regional_volume": q_regional_volume_oracle(),
     "priority_rollup": q_priority_rollup_oracle(),
     "quiet_customers": q_quiet_customers_oracle(),
+    "promo_revenue": q_promo_revenue_oracle(),
 }

@@ -334,7 +334,7 @@ def q_sessionize_oracle() -> str:
           FROM events
         ),
         flagged AS (
-          SELECT *, CASE WHEN prev IS NULL OR ep - prev > 1800
+          SELECT *, CASE WHEN prev IS NULL OR ep - prev >= 1800
                          THEN 1 ELSE 0 END AS is_new
           FROM lagged
         ),

@@ -75,11 +75,12 @@ def test_sessionize_gap_semantics(spark):
 
     base = dt.datetime(2024, 1, 1)
     rows = [
-        # user 1: 3 events in one session, then a 1801s gap -> new session
+        # user 1: 3 events within gap, then an exactly-gap pause -> split
+        # (split iff diff >= gap, matching F.session_window)
         (1, 1, base, 1.0),
-        (2, 1, base + dt.timedelta(seconds=1800), 2.0),
-        (3, 1, base + dt.timedelta(seconds=3600), 3.0),
-        (4, 1, base + dt.timedelta(seconds=3600 + 1801), 4.0),
+        (2, 1, base + dt.timedelta(seconds=1799), 2.0),
+        (3, 1, base + dt.timedelta(seconds=3598), 3.0),
+        (4, 1, base + dt.timedelta(seconds=3598 + 1800), 4.0),
         # user 2: single event
         (5, 2, base, 5.0),
     ]
@@ -95,3 +96,20 @@ def test_sessionize_gap_semantics(spark):
         for r in SE.session_stats(df, gap_s=1800).collect()
     }
     assert stats == {(1, 1): (3, 600), (1, 2): (1, 400), (2, 1): (1, 500)}
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """lag-based sessionize partitions events identically to Spark's
+    built-in session_window on the real events table."""
+    from gis_shapefile_spark.operators import sessionize as SE
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mine = {
+        (r.user_id, r.start_epoch): (r.n_events, r.sum_value_c)
+        for r in SE.session_stats(ev, gap_s=1800).collect()
+    }
+    native = {
+        (r.user_id, r.start_epoch): (r.n_events, r.sum_value_c)
+        for r in SE.session_stats_native(ev, gap_s=1800).collect()
+    }
+    assert mine == native and len(mine) > 0
