@@ -250,3 +250,117 @@ def verify_invariants(
             )
 
     return images.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# video / audio modalities (opaque binary + typed metadata, same seam)
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = (
+    "video_id string, bytes binary, w int, h int, fmt string, "
+    "n_frames int, caption string"
+)
+AUDIO_SCHEMA = "audio_id string, bytes binary, sample_rate int, fmt string"
+
+
+def sample_frames(videos: DataFrame, n_sample: int) -> DataFrame:
+    """Evenly sample ``n_sample`` frames from each video payload, emitting
+    one image-schema row per sampled frame (frame re-encoded ``raw``).
+
+    Video payload convention (sandbox codec, real decoders plug in at the
+    same seam): ``zlib(frames)`` where frames is (n_frames, h, w, 3) uint8.
+    Sampling indices ``i * n_frames // n_sample`` are deterministic for any
+    ratio. One input row fans out to ``min(n_sample, n_frames)`` rows —
+    pure mapInPandas, no shuffle, partitioning preserved.
+    """
+    import zlib
+
+    schema = (
+        "image_id string, video_id string, frame_idx int, bytes binary, "
+        "w int, h int, fmt string, caption string, phash long"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for vid, data, w, h, fmt, nf, cap in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"], pdf["n_frames"], pdf["caption"],
+            ):
+                w, h, nf, fmt = int(w), int(h), int(nf), str(fmt)
+                if fmt != "rawv":
+                    raise NotImplementedError(
+                        f"video codec {fmt!r} not available in this sandbox"
+                    )
+                frames = np.frombuffer(
+                    zlib.decompress(data), dtype=np.uint8
+                ).reshape(nf, h, w, 3)
+                k = min(n_sample, nf)
+                idxs = (np.arange(k) * nf // k).astype(np.int64)
+                ph = FX.phash64_batch(frames[idxs])
+                for j, fi in enumerate(idxs):
+                    rows.append(
+                        (f"{vid}#f{int(fi)}", vid, int(fi),
+                         zlib.compress(frames[fi].tobytes(), 1), w, h,
+                         "raw", cap, int(ph[j]))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "video_id", "frame_idx", "bytes",
+                             "w", "h", "fmt", "caption", "phash"],
+                )
+
+    return videos.mapInPandas(fn, schema)
+
+
+def audio_features(audio: DataFrame, frame_len: int = 1024) -> DataFrame:
+    """Per-clip audio features over fixed windows: RMS energy + zero-crossing
+    rate, both integerized (x1e6), plus duration.
+
+    Payload convention: ``zlib(int16 PCM mono)``. Unknown ``fmt`` raises
+    NotImplementedError (real audio codecs plug in here).
+    Output: (audio_id, n_samples, duration_ms, rms_u array, zcr_u array).
+    """
+    import zlib
+
+    schema = (
+        "audio_id string, n_samples long, duration_ms long, "
+        "rms_u array<long>, zcr_u array<long>"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, data, sr, fmt in zip(
+                pdf["audio_id"], pdf["bytes"], pdf["sample_rate"], pdf["fmt"]
+            ):
+                if str(fmt) != "pcm16z":
+                    raise NotImplementedError(
+                        f"audio codec {fmt!r} not available in this sandbox"
+                    )
+                pcm = np.frombuffer(zlib.decompress(data), dtype="<i2")
+                n = len(pcm)
+                nwin = n // frame_len
+                x = pcm[: nwin * frame_len].astype(np.float64).reshape(
+                    nwin, frame_len
+                ) / 32768.0
+                rms = np.sqrt((x * x).mean(axis=1))
+                zc = (np.abs(np.diff(np.signbit(x), axis=1)).sum(axis=1)
+                      / (frame_len - 1))
+                rows.append(
+                    (aid, n, int(n * 1000 // int(sr)),
+                     np.floor(rms * 1e6).astype(np.int64).tolist(),
+                     np.floor(zc * 1e6).astype(np.int64).tolist())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "n_samples", "duration_ms",
+                         "rms_u", "zcr_u"],
+            )
+
+    return audio.mapInPandas(fn, schema)

@@ -165,3 +165,58 @@ def test_image_tiling_pipeline_counts(spark, images_df, images_pdf):
         for rec, cell, n in zip(out["record_number"], out["cell"], out["n_images"])
     }
     assert got == dict(oracle)
+
+
+def test_sample_frames_exact_pixels(spark):
+    """Frame sampling: fan-out count, deterministic indices, byte-exact
+    sampled pixels vs the driver-side stack."""
+    import zlib
+    import numpy as np
+    import pandas as pd
+    from gis_shapefile_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(5)
+    vids = []
+    stacks = {}
+    for i, nf in [(0, 10), (1, 3), (2, 7)]:
+        frames = rng.randint(0, 256, size=(nf, 16, 16, 3), dtype=np.uint8)
+        stacks[f"v{i}"] = frames
+        vids.append((f"v{i}", zlib.compress(frames.tobytes(), 1), 16, 16,
+                     "rawv", nf, f"caption {i}"))
+    df = spark.createDataFrame(pd.DataFrame(
+        vids, columns=["video_id", "bytes", "w", "h", "fmt", "n_frames", "caption"]
+    ))
+    out = MM.sample_frames(df, n_sample=4).collect()
+    # v0: 4 of 10, v1: 3 of 3, v2: 4 of 7
+    assert sorted((r.video_id, r.frame_idx) for r in out) == sorted(
+        [("v0", i) for i in (0, 2, 5, 7)]
+        + [("v1", i) for i in (0, 1, 2)]
+        + [("v2", i) for i in (0, 1, 3, 5)]
+    )
+    for r in out:
+        pix = np.frombuffer(zlib.decompress(r.bytes), np.uint8).reshape(16, 16, 3)
+        np.testing.assert_array_equal(pix, stacks[r.video_id][r.frame_idx])
+        assert r.caption.startswith("caption")
+
+
+def test_audio_features_match_numpy(spark):
+    import zlib
+    import numpy as np
+    import pandas as pd
+    from gis_shapefile_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(9)
+    pcm = (rng.standard_normal(5000) * 8000).astype("<i2")
+    df = spark.createDataFrame(pd.DataFrame(
+        [("a0", zlib.compress(pcm.tobytes(), 1), 16000, "pcm16z")],
+        columns=["audio_id", "bytes", "sample_rate", "fmt"],
+    ))
+    r = MM.audio_features(df, frame_len=1024).collect()[0]
+    assert r.n_samples == 5000 and r.duration_ms == 5000 * 1000 // 16000
+    x = pcm[:4096].astype(np.float64).reshape(4, 1024) / 32768.0
+    exp_rms = np.floor(np.sqrt((x * x).mean(axis=1)) * 1e6).astype(np.int64)
+    exp_zcr = np.floor(
+        np.abs(np.diff(np.signbit(x), axis=1)).sum(axis=1) / 1023 * 1e6
+    ).astype(np.int64)
+    assert list(r.rms_u) == exp_rms.tolist()
+    assert list(r.zcr_u) == exp_zcr.tolist()
