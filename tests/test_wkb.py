@@ -115,3 +115,40 @@ def test_spark_roundtrip_stages(spark):
         np.testing.assert_array_equal(np.array(r["xs"]), np.array(o["xs"]))
         np.testing.assert_array_equal(np.array(r["ys"]), np.array(o["ys"]))
         assert r["minx"] == o["minx"] and r["maxy"] == o["maxy"]
+
+
+# ---------------------------------------------------------------------------
+# property: encode∘decode == identity for arbitrary geometries
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite = st.floats(-1e9, 1e9, allow_nan=False, width=64)
+
+
+@given(
+    shape=st.sampled_from([W.SHAPE_POLYLINE, W.SHAPE_POLYGON]),
+    rings=st.lists(
+        st.lists(st.tuples(finite, finite), min_size=2, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_roundtrip_multi_part(shape, rings):
+    xs = np.array([p[0] for r in rings for p in r])
+    ys = np.array([p[1] for r in rings for p in r])
+    sizes = [len(r) for r in rings]
+    buf = W.encode_row(shape, xs, ys, sizes)
+    st2, xs2, ys2, sizes2 = W.decode_row(buf)
+    assert st2 == shape and sizes2 == sizes
+    np.testing.assert_array_equal(xs2, xs)
+    np.testing.assert_array_equal(ys2, ys)
+
+
+@given(x=finite, y=finite)
+@settings(max_examples=100, deadline=None)
+def test_property_roundtrip_point(x, y):
+    st2, xs2, ys2, sizes = W.decode_row(W.encode_row(W.SHAPE_POINT, [x], [y], [1]))
+    assert st2 == W.SHAPE_POINT and xs2[0] == x and ys2[0] == y and sizes == [1]
