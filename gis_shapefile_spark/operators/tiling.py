@@ -80,8 +80,11 @@ def tile_pyramid(
     (count/min/max are associative), never rescanning the points.
 
     At 10^12 points this is the difference between one full scan + L tiny
-    rollups (each input bounded by 4^res tiles) and L full scans. Output:
-    one row per (res, cell) across all levels.
+    rollups (each input bounded by 4^res tiles) and L full scans. The
+    static plan shows the base subtree once per union branch, but AQE's
+    exchange reuse dedupes it at runtime (asserted in tests — the executed
+    plan contains ReusedExchange nodes and the points shuffle runs once).
+    Output: one row per (res, cell) across all levels.
     """
     rs = sorted(set(resolutions), reverse=True)
     base = tile_stats(points, rs[0], lng_col, lat_col)

@@ -119,3 +119,20 @@ def test_tile_pyramid_fold_equals_direct(spark):
         direct = TI.tile_stats(pts, res).collect()
         exp = {(res, r.cell): (r.n_points, r.minx, r.maxx, r.miny, r.maxy) for r in direct}
         assert {k: v for k, v in got.items() if k[0] == res} == exp
+
+
+def test_tile_pyramid_reuses_base_exchange(spark):
+    """Plan-shape regression: AQE exchange reuse dedupes the base level —
+    the points are scanned/shuffled once, not once per pyramid level."""
+    import re
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.operators import tiling as TI
+
+    pts = spark.range(20000).select(
+        (F.lit(-120.0) + ((F.col("id") * 7919) % 40000) / 1000.0).alias("lng"),
+        (F.lit(25.0) + ((F.col("id") * 104729) % 20000) / 1000.0).alias("lat"),
+    )
+    out = TI.tile_pyramid(pts, [8, 6, 4])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ReusedExchange", plan)) >= 2
