@@ -127,3 +127,36 @@ def test_lineage_table(spark, root):
     assert rows["evens"].rows == 50
     assert rows["total"].rows == 1
     assert all(r.bytes > 0 and r.n_partitions >= 1 for r in rows.values())
+
+
+def test_cell_partitioned_layout_prunes(spark, tmp_path):
+    """Partition pruning: a bbox-scoped read opens only intersecting parent
+    cells — verified by both result correctness and the scan's partition
+    count in the executed plan."""
+    import re
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.plans import layout as L
+
+    pts = spark.range(30000).select(
+        F.col("id").alias("point_id"),
+        (F.lit(-125.0) + ((F.col("id") * 2654435761) % 59000000) / 1000000.0).alias("lng"),
+        (F.lit(24.0) + ((F.col("id") * 40503) % 26000000) / 1000000.0).alias("lat"),
+    )
+    path = str(tmp_path / "cellpart")
+    L.write_cell_partitioned(pts, path, res=8, parent_res=3)
+
+    bbox = (-100.0, 30.0, -95.0, 35.0)
+    pruned = L.read_cells_pruned(spark, path, bbox, parent_res=3)
+    # correctness: pruned read ⊇ exact bbox rows, and filtering the pruned
+    # set by the bbox equals filtering the full set
+    full = spark.read.parquet(path)
+    in_box = (
+        (F.col("lng") >= bbox[0]) & (F.col("lng") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    )
+    assert pruned.where(in_box).count() == full.where(in_box).count() > 0
+    assert pruned.count() < full.count()
+
+    # plan: the partition filter reached the scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*pcell.*\]", plan)
