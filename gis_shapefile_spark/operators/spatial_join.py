@@ -306,7 +306,7 @@ def within_distance_join(
     explode factor bounded by resolution policy) → broadcast → point cell
     equi-join → native column refine. Zero Python on the point side.
     """
-    feats = features_pdf[features_pdf["shape_type"] == 5].copy()
+    feats = _indexed(features_pdf).copy()
     feats["cx"] = (feats["minx"] + feats["maxx"]) / 2.0
     feats["cy"] = (feats["miny"] + feats["maxy"]) / 2.0
     if res is None:
@@ -340,6 +340,15 @@ def within_distance_join(
 # J2: kNN join (reference semantics: distance to feature bbox center)
 # ---------------------------------------------------------------------------
 
+def _indexed(features_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference parity: the R-tree indexes EVERY record's bbox regardless of
+    geometry type (spatial_index.cpp:295-306 inserts all record bounds), so
+    kNN / within-distance / bbox joins consider any feature with finite
+    bounds — not just polygons. Null-shape rows (no bounds) are skipped,
+    matching the reference's empty-geometry handling."""
+    return features_pdf[features_pdf["minx"].notna()]
+
+
 def knn_join_bruteforce(
     spark: SparkSession,
     points: DataFrame,
@@ -354,7 +363,7 @@ def knn_join_bruteforce(
     window top-k. Matches spatial_index.cpp:91-121 bit-for-bit (centroid
     Euclidean distance, ties by feature order). Only viable when
     |features| is dimension-scale — which it is (<= thousands)."""
-    feats = features_pdf[features_pdf["shape_type"] == 5]
+    feats = _indexed(features_pdf)
     dim_pdf = pd.DataFrame(
         {
             "record_number": feats["record_number"].astype(np.int64),
@@ -400,7 +409,7 @@ def knn_join(
     set (triangle inequality), so the per-point window over candidates is
     exact. Candidate table broadcasts; points pay one equi-join + window.
     """
-    feats = features_pdf[features_pdf["shape_type"] == 5]
+    feats = _indexed(features_pdf)
     fx = ((feats["minx"] + feats["maxx"]) / 2.0).to_numpy()
     fy = ((feats["miny"] + feats["maxy"]) / 2.0).to_numpy()
     frec = feats["record_number"].to_numpy(np.int64)
@@ -465,7 +474,7 @@ def bbox_join(
     """All (query bbox, feature) pairs whose bboxes intersect (touching
     edges count — geometry.cpp:14-17). Queries explode to covering cells of
     their own box via a generated cell range; features pre-exploded."""
-    feats = features_pdf[features_pdf["shape_type"] == 5]
+    feats = _indexed(features_pdf)
     rows = []
     for _, r in feats.iterrows():
         for c in C.cover_bbox(r.minx, r.miny, r.maxx, r.maxy, res):

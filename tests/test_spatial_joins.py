@@ -189,3 +189,29 @@ def test_bbox_join_matches_oracle(spark, features):
             ):
                 want.add((int(q.query_id), int(f.record_number)))
     assert got_pairs == want
+
+
+def test_knn_indexes_all_geometry_types(spark):
+    """Reference parity: the R-tree indexes every record's bbox regardless
+    of type (spatial_index.cpp:295-306), so a Point feature competes in kNN
+    alongside polygons; null-shape rows (no bounds) are skipped."""
+    feats = pd.DataFrame(
+        {
+            "record_number": [1, 2, 3],
+            "shape_type": [5, 1, 0],  # polygon, point, null shape
+            "xs": [[0.0, 4.0, 4.0, 0.0], [10.0], []],
+            "ys": [[0.0, 0.0, 4.0, 4.0], [10.0], []],
+            "ring_sizes": [[4], [1], []],
+            "minx": [0.0, 10.0, np.nan],
+            "miny": [0.0, 10.0, np.nan],
+            "maxx": [4.0, 10.0, np.nan],
+            "maxy": [4.0, 10.0, np.nan],
+        }
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [0], "lng": [9.0], "lat": [9.0]})
+    )
+    got = SJ.knn_join_bruteforce(spark, pts, feats, k=2).collect()
+    # nearest = point feature (dist sqrt(2)), then polygon center (2,2)
+    assert [(r.record_number, r.knn_rank) for r in
+            sorted(got, key=lambda r: r.knn_rank)] == [(2, 1), (1, 2)]
