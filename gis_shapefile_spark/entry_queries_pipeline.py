@@ -184,6 +184,50 @@ def q_dedup_minhash_oracle() -> str:
     """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment: connected components over the verified
+    MinHash near-dup pairs (min-id label propagation; singletons map to
+    themselves)."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=True)
+    pairs = DD.near_duplicate_pairs(
+        corpus, threshold=0.5, bands=4, rows_per_band=4, shingle_n=3,
+        max_bucket=None,
+    )
+    comp = DD.connected_components(corpus.select("doc_id"), pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_dedup_components_oracle() -> str:
+    base = q_dedup_minhash_oracle()
+    # reuse the scored-pairs construction, then take the reachability
+    # closure with a recursive CTE (min reachable id = component label)
+    body = base.strip()
+    assert body.startswith("WITH ")
+    ctes = body[len("WITH "):body.index("SELECT id_1::BIGINT")].rstrip().rstrip(",")
+    # strip the trailing final SELECT; keep CTE chain
+    return f"""
+        WITH RECURSIVE {ctes},
+        good AS (
+          SELECT id_1, id_2 FROM scored WHERE jaccard_u >= 500000
+        ),
+        edges AS (
+          SELECT id_1 AS src, id_2 AS dst FROM good
+          UNION
+          SELECT id_2 AS src, id_1 AS dst FROM good
+        ),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM corpus
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node::BIGINT AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY node
+    """
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit token-level SimHash signature per document."""
     return DD.simhash_table(_docs(spark, sf_dir)).select(
@@ -636,6 +680,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
@@ -656,6 +701,7 @@ ORACLES = {
     "dedup_exact": q_dedup_exact_oracle(),
     "dedup_minhash": q_dedup_minhash_oracle(),
     "dedup_simhash": q_dedup_simhash_oracle(),
+    "dedup_components": q_dedup_components_oracle(),
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),
     "embedding_neardup": q_embedding_neardup_oracle(),

@@ -287,3 +287,64 @@ def simhash_near_pairs(
     return cand.withColumn(
         "hamming", F.expr(TA.hamming_sql("s1", "s2", "spark"))
     ).where(F.col("hamming") <= max_hamming).select("id_1", "id_2", "hamming")
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label connected components over near-duplicate pairs: every node
+    maps to the smallest id reachable through the pair graph (singletons map
+    to themselves). This is the canonical-document assignment step after
+    LSH + verify.
+
+    Iterative label propagation with driver-controlled convergence: each
+    round, a node's label becomes min(own, neighbors' labels) — one
+    edge⨝label join + one aggregation per round, converging in
+    graph-diameter rounds. Near-dup components are shallow (duplicates of
+    a common source), so rounds ≈ 2-4 in practice; ``max_iter`` bounds
+    pathological chains. Labels are localCheckpointed each round to cut
+    the growing lineage (iterative plans otherwise re-execute from the
+    source every round).
+
+    At 10^12 nodes the per-round cost is one shuffle on node id; the
+    large-star/small-star variant (same join primitive, different edge
+    rewriting) drops in here if diameters ever grow beyond a handful.
+    """
+    edges = (
+        pairs.selectExpr(f"id_1 AS src", f"id_2 AS dst")
+        .unionByName(pairs.selectExpr("id_2 AS src", "id_1 AS dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -241,3 +241,32 @@ def test_kmeans_fit_deterministic():
     c2 = SIM.kmeans_fit(v, 4)
     np.testing.assert_array_equal(c1, c2)
     assert c1.shape == (4, 8)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation == python union-find on a hand-built graph with a
+    chain (diameter > 1), a triangle, and singletons."""
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10))})
+    )
+    pairs_pdf = pd.DataFrame(
+        {"id_1": [0, 1, 2, 5, 6, 5], "id_2": [1, 2, 3, 6, 7, 7]}
+    )
+    pairs = spark.createDataFrame(pairs_pdf)
+    got = {
+        r.doc_id: r.component
+        for r in DD.connected_components(nodes, pairs).collect()
+    }
+    # union-find oracle
+    parent = list(range(10))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]; x = parent[x]
+        return x
+    for a, b in pairs_pdf.itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i in range(10)}
+    assert got == exp
+    assert got[3] == 0 and got[7] == 5 and got[9] == 9
