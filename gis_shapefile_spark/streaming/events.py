@@ -127,3 +127,19 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event_id across micro-batches.
+
+    ``dropDuplicates`` keyed on the id with an event-time watermark: state
+    holds one entry per id inside the watermark horizon and evicts beyond
+    it — the streaming twin of the batch ``exact_duplicate_map`` canonical
+    pass (operators/dedup.py). At 10^12 events the state store partitions
+    by the dedup key with the shuffle; the watermark bound is what keeps
+    state finite, so replayed/at-least-once sources dedup exactly within
+    the horizon.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

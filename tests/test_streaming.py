@@ -113,3 +113,22 @@ def test_sessionize_matches_native_session_window(spark):
         for r in SE.session_stats_native(ev, gap_s=1800).collect()
     }
     assert mine == native and len(mine) > 0
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicated events (the whole input written twice, interleaved files)
+    collapse to one row per event_id across micro-batches."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    d = str(tmp_path / "dup_events")
+    src.repartition(2).write.parquet(d)
+    src.repartition(3).write.mode("append").parquet(d)
+
+    stream = EV.read_events_stream(spark, d, max_files_per_trigger=2)
+    deduped = EV.dedup_events_stream(stream)
+    EV.run_to_memory(
+        deduped, "dedup_stream", str(tmp_path / "ck"), output_mode="append"
+    )
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) t FROM dedup_stream").collect()[0]
+    assert n.t == n.c == src.select("event_id").distinct().count()
