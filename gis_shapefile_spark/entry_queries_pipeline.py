@@ -150,7 +150,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash_oracle() -> str:
+def _minhash_scored_ctes() -> str:
+    """The shared CTE chain (corpus -> shingles -> signatures -> candidate
+    pairs -> exact-Jaccard scored) used by both the dedup_minhash and
+    dedup_components oracles — one builder, no text slicing."""
     toks = TA.tokens_sql("text", "duckdb")
     sh = TA.shingles_sql(toks, 3, "duckdb")
     hs = TA.token_hashes_sql("sh", "duckdb")
@@ -162,8 +165,7 @@ def q_dedup_minhash_oracle() -> str:
         f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
         for b in range(4)
     )
-    return f"""
-        WITH corpus AS ({_dup_corpus_cte(mangle=True)}),
+    return f"""corpus AS ({_dup_corpus_cte(mangle=True)}),
         shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
         sig AS (SELECT doc_id, {bands} FROM (SELECT doc_id, {hs} AS hs FROM shs)),
         cand AS ({cand_union}),
@@ -178,7 +180,12 @@ def q_dedup_minhash_oracle() -> str:
           FROM cand c
           JOIN sets s1 ON s1.doc_id = c.id_1
           JOIN sets s2 ON s2.doc_id = c.id_2
-        )
+        )"""
+
+
+def q_dedup_minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_scored_ctes()}
         SELECT id_1::BIGINT AS id_1, id_2::BIGINT AS id_2, jaccard_u
         FROM scored WHERE jaccard_u >= 500000
     """
@@ -201,15 +208,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_components_oracle() -> str:
-    base = q_dedup_minhash_oracle()
-    # reuse the scored-pairs construction, then take the reachability
-    # closure with a recursive CTE (min reachable id = component label)
-    body = base.strip()
-    assert body.startswith("WITH ")
-    ctes = body[len("WITH "):body.index("SELECT id_1::BIGINT")].rstrip().rstrip(",")
-    # strip the trailing final SELECT; keep CTE chain
+    # reuse the scored-pairs CTE chain, then take the reachability closure
+    # with a recursive CTE (min reachable id = component label)
     return f"""
-        WITH RECURSIVE {ctes},
+        WITH RECURSIVE {_minhash_scored_ctes()},
         good AS (
           SELECT id_1, id_2 FROM scored WHERE jaccard_u >= 500000
         ),

@@ -106,7 +106,15 @@ def decode_row(buf: bytes | None):
     def header(off: int):
         bo = "<" if mv[off] == 1 else ">"
         (gtype,) = struct.unpack_from(f"{bo}I", mv, off + 1)
-        return bo, gtype & 0xFF, off + 5  # mask off EWKB/Z flags
+        # Reject EWKB flag bits (Z/M/SRID) and ISO Z/M/ZM type codes
+        # (1000+): masking them would silently misparse a 3-doubles-per-
+        # point stream as 2-D garbage. Only plain 2-D geometries decode.
+        if gtype > 6:
+            raise ValueError(
+                f"unsupported WKB geometry type {gtype} (Z/M/SRID-flagged "
+                "or non-2D WKB is not supported)"
+            )
+        return bo, gtype, off + 5
 
     bo, gtype, off = header(0)
     if gtype == WKB_POINT:
@@ -190,9 +198,16 @@ def from_wkb(
 ) -> DataFrame:
     """Decode a WKB binary column into the engine's geometry columns
     (``shape_type, xs, ys, ring_sizes, minx..maxy``), keeping ``keep``
-    pass-through columns (default: everything except the WKB column)."""
+    pass-through columns (default: everything except the WKB column and
+    any input column that would collide with a decoded output column —
+    so ``from_wkb(with_wkb(df))`` round-trips without pre-selecting)."""
+    decoded_cols = {"shape_type", "xs", "ys", "ring_sizes",
+                    "minx", "miny", "maxx", "maxy"}
     if keep is None:
-        keep = [f.name for f in df.schema.fields if f.name != wkb_col]
+        keep = [
+            f.name for f in df.schema.fields
+            if f.name != wkb_col and f.name not in decoded_cols
+        ]
     schema = ", ".join(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
         + ["shape_type int", "xs array<double>", "ys array<double>",

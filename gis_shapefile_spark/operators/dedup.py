@@ -304,8 +304,9 @@ def connected_components(
     round, a node's label becomes min(own, neighbors' labels) — one
     edge⨝label join + one aggregation per round, converging in
     graph-diameter rounds. Near-dup components are shallow (duplicates of
-    a common source), so rounds ≈ 2-4 in practice; ``max_iter`` bounds
-    pathological chains. Labels are localCheckpointed each round to cut
+    a common source), so rounds ≈ 2-4 in practice; if convergence is not
+    reached within ``max_iter`` rounds the operator RAISES rather than
+    returning silently-wrong split components. Labels are localCheckpointed each round to cut
     the growing lineage (iterative plans otherwise re-execute from the
     source every round).
 
@@ -347,4 +348,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star variant for high-diameter graphs"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

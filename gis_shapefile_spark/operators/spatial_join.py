@@ -209,17 +209,9 @@ def point_in_polygon_join(
             (pts["__cell"] == dim["cell"]) & (pts["__psalt"] == dim["salt"]),
             "inner",
         ).drop("cell", "salt", "__psalt")
+        matched = _split_refine(joined, index.rings_bc, lng_col, lat_col)
     else:
-        dim = index.dim
-        joined = pts.join(
-            F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
-        ).drop("cell")
-
-    full = joined.where(F.col("is_full")).drop("is_full", "__cell")
-    partial = joined.where(~F.col("is_full")).drop("is_full", "__cell")
-
-    refined = _pip_refine_bc(partial, index.rings_bc, lng_col, lat_col)
-    matched = full.unionByName(refined)
+        matched = pip_matches_stateless(points, index, lng_col, lat_col)
 
     if dedup_first:
         w = Window.partitionBy(point_id_col).orderBy("record_number")
@@ -237,6 +229,32 @@ def point_in_polygon_join(
         )
         matched = matched.join(F.broadcast(attr_dim), "record_number", "left")
     return matched
+
+
+def _split_refine(joined: DataFrame, rings_bc, lng_col: str, lat_col: str) -> DataFrame:
+    """FULL cells pass through; PARTIAL cells pay the vectorized ray-cast."""
+    full = joined.where(F.col("is_full")).drop("is_full", "__cell")
+    partial = joined.where(~F.col("is_full")).drop("is_full", "__cell")
+    refined = _pip_refine_bc(partial, rings_bc, lng_col, lat_col)
+    return full.unionByName(refined)
+
+
+def pip_matches_stateless(
+    points: DataFrame,
+    index: "PolygonIndex",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All exact (point, polygon) matches via the broadcast cell dimension —
+    the stateless core shared by the batch join's broadcast path and the
+    streaming leg (streaming/geocode_stream.py). No window/tie-break, so it
+    runs unchanged on a streaming DataFrame in append mode."""
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, index.res))
+    dim = index.dim
+    joined = pts.join(
+        F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
+    ).drop("cell")
+    return _split_refine(joined, index.rings_bc, lng_col, lat_col)
 
 
 def _pip_refine(
@@ -343,10 +361,14 @@ def within_distance_join(
 def _indexed(features_pdf: pd.DataFrame) -> pd.DataFrame:
     """Reference parity: the R-tree indexes EVERY record's bbox regardless of
     geometry type (spatial_index.cpp:295-306 inserts all record bounds), so
-    kNN / within-distance / bbox joins consider any feature with finite
-    bounds — not just polygons. Null-shape rows (no bounds) are skipped,
-    matching the reference's empty-geometry handling."""
-    return features_pdf[features_pdf["minx"].notna()]
+    kNN / within-distance / bbox joins consider any feature with real
+    geometry — not just polygons. Null-shape rows are skipped explicitly by
+    shape_type (both the reader and the fixtures encode their bounds as
+    0.0, not NaN — a notna() filter would admit phantom features at the
+    origin), matching the reference's empty-geometry handling."""
+    return features_pdf[
+        (features_pdf["shape_type"] != 0) & features_pdf["minx"].notna()
+    ]
 
 
 def knn_join_bruteforce(

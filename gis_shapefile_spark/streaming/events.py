@@ -134,12 +134,15 @@ def dedup_events_stream(
 ) -> DataFrame:
     """Streaming exact dedup on event_id across micro-batches.
 
-    ``dropDuplicates`` keyed on the id with an event-time watermark: state
-    holds one entry per id inside the watermark horizon and evicts beyond
-    it — the streaming twin of the batch ``exact_duplicate_map`` canonical
-    pass (operators/dedup.py). At 10^12 events the state store partitions
-    by the dedup key with the shuffle; the watermark bound is what keeps
-    state finite, so replayed/at-least-once sources dedup exactly within
-    the horizon.
+    ``dropDuplicatesWithinWatermark`` keyed on the id: state holds one
+    entry per id inside the watermark horizon and is evicted beyond it —
+    the streaming twin of the batch ``exact_duplicate_map`` canonical pass
+    (operators/dedup.py). Plain ``dropDuplicates(["event_id"])`` would NOT
+    evict (watermark-based cleanup only applies when the event-time column
+    is part of the key subset), so its state grows forever on a real
+    stream; the WithinWatermark variant is the bounded-state form for
+    at-least-once sources that replay within the horizon.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -60,21 +60,12 @@ def streaming_pip_matches(
 ) -> DataFrame:
     """Stateless stream-static PIP join: all exact (point, polygon) matches.
 
-    Same plan as the batch operator minus the tie-break window: cell key
-    (pure integer expression, codegen) → broadcast equi-join → FULL
-    pass-through / PARTIAL ray-cast refine → union.
+    Same plan as the batch operator minus the tie-break window — literally
+    the same code: this delegates to the shared stateless core
+    (``spatial_join.pip_matches_stateless``), so batch-side fixes reach the
+    streaming path by construction.
     """
-    pts = points_stream.withColumn(
-        "__cell", SJ.C.cell_col(lng_col, lat_col, index.res)
-    )
-    dim = index.dim
-    joined = pts.join(
-        F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
-    ).drop("cell")
-    full = joined.where(F.col("is_full")).drop("is_full", "__cell")
-    partial = joined.where(~F.col("is_full")).drop("is_full", "__cell")
-    refined = SJ._pip_refine_bc(partial, index.rings_bc, lng_col, lat_col)
-    return full.unionByName(refined)
+    return SJ.pip_matches_stateless(points_stream, index, lng_col, lat_col)
 
 
 def streaming_geocode_to_parquet(

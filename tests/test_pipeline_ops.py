@@ -270,3 +270,18 @@ def test_connected_components_vs_union_find(spark):
     exp = {i: find(i) for i in range(10)}
     assert got == exp
     assert got[3] == 0 and got[7] == 5 and got[9] == 9
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    n = 12
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    chain = spark.createDataFrame(
+        pd.DataFrame({"id_1": list(range(n - 1)), "id_2": list(range(1, n))})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(nodes, chain, max_iter=2)
+    # and with enough rounds the same chain converges to component 0
+    ok = DD.connected_components(nodes, chain, max_iter=15).collect()
+    assert {r.component for r in ok} == {0}
