@@ -285,3 +285,27 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain converges to component 0
     ok = DD.connected_components(nodes, chain, max_iter=15).collect()
     assert {r.component for r in ok} == {0}
+
+
+def test_star_components_match_label_propagation(spark):
+    """Large-star/small-star == label propagation on a random graph plus a
+    long chain (the high-diameter case star handles in O(log^2 n) rounds)."""
+    rng = np.random.RandomState(17)
+    n = 60
+    e1 = rng.randint(0, n, 40)
+    e2 = rng.randint(0, n, 40)
+    chain = [(100 + i, 101 + i) for i in range(25)]
+    pairs_pdf = pd.DataFrame(
+        {"id_1": list(e1) + [a for a, _ in chain],
+         "id_2": list(e2) + [b for _, b in chain]}
+    )
+    pairs_pdf = pairs_pdf[pairs_pdf.id_1 != pairs_pdf.id_2]
+    all_ids = sorted(set(range(n)) | {a for a, _ in chain} | {b for _, b in chain})
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": all_ids}))
+    pairs = spark.createDataFrame(pairs_pdf)
+    star = {r.doc_id: r.component
+            for r in DD.connected_components_star(nodes, pairs).collect()}
+    lp = {r.doc_id: r.component
+          for r in DD.connected_components(nodes, pairs, max_iter=60).collect()}
+    assert star == lp
+    assert star[125] == 100  # chain collapses to its minimum
