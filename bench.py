@@ -184,6 +184,21 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     )
     timed("ann_topk", lambda: SIM.cosine_topk(emb, q, k=10), reps=2)
 
+    cents = SIM.make_centroids(64, 8)
+    timed("ann_ivf", lambda: SIM.ivf_topk(emb, q, k=10, centroids=cents,
+                                          nprobe=2), reps=2)
+
+    # canonical-doc clustering over the verified near-dup pairs
+    pairs = DD.near_duplicate_pairs(corpus, threshold=0.5).localCheckpoint()
+    timed("dedup_components", lambda: DD.connected_components(
+        corpus.select("doc_id"), pairs), reps=2)
+
+    # temporal leg: gap-based sessions over the events table
+    from gis_shapefile_spark.operators import sessionize as SE
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("sessionize", lambda: SE.session_stats(ev, gap_s=1800), reps=2)
+
     # image payload leg: input_hint table -> cells -> PIP join -> tile
     # rollup with in-plan phash invariant verification
     from gis_shapefile_spark.operators import tiling as TI
