@@ -20,6 +20,18 @@ Three synchronized implementations, all derived from one bit-algorithm:
 Scale note: the point side (10^12 rows) only ever evaluates ``cell_col`` —
 pure integer expressions inside whole-stage codegen, no Python, no shuffle.
 All covering/neighbor enumeration happens on the polygon/dimension side.
+
+Why quadkeys rather than literal H3/S2: (a) the reference's geometry is
+strictly planar — Euclidean distance on raw degrees, axis-aligned bboxes
+(geometry.cpp, "not geodesic" at geocoder.cpp:463-468) — so a spherical
+cell system would *break* parity at tile edges while adding nothing the
+join planner uses; (b) this sandbox has no h3/s2 libraries and both
+index sides (JVM codegen expression AND the DuckDB oracle) need the cell
+function as portable integer SQL, which the Morton interleave gives in a
+handful of shifts; (c) every property the joins rely on — fixed-res equi
+keys, O(1) parent/child, ring neighbors, bbox covers — is shared by H3/S2/
+quadkey alike, so swapping in H3 on a real deployment changes one function
+pair (``cell_sql``/``cell_of_numpy``), not the operators.
 """
 
 from __future__ import annotations
