@@ -101,6 +101,15 @@ def decode_row(buf: bytes | None):
     """
     if buf is None or len(buf) == 0:
         return 0, np.empty(0), np.empty(0), []
+    try:
+        return _decode_row(buf)
+    except (struct.error, ValueError) as e:
+        if isinstance(e, ValueError) and "unsupported WKB" in str(e):
+            raise
+        raise ValueError(f"malformed or truncated WKB ({len(buf)} bytes): {e}")
+
+
+def _decode_row(buf: bytes):
     mv = memoryview(buf)
 
     def header(off: int):

@@ -152,3 +152,11 @@ def test_property_roundtrip_multi_part(shape, rings):
 def test_property_roundtrip_point(x, y):
     st2, xs2, ys2, sizes = W.decode_row(W.encode_row(W.SHAPE_POINT, [x], [y], [1]))
     assert st2 == W.SHAPE_POINT and xs2[0] == x and ys2[0] == y and sizes == [1]
+
+
+def test_truncated_wkb_raises_valueerror():
+    buf = W.encode_row(W.SHAPE_POLYGON, [0, 1, 1, 0], [0, 0, 1, 0], [4])
+    with pytest.raises(ValueError, match="truncated|malformed"):
+        W.decode_row(buf[:20])
+    with pytest.raises(ValueError, match="unsupported WKB"):
+        W.decode_row(struct.pack("<BI", 1, 0x80000002) + b"\x00" * 48)
