@@ -76,17 +76,33 @@ def streaming_geocode_to_parquet(
     checkpoint_dir: str,
     point_id_col: str = "point_id",
     attrs: list[str] | None = None,
+    table=None,
 ):
     """Sink path: per-micro-batch full geocode (tie-break included) written
     to ``out_dir/batch_id=N/``, exactly-once via idempotent overwrite +
-    stream checkpoint. Returns the (terminated) StreamingQuery."""
+    stream checkpoint. Returns the (terminated) StreamingQuery.
+
+    Pass a ``plans.checkpoint.CheckpointTable`` as ``table`` to commit each
+    micro-batch as a manifest stage instead: the batch then carries
+    per-partition lineage + row/byte metrics like every batch pipeline
+    stage, and a replayed batch (failure between sink write and stream
+    commit) short-circuits on its fingerprint — manifest-level
+    exactly-once on top of the stream checkpoint."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         matched = SJ.point_in_polygon_join(
             spark, batch_df, index,
             point_id_col=point_id_col, attrs=attrs,
         )
-        matched.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if table is not None:
+            table.stage(
+                f"geocode_batch_{batch_id}", f"batch:{batch_id}",
+                lambda: matched,
+            )
+        else:
+            matched.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
 
     q = (
         points_stream.writeStream.foreachBatch(process)

@@ -96,3 +96,30 @@ def test_foreachbatch_sink_and_resume(spark, index, points_dir, tmp_path):
     )
     assert total.select("point_id").distinct().count() == full_batch.count()
     assert total.count() > sunk.count()  # the resume actually added rows
+
+
+def test_foreachbatch_checkpoint_table_lineage(spark, index, tmp_path):
+    """Streaming sink through the manifest layer: every micro-batch commits
+    as a stage with lineage; total staged rows == batch join rows."""
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+
+    d = str(tmp_path / "pts2")
+    _synth_points(spark, 1500).repartition(3).write.parquet(d)
+    table = CheckpointTable(spark, str(tmp_path / "ck_table"))
+    stream = GS.read_points_stream(spark, d, max_files_per_trigger=1)
+    GS.streaming_geocode_to_parquet(
+        spark, stream, index, out_dir="unused", checkpoint_dir=str(tmp_path / "ck"),
+        table=table,
+    )
+    lin = {r.stage: r.rows for r in table.lineage().collect()}
+    assert len(lin) == 3  # one manifest stage per micro-batch
+    batch = SJ.point_in_polygon_join(
+        spark, spark.read.parquet(d), index, point_id_col="point_id"
+    )
+    assert sum(lin.values()) == batch.count()
+    # stage data is readable back through the manifest
+    total = sum(
+        table.read_stage(s).count() for s in lin
+    )
+    assert total == batch.count()
