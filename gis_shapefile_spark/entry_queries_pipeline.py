@@ -604,6 +604,33 @@ def q_tile_pyramid_oracle() -> str:
     """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split of documents by salted key hash, plus the
+    quality mean per split (the split must be reproducible cross-engine)."""
+    from .operators import splits as SP
+
+    docs = _docs(spark, sf_dir)
+    tagged = SP.hash_split(docs, "doc_id")
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TA.quality_score_col("text")).alias("sum_quality_u"),
+    )
+
+
+def q_train_val_split_oracle() -> str:
+    from .operators import splits as SP
+
+    split = SP.split_sql(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, dialect="duckdb"
+    )
+    q = TA.quality_score_sql("text", "duckdb")
+    return f"""
+        SELECT {split} AS split, count(*) AS n_docs,
+               CAST(sum({q}) AS BIGINT) AS sum_quality_u
+        FROM documents GROUP BY 1
+    """
+
+
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
@@ -692,6 +719,7 @@ QUERIES = {
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
     "corpus_curation": q_corpus_curation,
+    "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
 }
 
@@ -713,4 +741,5 @@ ORACLES = {
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),
     "corpus_curation": q_corpus_curation_oracle(),
+    "train_val_split": q_train_val_split_oracle(),
 }

@@ -1,0 +1,67 @@
+"""Deterministic leakage-safe dataset splitting (train/val/test).
+
+A training corpus must split by a STABLE key hash — not by random() (not
+reproducible across runs/executors) and not by position (leaks ordering) —
+so that a document lands in the same split forever, across engines and
+re-runs, and grouped keys (e.g. all docs of one user/session) can be kept
+on one side by hashing the group key. Built on the engine's dual-dialect
+60-bit md5 hash (functions/text_analysis.py), so the DuckDB oracle
+computes bit-identical assignments.
+
+Scale: the split is one codegen expression on the scan — no shuffle, no
+sampling pass; fractions hold in expectation with md5 uniformity (exact
+at the 1/10000 bucket granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text_analysis as TA
+
+BUCKETS = 10_000
+
+
+def _key_string(key: str, salt: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"concat('{salt}:', CAST({key} AS STRING))"
+    return f"('{salt}:' || CAST({key} AS VARCHAR))"
+
+
+def split_sql(
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    dialect: str = "spark",
+) -> str:
+    """CASE expression assigning a split label from the salted key hash.
+
+    ``fractions`` is ordered {label: fraction}; cumulative thresholds over
+    ``hash % 10000`` partition the key space. Fractions must sum to <= 1;
+    any remainder falls into the LAST label.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = f"({TA.hash60_sql(_key_string(key, salt, dialect), dialect)} % {BUCKETS})"
+    whens, acc = [], 0.0
+    labels = list(fractions)
+    for label in labels[:-1]:
+        acc += fractions[label]
+        whens.append(f"WHEN {bucket} < {int(round(acc * BUCKETS))} THEN '{label}'")
+    return "(CASE " + " ".join(whens) + f" ELSE '{labels[-1]}' END)"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append the deterministic split label column."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(
+        out_col, F.expr(split_sql(key_col, fractions, salt, "spark"))
+    )

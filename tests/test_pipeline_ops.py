@@ -309,3 +309,23 @@ def test_star_components_match_label_propagation(spark):
           for r in DD.connected_components(nodes, pairs, max_iter=60).collect()}
     assert star == lp
     assert star[125] == 100  # chain collapses to its minimum
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from gis_shapefile_spark.operators import splits as SP
+
+    df = spark.range(20000).selectExpr("id AS doc_id")
+    a = SP.hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = SP.hash_split(df, "doc_id").groupBy("split").count().collect()
+    ca = {r.split: r["count"] for r in a}
+    assert ca == {r.split: r["count"] for r in b}  # deterministic
+    assert set(ca) == {"train", "val", "test"}
+    assert abs(ca["train"] / 20000 - 0.9) < 0.02
+    assert abs(ca["val"] / 20000 - 0.05) < 0.01
+    # a different salt reshuffles membership but not determinism
+    c = {r.split: r["count"]
+         for r in SP.hash_split(df, "doc_id", salt="v2").groupBy("split").count().collect()}
+    assert abs(c["train"] / 20000 - 0.9) < 0.02
+    rows_a = {r.doc_id: r.split for r in SP.hash_split(df, "doc_id").collect()}
+    rows_c = {r.doc_id: r.split for r in SP.hash_split(df, "doc_id", salt="v2").collect()}
+    assert rows_a != rows_c
