@@ -57,11 +57,17 @@ class CheckpointTable:
                     continue
         return sorted(out)
 
-    def manifest(self) -> dict:
+    def manifest(self, version: int | None = None) -> dict:
+        """The committed manifest — latest, or a specific ``version``
+        (time travel: every commit is an immutable snapshot)."""
         vs = self._manifest_versions()
         if not vs:
             return {"version": 0, "stages": {}}
-        with open(os.path.join(self.root, "_manifests", f"v{vs[-1]}.json")) as f:
+        if version is None:
+            version = vs[-1]
+        elif version not in vs:
+            raise KeyError(f"no committed manifest v{version} (have {vs})")
+        with open(os.path.join(self.root, "_manifests", f"v{version}.json")) as f:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
@@ -87,11 +93,38 @@ class CheckpointTable:
         st = self.manifest()["stages"].get(name)
         return bool(st) and st["fingerprint"] == fingerprint
 
-    def read_stage(self, name: str) -> DataFrame:
-        st = self.manifest()["stages"].get(name)
+    def read_stage(self, name: str, version: int | None = None) -> DataFrame:
+        """Read a committed stage — from the latest manifest or, with
+        ``version``, as of that snapshot (time travel)."""
+        st = self.manifest(version)["stages"].get(name)
         if not st:
-            raise KeyError(f"stage {name!r} not committed")
+            raise KeyError(f"stage {name!r} not committed"
+                           + (f" as of v{version}" if version else ""))
         return self.spark.read.parquet(st["path"])
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Remove data directories not referenced by the ``keep_versions``
+        most recent manifests, and manifests older than those — the
+        Iceberg expire-snapshots + remove-orphans maintenance pass.
+        Returns the deleted paths. The latest manifest is never touched,
+        so readers of the current snapshot are unaffected."""
+        vs = self._manifest_versions()
+        keep = set(vs[-max(keep_versions, 1):])
+        live = set()
+        for v in keep:
+            for st in self.manifest(v)["stages"].values():
+                live.add(os.path.realpath(st["path"]))
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for d in os.listdir(data_dir):
+            full = os.path.realpath(os.path.join(data_dir, d))
+            if os.path.isdir(full) and full not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.root, "_manifests", f"v{v}.json"))
+        return removed
 
     def stage(self, name: str, fingerprint: str, fn) -> DataFrame:
         """Run-or-resume one pipeline stage.

@@ -160,3 +160,26 @@ def test_cell_partitioned_layout_prunes(spark, tmp_path):
     # plan: the partition filter reached the scan
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*pcell.*\]", plan)
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Manifest snapshots are immutable (time travel) and vacuum removes
+    only data unreachable from the kept versions."""
+    import os
+    import pytest as _pytest
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+
+    t = CheckpointTable(spark, str(tmp_path / "tt"))
+    t.stage("s", "fp1", lambda: spark.range(10).selectExpr("id AS a"))
+    t.stage("s", "fp2", lambda: spark.range(25).selectExpr("id AS a"))
+
+    assert t.read_stage("s").count() == 25          # latest
+    assert t.read_stage("s", version=1).count() == 10  # time travel
+    with _pytest.raises(KeyError):
+        t.manifest(version=99)
+
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 1  # the fp1 directory is orphaned
+    assert t.read_stage("s").count() == 25  # current snapshot intact
+    with _pytest.raises(KeyError):
+        t.manifest(version=1)  # expired snapshot gone
