@@ -535,3 +535,84 @@ def bbox_join(
         .drop("cell", "__cell", "__x0", "__x1", "__y0", "__y1", "__xi", "__yi")
     )
     return out
+
+
+def knn_join_ring_expansion(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    k: int,
+    res: int = 6,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "image_id",
+) -> DataFrame:
+    """kNN via literal cell-ring expansion (the north-star formulation).
+
+    Features hash to their center's cell. For every point-occupied cell,
+    rings widen (``cells.neighbors``) until >= k feature centers are
+    inside, then widen further by the safety factor ceil((r+1)*sqrt(2))+1
+    — a feature outside those rings is provably farther than the k-th
+    in-ring candidate (ring r'' lower-bounds distance at (r''-1)*side,
+    while the k-th candidate is within (r+1)*diagonal). The per-cell
+    candidate lists broadcast; points pay one equi-join + exact-distance
+    window — identical output to ``knn_join`` / brute force (tested).
+
+    Same scale shape as knn_join: all expansion happens on the
+    (dimension x occupied-cells) side, never per point.
+    """
+    import math
+
+    feats = _indexed(features_pdf)
+    fx = ((feats["minx"] + feats["maxx"]) / 2.0).to_numpy()
+    fy = ((feats["miny"] + feats["maxy"]) / 2.0).to_numpy()
+    frec = feats["record_number"].to_numpy(np.int64)
+    fcell = C.cell_of_numpy(fx, fy, res)
+    by_cell: dict[int, list[int]] = {}
+    for i, c in enumerate(fcell):
+        by_cell.setdefault(int(c), []).append(i)
+
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    occupied = np.array(
+        [r["__cell"] for r in pts.select("__cell").distinct().collect()],
+        dtype=np.int64,
+    )
+    rows = []
+    for cell in occupied:
+        r = 0
+        found: set[int] = set()
+        while True:
+            ring_cells = C.neighbors(int(cell), r) if r > 0 else np.array([cell])
+            for rc in ring_cells:
+                found.update(by_cell.get(int(rc), ()))
+            if len(found) >= k or r > (1 << res):
+                break
+            r += 1
+        # safety rings: the k-th candidate may be beaten by a feature in a
+        # farther ring that the greedy expansion has not opened yet
+        r_max = math.ceil((r + 1) * math.sqrt(2.0)) + 1
+        for rr in range(r + 1, r_max + 1):
+            for rc in C.neighbors(int(cell), rr):
+                found.update(by_cell.get(int(rc), ()))
+        for i in found:
+            rows.append((int(cell), int(frec[i]), float(fx[i]), float(fy[i])))
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "record_number", "cx", "cy"])
+    )
+    scored = (
+        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        .drop("cell", "__cell")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                (F.col(lng_col) - F.col("cx")) * (F.col(lng_col) - F.col("cx"))
+                + (F.col(lat_col) - F.col("cy")) * (F.col(lat_col) - F.col("cy"))
+            ),
+        )
+    )
+    w = Window.partitionBy(point_id_col).orderBy("dist", "record_number")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )

@@ -215,3 +215,22 @@ def test_knn_indexes_all_geometry_types(spark):
     # nearest = point feature (dist sqrt(2)), then polygon center (2,2)
     assert [(r.record_number, r.knn_rank) for r in
             sorted(got, key=lambda r: r.knn_rank)] == [(2, 1), (1, 2)]
+
+
+def test_knn_ring_expansion_matches_bruteforce(spark):
+    """Literal cell-ring-expansion kNN == brute force on the 51-state
+    fixture (both rank by exact center distance; expansion only prunes)."""
+    feats = FX.make_features()
+    rng = np.random.RandomState(11)
+    pts_pdf = pd.DataFrame({
+        "image_id": range(300),
+        "lng": rng.uniform(-124, -67, 300),
+        "lat": rng.uniform(25, 49, 300),
+    })
+    pts = spark.createDataFrame(pts_pdf)
+    ring = SJ.knn_join_ring_expansion(spark, pts, feats, k=3, res=6)
+    brute = SJ.knn_join_bruteforce(spark, pts, feats, k=3)
+    key = lambda df: sorted(
+        (r.image_id, r.knn_rank, r.record_number) for r in df.collect()
+    )
+    assert key(ring) == key(brute)
