@@ -126,22 +126,38 @@ class CheckpointTable:
                 os.remove(os.path.join(self.root, "_manifests", f"v{v}.json"))
         return removed
 
-    def stage(self, name: str, fingerprint: str, fn) -> DataFrame:
+    def stage(self, name: str, fingerprint: str, fn, metrics=None) -> DataFrame:
         """Run-or-resume one pipeline stage.
 
         ``fn() -> DataFrame`` is executed only when no committed version of
         (name, fingerprint) exists; its output is written to Parquet, the
         lineage metrics are collected, and a new manifest version commits
         atomically before the stage is visible.
+
+        ``metrics`` (optional ``{label: Column}`` of aggregate expressions,
+        e.g. ``{"n_null_geom": F.sum(F.col("shape_type").isNull()
+        .cast("long"))}``) are observed IN-FLIGHT during the write via
+        Spark's Observation API — data-quality numbers land in the
+        manifest without a second pass over the data.
         """
         if self.completed(name, fingerprint):
             return self.read_stage(name)
 
         t0 = time.time()
         df = fn()
+        observed = {}
+        obs = None
+        if metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"{name}-metrics")
+            df = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
         final = self._stage_dir(name, fingerprint)
         tmp = os.path.join(self.root, "data", f".tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
+        if obs is not None:
+            observed = {k: (int(v) if isinstance(v, (int, bool)) else v)
+                        for k, v in obs.get.items()}
         if os.path.exists(final):
             shutil.rmtree(final)  # stale uncommitted attempt
         os.rename(tmp, final)
@@ -169,6 +185,7 @@ class CheckpointTable:
             "partitions": part_rows,
             "wall_s": round(time.time() - t0, 3),
             "committed_at_version": m["version"],
+            "metrics": observed,
         }
         self._commit(m)
         return written

@@ -183,3 +183,22 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert t.read_stage("s").count() == 25  # current snapshot intact
     with _pytest.raises(KeyError):
         t.manifest(version=1)  # expired snapshot gone
+
+
+def test_stage_observed_metrics_in_manifest(spark, tmp_path):
+    """In-flight Observation metrics land in the committed manifest entry."""
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+
+    t = CheckpointTable(spark, str(tmp_path / "obs"))
+    t.stage(
+        "q", "fp",
+        lambda: spark.range(100).selectExpr("id", "id % 10 = 0 AS flagged"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_flagged": F.sum(F.col("flagged").cast("long")),
+        },
+    )
+    st = t.manifest()["stages"]["q"]
+    assert st["metrics"] == {"n_rows": 100, "n_flagged": 10}
+    assert st["rows"] == 100
