@@ -164,3 +164,78 @@ def polygon_contains_points(
         else:
             inside &= ~in_ring
     return inside
+
+
+def simplify_ring(
+    x: np.ndarray, y: np.ndarray, epsilon: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Douglas-Peucker ring simplification (iterative, numpy distances).
+
+    Keeps every vertex whose perpendicular distance from the chord of its
+    enclosing kept-segment exceeds ``epsilon``. Rings (closed) anchor on
+    the first vertex and the farthest vertex from it, guaranteeing >= 3
+    surviving vertices. Used to thin polygon outlines before per-tile
+    rasterization — at tile pixel size p, epsilon ~ p/2 is visually
+    lossless while cutting ray-cast edge counts.
+    """
+    n = len(x)
+    if n <= 3:
+        return x.copy(), y.copy()
+    d0 = (x - x[0]) ** 2 + (y - y[0]) ** 2
+    anchor = int(np.argmax(d0))
+    keep = np.zeros(n, dtype=bool)
+    keep[[0, anchor]] = True
+    stack = [(0, anchor), (anchor, n - 1)]
+    keep[n - 1] = True
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        sx, sy = x[i], y[i]
+        exx, eyy = x[j], y[j]
+        dx, dy = exx - sx, eyy - sy
+        seg = x[i + 1: j], y[i + 1: j]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d = np.sqrt((seg[0] - sx) ** 2 + (seg[1] - sy) ** 2)
+        else:
+            d = np.abs(dy * seg[0] - dx * seg[1] + exx * sy - eyy * sx) / np.sqrt(L2)
+        m = int(np.argmax(d))
+        if d[m] > epsilon:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return x[keep], y[keep]
+
+
+def simplify_features(features_pdf, epsilon: float):
+    """Simplify every ring of every polygon row in a feature frame
+    (driver-side, dimension-scale), recomputing ring_sizes; bounds are
+    preserved exactly only when their extreme vertices survive — callers
+    needing exact bounds keep the originals (they are stored columns)."""
+    import pandas as pd
+
+    out = features_pdf.copy()
+    new_xs, new_ys, new_sizes = [], [], []
+    for _, row in features_pdf.iterrows():
+        if row["shape_type"] != 5 or len(row["ring_sizes"]) == 0:
+            new_xs.append(row["xs"]); new_ys.append(row["ys"])
+            new_sizes.append(row["ring_sizes"])
+            continue
+        xs = np.asarray(row["xs"], np.float64)
+        ys = np.asarray(row["ys"], np.float64)
+        offs = np.concatenate([[0], np.cumsum(row["ring_sizes"])])
+        rx, ry, sizes = [], [], []
+        for i in range(len(row["ring_sizes"])):
+            sx, sy = simplify_ring(
+                xs[offs[i]: offs[i + 1]], ys[offs[i]: offs[i + 1]], epsilon
+            )
+            rx.append(sx); ry.append(sy); sizes.append(len(sx))
+        new_xs.append(np.concatenate(rx).tolist())
+        new_ys.append(np.concatenate(ry).tolist())
+        new_sizes.append(sizes)
+    out["xs"] = new_xs
+    out["ys"] = new_ys
+    out["ring_sizes"] = new_sizes
+    return out

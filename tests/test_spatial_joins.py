@@ -234,3 +234,54 @@ def test_knn_ring_expansion_matches_bruteforce(spark):
         (r.image_id, r.knn_rank, r.record_number) for r in df.collect()
     )
     assert key(ring) == key(brute)
+
+
+def test_simplify_ring_properties():
+    """DP simplification: survivors are a subsequence, dropped vertices lie
+    within epsilon of the simplified outline, straight runs collapse."""
+    # square with collinear midpoints -> collapses to the 4 corners + ends
+    x = np.array([0, 1, 2, 2, 2, 1, 0, 0, 0.0])
+    y = np.array([0, 0, 0, 1, 2, 2, 2, 1, 0.0])
+    sx, sy = G.simplify_ring(x, y, epsilon=1e-9)
+    assert len(sx) <= 6 and sx[0] == x[0] and sx[-1] == x[-1]
+    # jittered circle: epsilon bounds the max deviation
+    t = np.linspace(0, 2 * np.pi, 200)
+    rng = np.random.RandomState(3)
+    cx = np.cos(t) + rng.uniform(-0.003, 0.003, 200)
+    cy = np.sin(t) + rng.uniform(-0.003, 0.003, 200)
+    sx, sy = G.simplify_ring(cx, cy, epsilon=0.05)
+    assert 3 <= len(sx) < 200
+    # every original vertex is within ~epsilon of the simplified polyline
+    def dist_to_polyline(px, py):
+        best = np.inf
+        for i in range(len(sx) - 1):
+            ax, ay, bx, by = sx[i], sy[i], sx[i + 1], sy[i + 1]
+            L2 = (bx - ax) ** 2 + (by - ay) ** 2
+            tt = 0 if L2 == 0 else np.clip(((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / L2, 0, 1)
+            best = min(best, np.hypot(px - (ax + tt * (bx - ax)), py - (ay + tt * (by - ay))))
+        return best
+    worst = max(dist_to_polyline(cx[i], cy[i]) for i in range(0, 200, 7))
+    assert worst <= 0.06
+
+
+def test_simplify_features_cuts_edges_preserves_interior(spark):
+    """Simplified states: fewer vertices, and interior PIP verdicts agree
+    with the full-resolution polygons away from the boundary band."""
+    feats = FX.make_features()
+    simp = G.simplify_features(feats, epsilon=0.01)
+    n0 = sum(len(r) for r in feats[feats.shape_type == 5]["xs"])
+    n1 = sum(len(r) for r in simp[simp.shape_type == 5]["xs"])
+    assert n1 < n0
+    rng = np.random.RandomState(7)
+    pts_pdf = pd.DataFrame({
+        "image_id": range(500),
+        "lng": rng.uniform(-124, -67, 500),
+        "lat": rng.uniform(25, 49, 500),
+    })
+    pts = spark.createDataFrame(pts_pdf)
+    a = {(r.image_id, r.record_number) for r in SJ.point_in_polygon_join(
+        spark, pts, feats, res=8, dedup_first=False).collect()}
+    b = {(r.image_id, r.record_number) for r in SJ.point_in_polygon_join(
+        spark, pts, simp, res=8, dedup_first=False).collect()}
+    # epsilon=0.01 deg boundary band: the symmetric difference stays tiny
+    assert len(a ^ b) <= max(2, len(a) // 20)
