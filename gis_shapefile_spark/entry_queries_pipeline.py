@@ -604,6 +604,50 @@ def q_tile_pyramid_oracle() -> str:
     """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event gets the user's most recent purchase
+    value at-or-before the click (null if the user never purchased)."""
+    from .operators import asof as AS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.floor(F.col("value") * 100).cast("long").alias("pvalue_c")
+    )
+    out = AS.asof_join(
+        clicks, purchases, on="ts", by=["user_id"],
+        value_cols=["pvalue_c"], seq_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "r_pvalue_c",
+    )
+
+
+def q_asof_join_oracle() -> str:
+    return """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS pvalue_c
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+          ) WHERE rn = 1
+        )
+        SELECT c.event_id, c.user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+               p.pvalue_c AS r_pvalue_c
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 split of documents by salted key hash, plus the
     quality mean per split (the split must be reproducible cross-engine)."""
@@ -715,6 +759,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -737,6 +782,7 @@ ORACLES = {
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),
+    "asof_join": q_asof_join_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),

@@ -329,3 +329,31 @@ def test_hash_split_stable_and_proportional(spark):
     rows_a = {r.doc_id: r.split for r in SP.hash_split(df, "doc_id").collect()}
     rows_c = {r.doc_id: r.split for r in SP.hash_split(df, "doc_id", salt="v2").collect()}
     assert rows_a != rows_c
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before left ts; same-instant
+    matches; ties broken by seq desc; no-match -> null; one shuffle."""
+    import datetime as dt
+    from gis_shapefile_spark.operators import asof as AS
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, 10, t(100)), (2, 10, t(50)), (3, 10, t(10)), (4, 20, t(100))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(50), 101, 5.0),   # same instant as left#2
+         (10, t(50), 102, 7.0),   # tie -> higher event_id (102) wins
+         (10, t(99), 103, 9.0),
+         (30, t(1), 104, 1.0)],   # other user, never matches
+        "user_id long, ts timestamp, event_id long, v double",
+    )
+    out = AS.asof_join(left, right, on="ts", by=["user_id"],
+                       value_cols=["v"], seq_col="event_id")
+    got = {r.event_id: r.r_v for r in out.collect()}
+    assert got == {1: 9.0, 2: 7.0, 3: None, 4: None}
+    # plan sanity: no joins at all — the as-of is pure union + window
+    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Join", plan)
