@@ -257,15 +257,21 @@ def main() -> None:
 
             best = float("inf")
             job()  # steady-state warmup
-            for _ in range(4):  # low-core runs keep warming for ~3 reps
+            for _ in range(3):  # two interleaved phases x 3 reps per level
                 t0 = time.time()
                 job()
                 best = min(best, time.time() - t0)
             s.stop()
             return best
 
-        t_n = timed_job(f"local[{scale_n}]")
-        t_4n = timed_job(f"local[{scale_n * 4}]")
+        # interleave A/B/A/B and merge mins: the host's throughput drifts
+        # on ~minutes timescales (see BENCH/BASELINE.md), so measuring all
+        # of N then all of 4N couples the ratio to the drift direction;
+        # alternating phases decorrelates it.
+        t_n = min(timed_job(f"local[{scale_n}]"),)
+        t_4n = min(timed_job(f"local[{scale_n * 4}]"),)
+        t_n = min(t_n, timed_job(f"local[{scale_n}]"))
+        t_4n = min(t_4n, timed_job(f"local[{scale_n * 4}]"))
         scaling = {
             "n_cores": scale_n,
             "t_n_sec": round(t_n, 3),

@@ -648,6 +648,40 @@ def q_asof_join_oracle() -> str:
     """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D range join: events binned into 50 overlapping value bands
+    [2i, 2i+3]; per-band count + integerized value sum."""
+    from .operators import interval as IV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    bands = spark.range(50).select(
+        F.col("id").alias("band"),
+        (F.col("id") * F.lit(2.0)).alias("lo"),
+        (F.col("id") * F.lit(2.0) + F.lit(3.0)).alias("hi"),
+    )
+    out = IV.interval_join(spark, ev, bands, point_col="value", bin_width=2.0)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+
+
+def q_interval_join_oracle() -> str:
+    return """
+        WITH bands AS (
+          SELECT i AS band, CAST(i * 2.0 AS DOUBLE) AS lo,
+                 CAST(i * 2.0 + 3.0 AS DOUBLE) AS hi
+          FROM range(50) t(i)
+        )
+        SELECT band, count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events JOIN bands ON value >= lo AND value <= hi
+        GROUP BY band
+    """
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 split of documents by salted key hash, plus the
     quality mean per split (the split must be reproducible cross-engine)."""
@@ -760,6 +794,7 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -783,6 +818,7 @@ ORACLES = {
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),
     "asof_join": q_asof_join_oracle(),
+    "interval_join": q_interval_join_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),

@@ -357,3 +357,35 @@ def test_asof_join_semantics(spark):
     import re
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"Join", plan)
+
+
+def test_interval_join_vs_cross_filter(spark):
+    """Binned interval join == cross-join + filter, across closed modes and
+    bin widths (correctness is bin-width independent)."""
+    from gis_shapefile_spark.operators import interval as IV
+
+    pts = spark.range(500).selectExpr("id", "(id % 97) / 3.0 AS x")
+    iv = spark.range(20).selectExpr(
+        "id AS ivl", "id * 1.7 AS lo", "id * 1.7 + 2.5 AS hi"
+    )
+    exp = {
+        (r.id, r.ivl)
+        for r in pts.crossJoin(iv).where("x >= lo AND x <= hi").collect()
+    }
+    for w in (0.5, 2.0, 10.0):
+        got = {
+            (r.id, r.ivl)
+            for r in IV.interval_join(spark, pts, iv, "x", bin_width=w).collect()
+        }
+        assert got == exp, w
+    half = {
+        (r.id, r.ivl)
+        for r in IV.interval_join(
+            spark, pts, iv, "x", bin_width=2.0, closed="left"
+        ).collect()
+    }
+    exp_half = {
+        (r.id, r.ivl)
+        for r in pts.crossJoin(iv).where("x >= lo AND x < hi").collect()
+    }
+    assert half == exp_half
