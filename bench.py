@@ -268,8 +268,8 @@ def main() -> None:
         # on ~minutes timescales (see BENCH/BASELINE.md), so measuring all
         # of N then all of 4N couples the ratio to the drift direction;
         # alternating phases decorrelates it.
-        t_n = min(timed_job(f"local[{scale_n}]"),)
-        t_4n = min(timed_job(f"local[{scale_n * 4}]"),)
+        t_n = timed_job(f"local[{scale_n}]")
+        t_4n = timed_job(f"local[{scale_n * 4}]")
         t_n = min(t_n, timed_job(f"local[{scale_n}]"))
         t_4n = min(t_4n, timed_job(f"local[{scale_n * 4}]"))
         scaling = {
