@@ -146,3 +146,41 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: each purchase attributed to every
+    click by the same user within ``horizon`` before it.
+
+    Both sides buffer in the state store only up to watermark + horizon —
+    the event-time range condition is what lets Spark evict (an
+    unconstrained stream-stream join would hold both streams forever).
+    Inner join ⇒ results emit as soon as both sides arrive; the batch
+    twin (same expression on static frames) is the correctness oracle in
+    tests.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("pvalue_c"),
+    ).withWatermark("p_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts >= p_ts - INTERVAL {horizon} "
+            "AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"),
+             "pvalue_c")

@@ -132,3 +132,26 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     )
     n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) t FROM dedup_stream").collect()[0]
     assert n.t == n.c == src.select("event_id").distinct().count()
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream range join replayed over micro-batches == the batch
+    join on the full static input."""
+    import pyspark.sql.functions as F
+
+    def split(df):
+        return (df.where(F.col("event_type") == "click"),
+                df.where(F.col("event_type") == "purchase"))
+
+    sc, sp = split(EV.read_events_stream(spark, events_dir, max_files_per_trigger=2))
+    out = EV.attribution_join_stream(sc, sp)
+    EV.run_to_memory(out, "attr_stream", str(tmp_path / "ck_attr"),
+                     output_mode="append")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attr_stream").collect()
+    }
+    bc, bp = split(spark.read.parquet(events_dir))
+    batch = EV.attribution_join_stream(bc, bp)  # same expr on static frames
+    exp = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == exp and len(got) > 0
