@@ -65,3 +65,80 @@ def checkpointed_image_tiling(
         ),
     )
     return tiles, ck
+
+
+def checkpointed_corpus_curation(
+    spark: SparkSession,
+    docs_parquet: str,
+    ckpt_root: str,
+    min_quality_u: int = 350_000,
+    lang: str = "en",
+    jaccard_threshold: float = 0.5,
+    split_fractions: dict[str, float] | None = None,
+) -> tuple[DataFrame, CheckpointTable]:
+    """The full training-corpus curation flow as resumable manifest stages:
+
+    score (quality + lang-ID, Observation metrics) -> filter -> near-dup
+    candidate pairs -> connected components -> canonical dedup (keep the
+    component minimum) -> leakage-safe train/val/test split.
+
+    Every stage commits lineage + in-flight metrics; a restart (or a
+    re-run with identical inputs/params) short-circuits every committed
+    stage via its fingerprint, so the pipeline resumes exactly where it
+    died. Returns (curated corpus with split labels, checkpoint table).
+    """
+    from ..functions import text_analysis as TA
+    from ..operators import dedup as DD
+    from ..operators import splits as SP
+
+    ck = CheckpointTable(spark, ckpt_root)
+    fp = (f"src={docs_parquet}|q={min_quality_u}|lang={lang}"
+          f"|j={jaccard_threshold}")
+
+    scored = ck.stage(
+        "scored", fp,
+        lambda: spark.read.parquet(docs_parquet).select(
+            "doc_id", "text",
+            TA.quality_score_col("text").alias("quality_u"),
+            TA.lang_id_col("text").alias("lang_pred"),
+        ),
+        metrics={
+            "n_docs": F.count(F.lit(1)),
+            "n_lang_match": F.sum((F.col("lang_pred") == lang).cast("long")),
+        },
+    )
+
+    kept = ck.stage(
+        "filtered", fp,
+        lambda: scored.where(
+            (F.col("quality_u") >= min_quality_u)
+            & (F.col("lang_pred") == lang)
+        ),
+        metrics={"n_kept": F.count(F.lit(1))},
+    )
+
+    pairs = ck.stage(
+        "neardup_pairs", fp,
+        lambda: DD.near_duplicate_pairs(kept, threshold=jaccard_threshold),
+        metrics={"n_pairs": F.count(F.lit(1))},
+    )
+
+    comp = ck.stage(
+        "components", fp,
+        lambda: DD.connected_components(kept.select("doc_id"), pairs),
+    )
+
+    canon = ck.stage(
+        "canonical", fp,
+        lambda: kept.join(comp, "doc_id").where(
+            F.col("doc_id") == F.col("component")
+        ).drop("component"),
+        metrics={"n_canonical": F.count(F.lit(1))},
+    )
+
+    curated = ck.stage(
+        "split", fp,
+        lambda: SP.hash_split(canon, "doc_id", split_fractions),
+        metrics={"n_final": F.count(F.lit(1))},
+    )
+    return curated, ck

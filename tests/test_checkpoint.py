@@ -202,3 +202,29 @@ def test_stage_observed_metrics_in_manifest(spark, tmp_path):
     st = t.manifest()["stages"]["q"]
     assert st["metrics"] == {"n_rows": 100, "n_flagged": 10}
     assert st["rows"] == 100
+
+
+def test_corpus_curation_pipeline_runs_and_resumes(spark, tmp_path):
+    """End-to-end curated corpus: quality/lang filter -> dedup components
+    -> canonical -> split, with manifest metrics; a re-run is a no-op
+    (every stage fingerprint-cached, same manifest version)."""
+    from gis_shapefile_spark.plans.pipelines import checkpointed_corpus_curation
+
+    root = str(tmp_path / "curate")
+    out, ck = checkpointed_corpus_curation(
+        spark, "/root/testdata/sf0.001/documents.parquet", root
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    m = ck.manifest()
+    assert m["stages"]["scored"]["metrics"]["n_docs"] > 0
+    assert (m["stages"]["canonical"]["metrics"]["n_canonical"]
+            <= m["stages"]["filtered"]["metrics"]["n_kept"])
+    v1 = m["version"]
+
+    out2, ck2 = checkpointed_corpus_curation(
+        spark, "/root/testdata/sf0.001/documents.parquet", root
+    )
+    assert ck2.manifest()["version"] == v1  # all stages cache-hit
+    assert out2.count() == len(rows)
