@@ -681,6 +681,35 @@ def q_promo_revenue_oracle() -> str:
     """
 
 
+_ABOVE_AVG_SQL = """
+    SELECT o_orderpriority, count(*) AS n_above,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders o
+    WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > (
+        SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*)
+        FROM orders o2
+        WHERE o2.o_orderpriority = o.o_orderpriority
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their priority's average
+    price): Catalyst decorrelates it into an aggregate + join — the SQL
+    text is byte-identical to the DuckDB oracle, and the inner average is
+    exact-integer sum / exact count so the comparison is engine-stable."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
+def q_above_avg_orders_oracle() -> str:
+    return _ABOVE_AVG_SQL
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -702,6 +731,7 @@ QUERIES = {
     "priority_rollup": q_priority_rollup,
     "quiet_customers": q_quiet_customers,
     "promo_revenue": q_promo_revenue,
+    "above_avg_orders": q_above_avg_orders,
 }
 
 ORACLES = {
@@ -721,4 +751,5 @@ ORACLES = {
     "priority_rollup": q_priority_rollup_oracle(),
     "quiet_customers": q_quiet_customers_oracle(),
     "promo_revenue": q_promo_revenue_oracle(),
+    "above_avg_orders": q_above_avg_orders_oracle(),
 }
