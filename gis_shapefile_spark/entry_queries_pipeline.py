@@ -604,6 +604,30 @@ def q_tile_pyramid_oracle() -> str:
     """
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: per event_type, exact distinct users + events
+    (Catalyst plans the two-phase Expand + partial aggregate)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        ).alias("n_active_hours"),
+    )
+
+
+def q_distinct_users_oracle() -> str:
+    return """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               count(DISTINCT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT))
+                 AS n_active_hours
+        FROM events GROUP BY event_type
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every click event gets the user's most recent purchase
     value at-or-before the click (null if the user never purchased)."""
@@ -795,6 +819,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "distinct_users": q_distinct_users,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -819,6 +844,7 @@ ORACLES = {
     "sessionize": q_sessionize_oracle(),
     "asof_join": q_asof_join_oracle(),
     "interval_join": q_interval_join_oracle(),
+    "distinct_users": q_distinct_users_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),
