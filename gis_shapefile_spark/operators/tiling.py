@@ -162,6 +162,7 @@ def rasterize_polygons(
     res: int,
     tile_px: int = 32,
     max_cells_per_feature: int = 512,
+    simplify_eps: float | None = None,
 ) -> DataFrame:
     """Vector->raster for polygons: per-(cell, feature) coverage masks.
 
@@ -170,8 +171,12 @@ def rasterize_polygons(
     mirrors geometry.cpp:82-119 incl. holes) and emit a packed bitmask.
     Runs distributed over an exploded (feature, cell) task table so a
     continent-sized polygon parallelizes across executors.
+    ``simplify_eps`` Douglas-Peucker-thins ring outlines first (pixel-
+    size/2 is visually lossless and cuts ray-cast edge counts).
     Output: (cell, record_number, coverage_px, mask: binary).
     """
+    if simplify_eps is not None:
+        features_pdf = G.simplify_features(features_pdf, simplify_eps)
     feats = features_pdf[features_pdf["shape_type"] == 5]
     tasks = []
     for _, r in feats.iterrows():

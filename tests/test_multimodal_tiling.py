@@ -220,3 +220,22 @@ def test_audio_features_match_numpy(spark):
     ).astype(np.int64)
     assert list(r.rms_u) == exp_rms.tolist()
     assert list(r.zcr_u) == exp_zcr.tolist()
+
+
+def test_rasterize_polygons_with_simplify(spark):
+    """Simplified rasterization: same tile set, coverage within a small
+    band of the full-resolution masks."""
+    from gis_shapefile_spark.operators import tiling as TI
+    from gis_shapefile_spark.sources import fixtures as FX
+
+    feats = FX.make_features().head(8)
+    full = {(r.cell, r.record_number): r.coverage_px
+            for r in TI.rasterize_polygons(spark, feats, res=5, tile_px=16).collect()}
+    simp = {(r.cell, r.record_number): r.coverage_px
+            for r in TI.rasterize_polygons(
+                spark, feats, res=5, tile_px=16, simplify_eps=0.01
+            ).collect()}
+    assert set(full) == set(simp)
+    import numpy as np
+    diffs = [abs(full[k] - simp[k]) for k in full]
+    assert np.mean(diffs) <= 8  # <= 8 of 256 px average drift at eps=0.01
