@@ -168,9 +168,18 @@ class ShapefileDataset:
     """
 
     def __init__(self, base: str):
+        try:
+            self._parse_headers(base)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"malformed or truncated shapefile set at "
+                             f"{base!r}: {e}") from e
+
+    def _parse_headers(self, base: str) -> None:
         self.base = base
         with open(base + ".shx", "rb") as f:
             shx = f.read()
+        if len(shx) < 100:
+            raise ValueError(f"truncated .shx ({len(shx)} bytes < 100)")
         magic, = struct.unpack(">i", shx[:4])
         if magic != SHP_MAGIC:
             raise ValueError(f"bad .shx magic {magic} (want {SHP_MAGIC})")
@@ -299,7 +308,12 @@ class ShapefileDataset:
         return out
 
     def read_all(self) -> pd.DataFrame:
-        return self.decode_batch(0, self.n_records)
+        try:
+            return self.decode_batch(0, self.n_records)
+        except (struct.error, IndexError) as e:
+            raise ValueError(
+                f"malformed shapefile records at {self.base!r}: {e}"
+            ) from e
 
 
 def read_shapefile_df(spark, base: str, batch_records: int = 4096):

@@ -143,3 +143,45 @@ def test_distributed_scan_matches_driver(spark, shp_base):
             & (ref["miny"] <= 50.0) & (ref["maxy"] >= 24.0)
         ).sum()
     )
+
+
+def test_reader_rejects_corrupt_inputs(tmp_path):
+    """Corrupt/truncated shapefile sets fail with clean ValueError/IOError —
+    never a hang, wrong data, or uncontrolled exception type (hypothesis
+    byte fuzz over header and body mutations)."""
+    import struct
+    from hypothesis import given, settings, strategies as st
+    from gis_shapefile_spark.sources import fixtures as FX
+    from gis_shapefile_spark.sources.shapefile import ShapefileDataset
+
+    base = str(tmp_path / "good")
+    SHP.write_shapefile(FX.make_features().head(5), base, FIELDS, _attr)
+    goods = {ext: open(base + ext, "rb").read() for ext in (".shp", ".shx", ".dbf")}
+
+    @given(
+        ext=st.sampled_from([".shp", ".shx", ".dbf"]),
+        mode=st.sampled_from(["truncate", "flip"]),
+        pos=st.integers(0, 99),
+        byte=st.integers(0, 255),
+    )
+    @settings(max_examples=60, deadline=None)
+    def fuzz(ext, mode, pos, byte):
+        b2 = str(tmp_path / "fuzz")
+        for e, data in goods.items():
+            if e == ext:
+                if mode == "truncate":
+                    data = data[: min(pos, len(data) - 1)]
+                else:
+                    p = min(pos, len(data) - 1)
+                    data = data[:p] + bytes([byte]) + data[p + 1:]
+            with open(b2 + e, "wb") as f:
+                f.write(data)
+        try:
+            ds = ShapefileDataset(b2)
+            ds.read_all()
+        except (ValueError, IOError):
+            pass  # the reader's documented failure modes — nothing rawer
+        # anything else (segfault would kill the process; wrong exception
+        # types propagate and fail the test)
+
+    fuzz()
