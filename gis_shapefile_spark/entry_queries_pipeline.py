@@ -628,6 +628,35 @@ def q_distinct_users_oracle() -> str:
     """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the props payload column: per event_type,
+    stats on the embedded k field (get_json_object / json_extract)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_json_props_oracle() -> str:
+    return """
+        SELECT event_type,
+               count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        GROUP BY event_type
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every click event gets the user's most recent purchase
     value at-or-before the click (null if the user never purchased)."""
@@ -820,6 +849,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "distinct_users": q_distinct_users,
+    "json_props": q_json_props,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -845,6 +875,7 @@ ORACLES = {
     "asof_join": q_asof_join_oracle(),
     "interval_join": q_interval_join_oracle(),
     "distinct_users": q_distinct_users_oracle(),
+    "json_props": q_json_props_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),
