@@ -228,3 +228,35 @@ def test_corpus_curation_pipeline_runs_and_resumes(spark, tmp_path):
     )
     assert ck2.manifest()["version"] == v1  # all stages cache-hit
     assert out2.count() == len(rows)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two same-bucketed tables equi-join with ZERO exchanges (co-located
+    join) — the 10^12-row enrichment-join layout."""
+    import re
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.plans import layout as L
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pts = spark.range(50000).select(
+            F.col("id").alias("point_id"),
+            F.pmod(F.col("id") * 2654435761, 50000).alias("cell"),
+        )
+        enrich = spark.range(50000).select(
+            F.pmod(F.col("id") * 40503, 50000).alias("cell"),
+            (F.col("id") % 7).alias("tag"),
+        )
+        L.write_bucketed(pts, "t_pts_b", "cell", 4,
+                         path=str(tmp_path / "pts_b"))
+        L.write_bucketed(enrich, "t_enr_b", "cell", 4,
+                         path=str(tmp_path / "enr_b"))
+        j = spark.table("t_pts_b").join(spark.table("t_enr_b"), "cell")
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"\bExchange hash", plan)) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_pts_b")
+        spark.sql("DROP TABLE IF EXISTS t_enr_b")
