@@ -714,7 +714,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * F.lit(2.0)).alias("lo"),
         (F.col("id") * F.lit(2.0) + F.lit(3.0)).alias("hi"),
     )
-    out = IV.interval_join(spark, ev, bands, point_col="value", bin_width=2.0)
+    out = IV.interval_join(ev, bands, point_col="value", bin_width=2.0)
     return out.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_c"),

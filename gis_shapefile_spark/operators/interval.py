@@ -17,12 +17,11 @@ any choice correct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def interval_join(
-    spark: SparkSession,
     points: DataFrame,
     intervals: DataFrame,
     point_col: str,

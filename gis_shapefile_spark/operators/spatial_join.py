@@ -551,10 +551,12 @@ def knn_join_ring_expansion(
 
     Features hash to their center's cell. For every point-occupied cell,
     rings widen (``cells.neighbors``) until >= k feature centers are
-    inside, then widen further by the safety factor ceil((r+1)*sqrt(2))+1
-    — a feature outside those rings is provably farther than the k-th
-    in-ring candidate (ring r'' lower-bounds distance at (r''-1)*side,
-    while the k-th candidate is within (r+1)*diagonal). The per-cell
+    inside, then widen further by the safety factor ceil((r+1)*sqrt(5))+1:
+    quadkey cells are 2:1 rectangles (lng spans 360 deg, lat 180 deg over
+    the same 2^res), so the cell diagonal is sqrt(5) * the SHORT side
+    while ring r'' only lower-bounds distance at (r''-1) * short side —
+    sqrt(2) (the square-cell factor) would let a true neighbor in a
+    farther ring beat an unexpanded candidate. The per-cell
     candidate lists broadcast; points pay one equi-join + exact-distance
     window — identical output to ``knn_join`` / brute force (tested).
 
@@ -590,7 +592,8 @@ def knn_join_ring_expansion(
             r += 1
         # safety rings: the k-th candidate may be beaten by a feature in a
         # farther ring that the greedy expansion has not opened yet
-        r_max = math.ceil((r + 1) * math.sqrt(2.0)) + 1
+        # (sqrt(5) = diagonal/short-side ratio of the 2:1 cells)
+        r_max = math.ceil((r + 1) * math.sqrt(5.0)) + 1
         for rr in range(r + 1, r_max + 1):
             for rc in C.neighbors(int(cell), rr):
                 found.update(by_cell.get(int(rc), ()))

@@ -45,8 +45,10 @@ def split_sql(
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     bucket = f"({TA.hash60_sql(_key_string(key, salt, dialect), dialect)} % {BUCKETS})"
-    whens, acc = [], 0.0
     labels = list(fractions)
+    if len(labels) == 1:
+        return f"('{labels[0]}')"
+    whens, acc = [], 0.0
     for label in labels[:-1]:
         acc += fractions[label]
         whens.append(f"WHEN {bucket} < {int(round(acc * BUCKETS))} THEN '{label}'")

@@ -117,6 +117,8 @@ class CheckpointTable:
         removed = []
         data_dir = os.path.join(self.root, "data")
         for d in os.listdir(data_dir):
+            if d.startswith(".tmp-"):
+                continue  # in-flight stage write — never a vacuum target
             full = os.path.realpath(os.path.join(data_dir, d))
             if os.path.isdir(full) and full not in live:
                 shutil.rmtree(full)

@@ -92,8 +92,9 @@ def checkpointed_corpus_curation(
     from ..operators import splits as SP
 
     ck = CheckpointTable(spark, ckpt_root)
+    fracs = split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     fp = (f"src={docs_parquet}|q={min_quality_u}|lang={lang}"
-          f"|j={jaccard_threshold}")
+          f"|j={jaccard_threshold}|split={sorted(fracs.items())}")
 
     scored = ck.stage(
         "scored", fp,
@@ -138,7 +139,7 @@ def checkpointed_corpus_curation(
 
     curated = ck.stage(
         "split", fp,
-        lambda: SP.hash_split(canon, "doc_id", split_fractions),
+        lambda: SP.hash_split(canon, "doc_id", fracs),
         metrics={"n_final": F.count(F.lit(1))},
     )
     return curated, ck

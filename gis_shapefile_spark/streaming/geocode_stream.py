@@ -95,8 +95,13 @@ def streaming_geocode_to_parquet(
             point_id_col=point_id_col, attrs=attrs,
         )
         if table is not None:
+            # fingerprint scoped by the STREAM checkpoint: within one
+            # checkpoint lineage, batch N always holds the same rows
+            # (exactly-once replay), so the short-circuit is safe; a fresh
+            # stream checkpoint gets fresh fingerprints and recomputes.
             table.stage(
-                f"geocode_batch_{batch_id}", f"batch:{batch_id}",
+                f"geocode_batch_{batch_id}",
+                f"ck={checkpoint_dir}|batch:{batch_id}",
                 lambda: matched,
             )
         else:

@@ -375,13 +375,13 @@ def test_interval_join_vs_cross_filter(spark):
     for w in (0.5, 2.0, 10.0):
         got = {
             (r.id, r.ivl)
-            for r in IV.interval_join(spark, pts, iv, "x", bin_width=w).collect()
+            for r in IV.interval_join(pts, iv, "x", bin_width=w).collect()
         }
         assert got == exp, w
     half = {
         (r.id, r.ivl)
         for r in IV.interval_join(
-            spark, pts, iv, "x", bin_width=2.0, closed="left"
+            pts, iv, "x", bin_width=2.0, closed="left"
         ).collect()
     }
     exp_half = {

@@ -285,3 +285,29 @@ def test_simplify_features_cuts_edges_preserves_interior(spark):
         spark, pts, simp, res=8, dedup_first=False).collect()}
     # epsilon=0.01 deg boundary band: the symmetric difference stays tiny
     assert len(a ^ b) <= max(2, len(a) // 20)
+
+
+def test_knn_ring_expansion_sparse_features(spark):
+    """Sparse dimension (deep ring expansion, rectangular-cell geometry
+    stressed): ring-expansion kNN must still equal brute force."""
+    rng = np.random.RandomState(23)
+    feats = pd.DataFrame({
+        "record_number": range(10),
+        "shape_type": [5] * 10,
+        "xs": [[0.0]] * 10, "ys": [[0.0]] * 10, "ring_sizes": [[1]] * 10,
+    })
+    cx = rng.uniform(-120, -70, 10)
+    cy = rng.uniform(26, 48, 10)
+    feats["minx"] = cx - 0.01; feats["maxx"] = cx + 0.01
+    feats["miny"] = cy - 0.01; feats["maxy"] = cy + 0.01
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": range(200),
+        "lng": rng.uniform(-124, -67, 200),
+        "lat": rng.uniform(25, 49, 200),
+    }))
+    ring = SJ.knn_join_ring_expansion(spark, pts, feats, k=3, res=7)
+    brute = SJ.knn_join_bruteforce(spark, pts, feats, k=3)
+    key = lambda df: sorted(
+        (r.image_id, r.knn_rank, r.record_number) for r in df.collect()
+    )
+    assert key(ring) == key(brute)

@@ -26,7 +26,7 @@ from gis_shapefile_spark.session import get_spark
 
 
 def audit(df) -> dict:
-    n = df.count()  # force AQE final plan
+    n = len(df.collect())  # executes THIS df's QueryExecution => AQE final
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "rows": n,
