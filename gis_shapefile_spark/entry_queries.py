@@ -204,6 +204,23 @@ def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 via literal cell-ring expansion (the north-star kNN formulation);
+    identical output to q_knn3 — both are checked against the brute-force
+    oracle."""
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    out = SJ.knn_join_ring_expansion(
+        spark, pts, FX.make_grid_features(), k=3, res=6, point_id_col="point_id"
+    )
+    return out.select(
+        "point_id",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        F.col("record_number").cast("long").alias("record_number"),
+    )
+
+
 def q_knn3_oracle() -> str:
     return f"""
         WITH pts AS ({_points_oracle_cte()}),
@@ -720,6 +737,7 @@ QUERIES = {
     "cell_hist": q_cell_hist,
     "within_distance": q_within_distance,
     "knn3": q_knn3,
+    "knn3_ring": q_knn3_ring,
     "bbox_join": q_bbox_join,
     "normalize": q_normalize,
     "state_confidence": q_state_confidence,
@@ -740,6 +758,7 @@ ORACLES = {
     "cell_hist": q_cell_hist_oracle(),
     "within_distance": q_within_distance_oracle(),
     "knn3": q_knn3_oracle(),
+    "knn3_ring": q_knn3_oracle(),
     "bbox_join": q_bbox_join_oracle(),
     "normalize": q_normalize_oracle(),
     "state_confidence": q_state_confidence_oracle(),
