@@ -727,6 +727,29 @@ def q_above_avg_orders_oracle() -> str:
     return _ABOVE_AVG_SQL
 
 
+def q_median_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-statistic aggregates: per market segment, median + p90 of
+    account balance cents. Exact cross-engine: on BIGINT cents < 2^52 the
+    linear interpolation (1-h)*a + h*b is IEEE-exact in both engines."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.expr("percentile(CAST(floor(c_acctbal * 100) AS BIGINT), 0.5)").alias("median_bal_c"),
+        F.expr("percentile(CAST(floor(c_acctbal * 100) AS BIGINT), 0.9)").alias("p90_bal_c"),
+    )
+
+
+def q_median_balances_oracle() -> str:
+    return """
+        SELECT c_mktsegment,
+               count(*) AS n_cust,
+               quantile_cont(CAST(floor(c_acctbal * 100) AS BIGINT), 0.5) AS median_bal_c,
+               quantile_cont(CAST(floor(c_acctbal * 100) AS BIGINT), 0.9) AS p90_bal_c
+        FROM customer GROUP BY c_mktsegment
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -750,6 +773,7 @@ QUERIES = {
     "quiet_customers": q_quiet_customers,
     "promo_revenue": q_promo_revenue,
     "above_avg_orders": q_above_avg_orders,
+    "median_balances": q_median_balances,
 }
 
 ORACLES = {
@@ -771,4 +795,5 @@ ORACLES = {
     "quiet_customers": q_quiet_customers_oracle(),
     "promo_revenue": q_promo_revenue_oracle(),
     "above_avg_orders": q_above_avg_orders_oracle(),
+    "median_balances": q_median_balances_oracle(),
 }
