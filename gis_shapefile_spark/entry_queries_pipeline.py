@@ -604,6 +604,39 @@ def q_tile_pyramid_oracle() -> str:
     """
 
 
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions per embedding row: integerized L2 norm
+    (aggregate/zip_with), positive-component count (filter), max abs
+    element (transform + array_max) — no UDFs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    norm = SIM.norm_u_sql("embedding", "spark")
+    return emb.select(
+        "vec_id",
+        F.expr(norm).alias("norm_u"),
+        F.expr(
+            "size(filter(embedding, x -> x > 0))"
+        ).alias("n_pos"),
+        F.expr(
+            "CAST(floor(array_max(transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))) * 1000000) AS BIGINT)"
+        ).alias("max_abs_u"),
+    )
+
+
+def q_vector_stats_oracle() -> str:
+    norm = SIM.norm_u_sql("embedding", "duckdb")
+    return f"""
+        SELECT vec_id,
+               {norm} AS norm_u,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               CAST(floor(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) * 1000000) AS BIGINT) AS max_abs_u
+        FROM embeddings WHERE vec_id < 200
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -850,6 +883,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "distinct_users": q_distinct_users,
     "json_props": q_json_props,
+    "vector_stats": q_vector_stats,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -876,6 +910,7 @@ ORACLES = {
     "interval_join": q_interval_join_oracle(),
     "distinct_users": q_distinct_users_oracle(),
     "json_props": q_json_props_oracle(),
+    "vector_stats": q_vector_stats_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),
