@@ -727,6 +727,27 @@ def q_above_avg_orders_oracle() -> str:
     return _ABOVE_AVG_SQL
 
 
+def q_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (priority, status): all 2^2 grouping-set combinations in one
+    partial-aggregated pass (completes the grouping-sets family next to
+    ROLLUP)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_c"),
+    )
+
+
+def q_priority_cube_oracle() -> str:
+    return """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """
+
+
 def q_median_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistic aggregates: per market segment, median + p90 of
     account balance cents. Exact cross-engine: on BIGINT cents < 2^52 the
@@ -770,6 +791,7 @@ QUERIES = {
     "top_revenue_orders": q_top_revenue_orders,
     "regional_volume": q_regional_volume,
     "priority_rollup": q_priority_rollup,
+    "priority_cube": q_priority_cube,
     "quiet_customers": q_quiet_customers,
     "promo_revenue": q_promo_revenue,
     "above_avg_orders": q_above_avg_orders,
@@ -792,6 +814,7 @@ ORACLES = {
     "top_revenue_orders": q_top_revenue_orders_oracle(),
     "regional_volume": q_regional_volume_oracle(),
     "priority_rollup": q_priority_rollup_oracle(),
+    "priority_cube": q_priority_cube_oracle(),
     "quiet_customers": q_quiet_customers_oracle(),
     "promo_revenue": q_promo_revenue_oracle(),
     "above_avg_orders": q_above_avg_orders_oracle(),
