@@ -748,6 +748,37 @@ def q_priority_cube_oracle() -> str:
     """
 
 
+_SETOPS_SQL = """
+    SELECT 'building_not_urgent' AS cohort, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'building_and_urgent' AS cohort, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohorts (set operators the reference lacks
+    entirely — SURVEY §2.6); SQL text byte-identical to the oracle."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_SETOPS_SQL)
+
+
+def q_set_ops_oracle() -> str:
+    return _SETOPS_SQL
+
+
 def q_median_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistic aggregates: per market segment, median + p90 of
     account balance cents. Exact cross-engine: on BIGINT cents < 2^52 the
@@ -792,6 +823,7 @@ QUERIES = {
     "regional_volume": q_regional_volume,
     "priority_rollup": q_priority_rollup,
     "priority_cube": q_priority_cube,
+    "set_ops": q_set_ops,
     "quiet_customers": q_quiet_customers,
     "promo_revenue": q_promo_revenue,
     "above_avg_orders": q_above_avg_orders,
@@ -815,6 +847,7 @@ ORACLES = {
     "regional_volume": q_regional_volume_oracle(),
     "priority_rollup": q_priority_rollup_oracle(),
     "priority_cube": q_priority_cube_oracle(),
+    "set_ops": q_set_ops_oracle(),
     "quiet_customers": q_quiet_customers_oracle(),
     "promo_revenue": q_promo_revenue_oracle(),
     "above_avg_orders": q_above_avg_orders_oracle(),
