@@ -784,7 +784,6 @@ def q_median_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     account balance cents. Exact cross-engine: on BIGINT cents < 2^52 the
     linear interpolation (1-h)*a + h*b is IEEE-exact in both engines."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
     return cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.expr("percentile(CAST(floor(c_acctbal * 100) AS BIGINT), 0.5)").alias("median_bal_c"),
@@ -803,11 +802,87 @@ def q_median_balances_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# J1 reference-parity first-hit mode (spatial_index.cpp:356-380)
+# ---------------------------------------------------------------------------
+
+# Points planted within ±1e-4 of the grid's INTERNAL vertical edges, so the
+# reference's ε-box always hits BOTH adjacent rectangles — the first-hit
+# choice is genuinely order-dependent on every row. Identical SQL text in
+# both engines (edge x uses the same non-terminating 59/9 pitch as the
+# features; offsets are exact 1e-5 rationals).
+EDGE_PT_LNG_SQL = (
+    f"({_dbl('-125.0')} + {_dbl('(c_custkey % 8) + 1')} * "
+    f"({_dbl('59.0')} / {_dbl('9.0')}) + "
+    f"{_dbl('(c_custkey % 21) - 10')} * {_dbl('0.00001')})"
+)
+EDGE_PT_LAT_SQL = (
+    f"({_dbl('24.0')} + ({_dbl('(c_custkey % 5)')} + {_dbl('0.5')}) * "
+    f"({_dbl('26.0')} / {_dbl('6.0')}))"
+)
+
+
+def q_pip_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 engine-compat mode: per edge-planted point, the record the
+    REFERENCE's R-tree traversal returns first (min DFS-leaf rank among
+    ε-box bbox hits — operators/ref_parity.py). Every point has exactly
+    two candidates, so this oracle-checks the order-dependent semantics
+    end-to-end, not just on unambiguous interiors."""
+    from .operators import spatial_join as SJ
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr(EDGE_PT_LNG_SQL).alias("lng"),
+        F.expr(EDGE_PT_LAT_SQL).alias("lat"),
+    )
+    out = SJ.point_in_polygon_join(
+        spark, pts, FX.make_grid_features(), res=6,
+        point_id_col="point_id", mode="ref_first_hit",
+    )
+    return out.select(
+        "point_id", F.col("record_number").cast("long").alias("record_number")
+    )
+
+
+def q_pip_first_hit_oracle() -> str:
+    """min_by(record_number, dfs_rank) over the ε-box bbox-intersect join;
+    dfs_rank comes from the shared R-tree build emulation (a deterministic
+    input, like the ann_ivf centroids)."""
+    from .operators import ref_parity as RP
+
+    dim = RP.first_hit_dimension(FX.make_grid_features())
+    vals = ", ".join(
+        f"({int(t.record_number)}, {int(t.dfs_rank)}, "
+        f"CAST({t.minx!r} AS DOUBLE), CAST({t.miny!r} AS DOUBLE), "
+        f"CAST({t.maxx!r} AS DOUBLE), CAST({t.maxy!r} AS DOUBLE))"
+        for t in dim.itertuples(index=False)
+    )
+    return f"""
+        WITH pts AS (
+          SELECT c_custkey AS point_id, {EDGE_PT_LNG_SQL} AS lng,
+                 {EDGE_PT_LAT_SQL} AS lat
+          FROM customer
+        )
+        SELECT p.point_id,
+               CAST(min_by(d.record_number, d.dfs_rank) AS BIGINT)
+                 AS record_number
+        FROM pts p
+        JOIN (VALUES {vals})
+             AS d(record_number, dfs_rank, minx, miny, maxx, maxy)
+          ON p.lng + CAST(0.0001 AS DOUBLE) >= d.minx
+         AND p.lng - CAST(0.0001 AS DOUBLE) <= d.maxx
+         AND p.lat + CAST(0.0001 AS DOUBLE) >= d.miny
+         AND p.lat - CAST(0.0001 AS DOUBLE) <= d.maxy
+        GROUP BY p.point_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
+    "pip_first_hit": q_pip_first_hit,
     "cell_assign": q_cell_assign,
     "cell_hist": q_cell_hist,
     "within_distance": q_within_distance,
@@ -832,6 +907,7 @@ QUERIES = {
 
 ORACLES = {
     "pip_grid_join": q_pip_grid_join_oracle(),
+    "pip_first_hit": q_pip_first_hit_oracle(),
     "cell_assign": q_cell_assign_oracle(),
     "cell_hist": q_cell_hist_oracle(),
     "within_distance": q_within_distance_oracle(),

@@ -39,7 +39,14 @@ def _dup_corpus(spark: SparkSession, sf_dir: str, mangle: bool) -> DataFrame:
     copy = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"), copy_text.alias("text")
     )
-    return d.unionByName(copy)
+    # The test-scale documents table is ONE parquet file (1-2 source
+    # splits), which would serialize the compute-heavy signature
+    # expressions onto 2 cores; spread to session parallelism. At
+    # production scale the source has plentiful splits and this is a
+    # cheap shuffle of (id, text) only.
+    return d.unionByName(copy).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _dup_corpus_cte(mangle: bool) -> str:
@@ -538,15 +545,17 @@ def q_corpus_curation_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
-# image payload pipeline (rows-only driver check: binary codecs are not
-# SQL-expressible in DuckDB — invariants are pytest-verified instead,
-# tests/test_multimodal_tiling.py)
+# image payload pipeline
 # ---------------------------------------------------------------------------
 
 def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship north-rule composition over the input_hint image table:
     cell assign -> exact PIP join vs the 51 grid features -> per-(state,
-    tile) rollup with per-row phash invariants verified in-plan."""
+    tile) rollup with per-row phash invariants verified in-plan.
+
+    Null record_number (images outside every feature) is coalesced to -1
+    so the group key is null-free in both engines (cross-engine null
+    canonicalization through pandas is dtype-fragile)."""
     from .operators import tiling as TI
 
     path = FX.images_parquet_path(n=2000)
@@ -555,12 +564,53 @@ def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, images, FX.make_grid_features(), res=6
     )
     return out.select(
-        F.col("record_number").cast("long").alias("record_number"),
+        F.coalesce(F.col("record_number").cast("long"), F.lit(-1)).alias(
+            "record_number"
+        ),
         "cell",
         "n_images",
         "n_bytes",
         "n_phash_ok",
     )
+
+
+def q_image_tiling_oracle() -> str:
+    """Value oracle for the image pipeline's SQL-expressible OUTPUTS.
+
+    The pixel work (decode, phash recompute) is not SQL, but its result
+    on the deterministic fixture is: every stored ``phash`` was computed
+    from the decoded pixels at fixture-build time, so the invariant stage
+    must pass for EVERY row — i.e. per-group ``n_phash_ok == count(*)``.
+    A decode/phash regression in the engine breaks the hash match. Tile
+    keys and byte sums are re-derived independently: half-open box PIP
+    (exact for the axis-aligned grid, same contract as
+    ``q_pip_grid_join_oracle``) + the dual-dialect cell expression +
+    ``octet_length(bytes)``.
+    """
+    from .entry_queries import _grid_values_sql
+    from .functions import cells as C
+
+    path = FX.images_parquet_path(n=2000)
+    cell = C.cell_sql("lng", "lat", 6, "duckdb")
+    return f"""
+        WITH img AS (
+          SELECT image_id, octet_length(bytes) AS nb, lng, lat
+          FROM read_parquet('{path}')
+        ),
+        assigned AS (
+          SELECT i.image_id, i.nb, {cell} AS cell, g.record_number
+          FROM img i LEFT JOIN {_grid_values_sql()}
+            ON i.lng >= g.x0 AND i.lng < g.x1
+           AND i.lat >= g.y0 AND i.lat < g.y1
+        )
+        SELECT COALESCE(record_number, -1)::BIGINT AS record_number,
+               cell,
+               count(*)::BIGINT AS n_images,
+               sum(nb)::BIGINT AS n_bytes,
+               count(*)::BIGINT AS n_phash_ok
+        FROM assigned
+        GROUP BY 1, 2
+    """
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,4 +966,5 @@ ORACLES = {
     "tile_pyramid": q_tile_pyramid_oracle(),
     "corpus_curation": q_corpus_curation_oracle(),
     "train_val_split": q_train_val_split_oracle(),
+    "image_tiling": q_image_tiling_oracle(),
 }

@@ -60,11 +60,13 @@ def minhash_values(
 
     Computed as explode(shingles) → per-shingle 60-bit hash → groupBy(id)
     with one ``min(perm_p(h))`` per permutation. The tokenizer runs ONCE
-    per document and md5 once per shingle (a nested-lambda formulation
-    re-evaluates the tokenizer per array reference — measured 10-100×
-    slower); the shuffle moves only ``num_perm`` partial mins per doc
-    thanks to map-side partial aggregation, so this is also the shape that
-    survives 10^12 docs. Shingle-less docs get the sentinel P.
+    per document and md5 once per shingle; the per-permutation arithmetic
+    mins run INSIDE whole-stage codegen (a single-pass ``aggregate`` fold
+    over the hash array was tried and is 2-4× slower: higher-order-
+    function lambdas evaluate interpreted, per element, per permutation).
+    The shuffle moves only ``num_perm`` partial mins per doc thanks to
+    map-side partial aggregation, so this is also the shape that survives
+    10^12 docs. Shingle-less docs get the sentinel P.
     """
     sh = TA.shingles_sql(TA.tokens_sql(text_col, "spark"), shingle_n, "spark")
     exploded = df.select(
@@ -228,11 +230,26 @@ def near_duplicate_pairs(
     rows_per_band: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact n-gram Jaccard >= threshold."""
+    """MinHash-LSH candidates verified with exact n-gram Jaccard >= threshold.
+
+    The verify stage references the candidate set three times (two id
+    projections feeding the semi-join prefilter + the final pair join);
+    left fully declarative, Catalyst re-derives the whole shingle →
+    minhash → band → bucket → pair-expand pipeline once per reference
+    (measured 42.9 s vs ~8 s at sf0.1, 3× signature derivation).
+    ``materialize`` snapshots the candidates once with an eager
+    localCheckpoint before scoring — candidates are O(duplicates) <<
+    O(corpus), so this is also the shape that survives 10^12 docs (the
+    durable-pipeline twin is a CheckpointTable stage, see
+    ``plans/pipelines.py``).
+    """
     cand = lsh_candidate_pairs(
         docs, id_col, text_col, bands, rows_per_band, shingle_n, max_bucket
     )
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
     scored = ngram_jaccard_pairs(cand, docs, id_col, text_col, shingle_n)
     return scored.where(F.col("jaccard_u") >= int(threshold * 1000000))
 
@@ -326,6 +343,8 @@ def connected_components(
     large-star/small-star variant (same join primitive, different edge
     rewriting) drops in here if diameters ever grow beyond a handful.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.selectExpr(f"id_1 AS src", f"id_2 AS dst")
         .unionByName(pairs.selectExpr("id_2 AS src", "id_1 AS dst"))
@@ -390,6 +409,8 @@ def connected_components_star(
     groupBy per round over the (symmetrized) edge list — no joins against
     a growing label table, which is what makes it the 10^12-edge shape.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = pairs.selectExpr("id_1 AS u", "id_2 AS v").where("u <> v")
 
     def _large_star(edges: DataFrame) -> DataFrame:

@@ -172,6 +172,7 @@ def point_in_polygon_join(
     salt_buckets: int = 0,
     dedup_first: bool = True,
     attrs: list[str] | None = None,
+    mode: str = "exact",
 ) -> DataFrame:
     """Inner-join points to the polygons that exactly contain them.
 
@@ -181,7 +182,27 @@ def point_in_polygon_join(
     ``min(record_number)`` when ``dedup_first`` (the engine's defensible
     replacement for the reference's traversal-order-dependent first hit,
     spatial_index.cpp:367-375).
+
+    ``mode="ref_first_hit"`` switches to the reference-compat semantics
+    (first ε-box bbox hit in R-tree traversal order, exact test skipped —
+    the commented-out refinement at spatial_index.cpp:367-375) via
+    ``operators.ref_parity.point_in_polygon_join_first_hit``; output is
+    (point_id, record_number) only.
     """
+    if mode == "ref_first_hit":
+        from . import ref_parity as RP
+
+        fpdf = (
+            features_pdf.features_pdf
+            if isinstance(features_pdf, PolygonIndex)
+            else features_pdf
+        )
+        return RP.point_in_polygon_join_first_hit(
+            spark, points, fpdf, res=res, lng_col=lng_col, lat_col=lat_col,
+            point_id_col=point_id_col,
+        )
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r} (exact | ref_first_hit)")
     if isinstance(features_pdf, PolygonIndex):
         index = features_pdf
         if index.res != res and res != DEFAULT_RES:
@@ -410,6 +431,50 @@ def knn_join_bruteforce(
     )
 
 
+MAX_OCCUPIED_CELLS = 65536  # driver candidate-table budget (see _occupied_cells_bounded)
+_DMAT_BUDGET = 1 << 22  # ~4M doubles (32 MB) per (cells-chunk x features) block
+
+
+def _occupied_cells_bounded(
+    points: DataFrame,
+    lng_col: str,
+    lat_col: str,
+    res: int,
+    max_occupied: int = MAX_OCCUPIED_CELLS,
+) -> tuple[int, np.ndarray]:
+    """(effective_res, occupied cells): downgrade ``res`` until the distinct
+    point-occupied cell count fits the driver budget.
+
+    At fine resolutions with globally-spread points the occupied-cell set
+    is up to 4^res — res 10 could pull ~10^6 cells x |features| doubles
+    onto the driver. The guard probes the count with
+    ``approx_count_distinct`` (map-side-partial sketch, one scalar back —
+    NOT a collect) and steps the resolution down until it fits; only the
+    final, bounded cell set is collected. The 0.9 factor absorbs the
+    sketch's ~5% relative error. Coarser cells mean more candidates per
+    cell but identical (exact) results — the window refine is unchanged.
+    """
+    while res > 0:
+        approx = points.select(
+            F.approx_count_distinct(
+                C.cell_col(lng_col, lat_col, res)
+            ).alias("n")
+        ).collect()[0]["n"]
+        if approx <= max_occupied * 0.9:
+            break
+        res -= 1
+    occupied = np.array(
+        [
+            r["c"]
+            for r in points.select(
+                C.cell_col(lng_col, lat_col, res).alias("c")
+            ).distinct().collect()
+        ],
+        dtype=np.int64,
+    )
+    return res, occupied
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -419,6 +484,7 @@ def knn_join(
     lng_col: str = "lng",
     lat_col: str = "lat",
     point_id_col: str = "image_id",
+    max_occupied_cells: int = MAX_OCCUPIED_CELLS,
 ) -> DataFrame:
     """Scale-path kNN via per-cell candidate lists (cell-ring expansion done
     once on the dimension side, not per point).
@@ -430,17 +496,22 @@ def knn_join(
     center-to-corner radius. Any point in c has its true top-k inside that
     set (triangle inequality), so the per-point window over candidates is
     exact. Candidate table broadcasts; points pay one equi-join + window.
+
+    Driver safety: the requested ``res`` auto-downgrades until the
+    occupied-cell count fits ``max_occupied_cells`` (results unchanged —
+    only candidate-list sizes grow), and the (cells x features) distance
+    matrix is computed in fixed-size chunks so peak driver memory is
+    bounded regardless of cell count.
     """
     feats = _indexed(features_pdf)
     fx = ((feats["minx"] + feats["maxx"]) / 2.0).to_numpy()
     fy = ((feats["miny"] + feats["maxy"]) / 2.0).to_numpy()
     frec = feats["record_number"].to_numpy(np.int64)
 
-    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
-    occupied = np.array(
-        [r["__cell"] for r in pts.select("__cell").distinct().collect()],
-        dtype=np.int64,
+    res, occupied = _occupied_cells_bounded(
+        points, lng_col, lat_col, res, max_occupied_cells
     )
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
     if len(occupied) == 0:
         return knn_join_bruteforce(spark, points, features_pdf, k,
                                    lng_col, lat_col, point_id_col).drop("__cell")
@@ -449,12 +520,24 @@ def knn_join(
     ccx = (minx + maxx) / 2.0
     ccy = (miny + maxy) / 2.0
     r_cell = np.sqrt((maxx - minx) ** 2 + (maxy - miny) ** 2) / 2.0
-    # (cells x features) distance matrix — dimension-scale both sides
-    dmat = np.sqrt((ccx[:, None] - fx[None, :]) ** 2 + (ccy[:, None] - fy[None, :]) ** 2)
-    kk = min(k, dmat.shape[1])
-    dk = np.sort(dmat, axis=1)[:, kk - 1]
-    keep = dmat <= (dk + 2.0 * r_cell)[:, None]
-    ci, fi = np.nonzero(keep)
+    # chunked (cells x features) distance matrix — peak memory is
+    # chunk x |features| doubles, independent of the occupied-cell count
+    kk = min(k, len(fx))
+    chunk = max(1, _DMAT_BUDGET // max(1, len(fx)))
+    ci_parts, fi_parts = [], []
+    for lo in range(0, len(occupied), chunk):
+        hi = min(lo + chunk, len(occupied))
+        dmat = np.sqrt(
+            (ccx[lo:hi, None] - fx[None, :]) ** 2
+            + (ccy[lo:hi, None] - fy[None, :]) ** 2
+        )
+        dk = np.sort(dmat, axis=1)[:, kk - 1]
+        keep = dmat <= (dk + 2.0 * r_cell[lo:hi])[:, None]
+        ci_c, fi_c = np.nonzero(keep)
+        ci_parts.append(ci_c + lo)
+        fi_parts.append(fi_c)
+    ci = np.concatenate(ci_parts)
+    fi = np.concatenate(fi_parts)
     dim = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -546,6 +629,7 @@ def knn_join_ring_expansion(
     lng_col: str = "lng",
     lat_col: str = "lat",
     point_id_col: str = "image_id",
+    max_occupied_cells: int = MAX_OCCUPIED_CELLS,
 ) -> DataFrame:
     """kNN via literal cell-ring expansion (the north-star formulation).
 
@@ -569,16 +653,17 @@ def knn_join_ring_expansion(
     fx = ((feats["minx"] + feats["maxx"]) / 2.0).to_numpy()
     fy = ((feats["miny"] + feats["maxy"]) / 2.0).to_numpy()
     frec = feats["record_number"].to_numpy(np.int64)
+
+    # same driver guard as knn_join: bound the per-cell expansion loop
+    res, occupied = _occupied_cells_bounded(
+        points, lng_col, lat_col, res, max_occupied_cells
+    )
     fcell = C.cell_of_numpy(fx, fy, res)
     by_cell: dict[int, list[int]] = {}
     for i, c in enumerate(fcell):
         by_cell.setdefault(int(c), []).append(i)
 
     pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
-    occupied = np.array(
-        [r["__cell"] for r in pts.select("__cell").distinct().collect()],
-        dtype=np.int64,
-    )
     rows = []
     for cell in occupied:
         r = 0

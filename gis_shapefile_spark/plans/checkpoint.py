@@ -62,6 +62,8 @@ class CheckpointTable:
         (time travel: every commit is an immutable snapshot)."""
         vs = self._manifest_versions()
         if not vs:
+            if version is not None:
+                raise KeyError(f"no committed manifest v{version} (have none)")
             return {"version": 0, "stages": {}}
         if version is None:
             version = vs[-1]
@@ -107,7 +109,14 @@ class CheckpointTable:
         most recent manifests, and manifests older than those — the
         Iceberg expire-snapshots + remove-orphans maintenance pass.
         Returns the deleted paths. The latest manifest is never touched,
-        so readers of the current snapshot are unaffected."""
+        so readers of the current snapshot are unaffected.
+
+        MAINTENANCE OP — run quiescent/single-writer only: a stage whose
+        data dir has been renamed into place but whose manifest commit has
+        not yet landed (the window inside ``stage()``) is referenced by no
+        manifest and would be reclaimed as an orphan, failing that
+        stage's commit. (Same contract as Iceberg's remove-orphan-files,
+        which requires an ``older_than`` horizon for exactly this race.)"""
         vs = self._manifest_versions()
         keep = set(vs[-max(keep_versions, 1):])
         live = set()
@@ -164,19 +173,20 @@ class CheckpointTable:
             shutil.rmtree(final)  # stale uncommitted attempt
         os.rename(tmp, final)
 
-        # per-partition lineage from the files actually committed
-        written = self.spark.read.parquet(final)
-        part_rows = {
-            os.path.basename(r["file"]): r["rows"]
-            for r in written.groupBy(
-                F.input_file_name().alias("file")
-            ).agg(F.count(F.lit(1)).alias("rows")).collect()
-        }
-        n_bytes = sum(
-            os.path.getsize(os.path.join(final, f))
-            for f in os.listdir(final)
-            if f.endswith(".parquet")
-        )
+        # per-partition lineage from parquet FOOTER METADATA of the files
+        # actually committed — a driver-side metadata read (KBs per file),
+        # not a second Spark pass over the stage's data (at 100 TB a
+        # re-count scan would double the stage's read cost)
+        import pyarrow.parquet as pq
+
+        part_rows = {}
+        n_bytes = 0
+        for f in os.listdir(final):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(final, f)
+            part_rows[f] = pq.ParquetFile(full).metadata.num_rows
+            n_bytes += os.path.getsize(full)
         m = self.manifest()
         m["version"] += 1
         m["stages"][name] = {
@@ -190,7 +200,7 @@ class CheckpointTable:
             "metrics": observed,
         }
         self._commit(m)
-        return written
+        return self.spark.read.parquet(final)
 
     def lineage(self) -> DataFrame:
         """The metrics/lineage table as a DataFrame (A5-style count sink)."""

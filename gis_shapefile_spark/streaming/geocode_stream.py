@@ -30,6 +30,8 @@ and restarting from checkpoint must process only unseen files.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,8 +101,13 @@ def streaming_geocode_to_parquet(
             # checkpoint lineage, batch N always holds the same rows
             # (exactly-once replay), so the short-circuit is safe; a fresh
             # stream checkpoint gets fresh fingerprints and recomputes.
+            # The stage NAME also embeds a checkpoint-dir hash — two
+            # streams sharing one CheckpointTable would otherwise collide
+            # on `geocode_batch_N` and keep superseding each other's
+            # manifest entry (stage() keys the manifest by name).
+            ck = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
             table.stage(
-                f"geocode_batch_{batch_id}",
+                f"geocode_batch_{ck}_{batch_id}",
                 f"ck={checkpoint_dir}|batch:{batch_id}",
                 lambda: matched,
             )

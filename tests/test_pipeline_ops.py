@@ -389,3 +389,56 @@ def test_interval_join_vs_cross_filter(spark):
         for r in pts.crossJoin(iv).where("x >= lo AND x < hi").collect()
     }
     assert half == exp_half
+
+
+def test_ivf_indexed_matches_inline(spark, tmp_path):
+    """ivf_write_index + ivf_topk_indexed == inline ivf_topk (same
+    centroids/nprobe), and the probed read actually prunes partitions."""
+    pdf = _vecs(120)
+    df = spark.createDataFrame(pdf)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=4
+    )
+    idx = str(tmp_path / "ivf_idx")
+    SIM.ivf_write_index(df, cents, idx)
+    import os
+
+    buckets = sorted(
+        d for d in os.listdir(idx) if d.startswith("bucket=")
+    )
+    assert len(buckets) >= 2  # real bucket spread
+
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    indexed = SIM.ivf_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, nprobe=2
+    )
+    inline = SIM.ivf_topk(df, queries, k=5, centroids=cents, nprobe=2)
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+    )
+    assert key(indexed.collect()) == key(inline.collect())
+    # the bucket equi-join against the partition column must reach the
+    # scan as partition-level pruning (dynamic pruning expression)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_ivf_assign_batch_matches_expression(spark):
+    """Arrow-batch assignment (index build) agrees with the dual-dialect
+    expression assignment on well-separated vectors."""
+    pdf = _vecs(100)
+    df = spark.createDataFrame(pdf)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=4
+    )
+    a = {
+        r.vec_id: r.bucket
+        for r in SIM.ivf_assign_batch(df, cents).select("vec_id", "bucket").collect()
+    }
+    b = {
+        r.vec_id: r["_bucket"]
+        for r in SIM.ivf_assign(df, cents).select("vec_id", "_bucket").collect()
+    }
+    assert a == b
