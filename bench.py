@@ -230,10 +230,12 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     idx_path = os.path.join(FX.FIXTURE_DIR, "bench_ivf_index_1m")
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         SIM.ivf_write_index(big, cents64, idx_path)  # untimed: index build
-    qbig = big.where(F.col("vec_id") % 125000 == 0).select(
+    # 64 queries: enough brute work (64M dot products) to rise clearly
+    # above the per-job floor, so the nprobe/C scan reduction is visible
+    qbig = big.where(F.col("vec_id") % 15625 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    timed("ann1m_brute", lambda: SIM.cosine_topk(big, qbig, k=10), reps=2)
+    timed("ann1m_brute", lambda: SIM.cosine_topk(big, qbig, k=10), reps=1)
     timed("ann1m_ivf", lambda: SIM.ivf_topk_indexed(
         spark, idx_path, qbig, k=10, centroids=cents64, nprobe=4), reps=2)
 

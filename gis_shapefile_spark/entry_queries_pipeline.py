@@ -253,6 +253,81 @@ def q_dedup_simhash_oracle() -> str:
     """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-duplicate pairs with SimHash hamming distance <= 3 over
+    documents ∪ mangled copy. ENGINE side runs the pigeonhole block
+    equi-join (never a cross join — the 10^12-doc shape); the ORACLE
+    brute-forces every pair in DuckDB, so the block scheme's completeness
+    is value-checked, not just unit-tested."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=True)
+    out = DD.simhash_near_pairs(corpus, max_hamming=3)
+    return out.select(
+        F.col("id_1").cast("long").alias("id_1"),
+        F.col("id_2").cast("long").alias("id_2"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_dedup_simhash_pairs_oracle() -> str:
+    hs = TA.token_hashes_sql(TA.tokens_sql("text", "duckdb"), "duckdb")
+    sig = TA.simhash_sql("hs", 32, "duckdb")
+    ham = TA.hamming_sql("a.simhash", "b.simhash", "duckdb")
+    return f"""
+        WITH corpus AS ({_dup_corpus_cte(mangle=True)}),
+        h AS (SELECT doc_id, {hs} AS hs FROM corpus),
+        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM h)
+        SELECT a.doc_id::BIGINT AS id_1, b.doc_id::BIGINT AS id_2,
+               CAST({ham} AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {ham} <= 3
+    """
+
+
+# identical ANSI window-frame text in both engines (frame-spec analytics:
+# running totals, moving window, lag deltas — engine addition, SURVEY §2.5
+# notes the reference has no frame-spec windows)
+_RUN_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def q_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-ordered analytics: running sum, 3-row moving sum,
+    and lag delta over integerized values."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") % 7 == 0
+    )
+    vc = "CAST(floor(value * 100) AS BIGINT)"
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            f"sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
+        ).alias("running_c"),
+        F.expr(
+            f"sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN 2 PRECEDING "
+            "AND CURRENT ROW)"
+        ).alias("moving3_c"),
+        F.expr(f"{vc} - lag({vc}, 1, CAST(0 AS BIGINT)) OVER ({_RUN_WIN})").alias(
+            "delta_c"
+        ),
+    )
+
+
+def q_running_windows_oracle() -> str:
+    vc = "CAST(floor(value * 100) AS BIGINT)"
+    return f"""
+        SELECT user_id, event_id,
+               sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS running_c,
+               sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN 2 PRECEDING
+                 AND CURRENT ROW) AS moving3_c,
+               {vc} - lag({vc}, 1, CAST(0 AS BIGINT)) OVER ({_RUN_WIN})
+                 AS delta_c
+        FROM events
+        WHERE user_id % 7 = 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -923,6 +998,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "running_windows": q_running_windows,
     "dedup_components": q_dedup_components,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -950,6 +1027,8 @@ ORACLES = {
     "dedup_exact": q_dedup_exact_oracle(),
     "dedup_minhash": q_dedup_minhash_oracle(),
     "dedup_simhash": q_dedup_simhash_oracle(),
+    "dedup_simhash_pairs": q_dedup_simhash_pairs_oracle(),
+    "running_windows": q_running_windows_oracle(),
     "dedup_components": q_dedup_components_oracle(),
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),

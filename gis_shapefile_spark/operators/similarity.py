@@ -417,13 +417,60 @@ def ivf_write_index(
     pay off — ``ivf_topk`` re-derives the assignment inside every query
     plan (fine for oracle checks, assignment-bound at scale), while the
     indexed layout pays assignment once and lets every query's probe set
-    prune partitions at the source."""
+    prune partitions at the source.
+
+    Rows are clustered by bucket before the partitioned write: without it
+    every write task emits a file into every bucket directory (tasks ×
+    buckets tiny files — measured 3970 files for 64 buckets); clustered,
+    each bucket is a handful of scan-sized files."""
     assigned = ivf_assign_batch(
         _with_norm(corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn"),
         centroids,
         vec_col,
     )
-    assigned.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    assigned.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _probe_table_pdf(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+):
+    """Driver-side probe computation: (query_id, bucket, _qvec, _qn) rows.
+
+    The query batch is dimension-scale by contract (it broadcasts), so
+    collecting it is the same class of driver state as the polygon-cell
+    index or the kmeans sample. Doing the C centroid distances in numpy
+    keeps the C expression trees OUT of the query plan entirely — the
+    expression formulation (one withColumn per centroid, as ``ivf_topk``
+    uses for its 8-centroid oracle twin) costs O(C^2) Catalyst analysis
+    and multi-MB task binaries at C=64 (measured: minutes of planning for
+    a sub-second scan). Arithmetic matches the SQL text exactly:
+    left-to-right (x-c)^2 accumulation for probe ranking (ties to the
+    lower bucket) and sum(floor(x*x*1e12)) for the integerized norm.
+    """
+    import pandas as pd
+
+    cent = np.asarray(centroids, np.float64)
+    rows = []
+    for r in queries.select(query_id_col, vec_col).collect():
+        v = np.asarray(r[vec_col], np.float64)
+        dists = []
+        for c in cent:
+            d = 0.0
+            for j in range(len(v)):  # left-to-right, same IEEE order as SQL
+                t = v[j] - c[j]
+                d = d + t * t
+            dists.append(d)
+        order = sorted(range(len(cent)), key=lambda i: (dists[i], i))[:nprobe]
+        qn = int(np.floor(v * v * float(SCALE_DOT)).astype(np.int64).sum())
+        for b in order:
+            rows.append((r[query_id_col], int(b), list(v), qn))
+    return pd.DataFrame(rows, columns=[query_id_col, "bucket", "_qvec", "_qn"])
 
 
 def ivf_topk_indexed(
@@ -439,39 +486,33 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """IVF ANN over a prebuilt bucket-partitioned index (``ivf_write_index``).
 
-    The probe table (query x nprobe nearest buckets, computed with the
-    same centroid-distance expressions as ``ivf_topk``) broadcasts; the
-    bucket equi-join against the partitioned index triggers dynamic
-    partition pruning, so only ~nprobe/C of the corpus files are READ —
-    scan reduction at the source, not post-scan filtering. Exact cosine
-    re-ranks candidates; output matches ``ivf_topk`` with the same
-    centroids/nprobe (tested)."""
-    n_cent = len(centroids)
+    The probe table (query x nprobe nearest buckets, numpy on the
+    dimension-scale query batch — see ``_probe_table_pdf``) broadcasts,
+    and its bucket set becomes a STATIC partition filter on the
+    partitioned index read, so only ~nprobe/C of the corpus files are
+    READ — scan reduction at the source, not post-scan filtering. Exact
+    integerized cosine re-ranks candidates; output matches ``ivf_topk``
+    with the same centroids/nprobe (tested)."""
+    probes_pdf = _probe_table_pdf(queries, centroids, nprobe, vec_col, query_id_col)
     assigned = spark.read.parquet(index_path)
-    q = _with_norm(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
-        "_qvec", "_qn",
-    )
-    for i, cen in enumerate(centroids):
-        q = q.withColumn(f"_d{i}", F.expr(centroid_dist_sql("_qvec", cen, "spark")))
-    probe_arr = F.array(
-        *[
-            F.struct(F.lit(i).alias("bucket"), F.col(f"_d{i}").alias("pdist"))
-            for i in range(n_cent)
-        ]
-    )
-    pw = Window.partitionBy(query_id_col).orderBy("pdist", "bucket")
-    probes = (
-        q.withColumn("_p", F.explode(probe_arr))
-        .select(query_id_col, "_qvec", "_qn", F.col("_p.bucket").alias("bucket"),
-                F.col("_p.pdist").alias("pdist"))
-        .withColumn("_pr", F.row_number().over(pw))
-        .where(F.col("_pr") <= nprobe)
-        .drop("_pr", "pdist")
-    )
-    scored = assigned.join(F.broadcast(probes), "bucket").withColumn(
-        "cos_u",
-        F.expr(cosine_u_sql(dot_u_sql(vec_col, "_qvec", "spark"), "_cn", "_qn")),
+    if len(probes_pdf) == 0:
+        return (
+            assigned.select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.lit(0).alias("rank"),
+                F.col(id_col),
+                F.lit(0).cast("long").alias("cos_u"),
+            ).where(F.lit(False))
+        )
+    probes = spark.createDataFrame(probes_pdf)
+    buckets = sorted(set(probes_pdf["bucket"].tolist()))
+    scored = (
+        assigned.where(F.col("bucket").isin(buckets))  # partition pruning
+        .join(F.broadcast(probes), "bucket")
+        .withColumn(
+            "cos_u",
+            F.expr(cosine_u_sql(dot_u_sql(vec_col, "_qvec", "spark"), "_cn", "_qn")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_u"), F.asc(id_col))
     return (

@@ -453,8 +453,11 @@ def _occupied_cells_bounded(
     final, bounded cell set is collected. The 0.9 factor absorbs the
     sketch's ~5% relative error. Coarser cells mean more candidates per
     cell but identical (exact) results — the window refine is unchanged.
+
+    When 4^res already fits the budget the probe is skipped entirely —
+    the common coarse-res case pays ZERO extra passes.
     """
-    while res > 0:
+    while res > 0 and 4 ** res > max_occupied:
         approx = points.select(
             F.approx_count_distinct(
                 C.cell_col(lng_col, lat_col, res)
