@@ -105,6 +105,27 @@ def q_quality_score_oracle() -> str:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-token,
+    duplicate-2-gram, and duplicate-3-gram fractions (integerized)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TA.dup_ngram_frac_col("text", 1).alias("dup_tok_u"),
+        TA.dup_ngram_frac_col("text", 2).alias("dup_2gram_u"),
+        TA.dup_ngram_frac_col("text", 3).alias("dup_3gram_u"),
+    )
+
+
+def q_repetition_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               {TA.dup_ngram_frac_sql('text', 1, 'duckdb')} AS dup_tok_u,
+               {TA.dup_ngram_frac_sql('text', 2, 'duckdb')} AS dup_2gram_u,
+               {TA.dup_ngram_frac_sql('text', 3, 'duckdb')} AS dup_3gram_u
+        FROM documents
+    """
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-based 60-bit content fingerprint per document (explode +
     partial-min aggregation — the 10^12-row shape)."""
@@ -995,6 +1016,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition": q_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1024,6 +1046,7 @@ ORACLES = {
     "lang_id": q_lang_id_oracle(),
     "quality_score": q_quality_score_oracle(),
     "doc_fingerprint": q_doc_fingerprint_oracle(),
+    "repetition": q_repetition_oracle(),
     "dedup_exact": q_dedup_exact_oracle(),
     "dedup_minhash": q_dedup_minhash_oracle(),
     "dedup_simhash": q_dedup_simhash_oracle(),

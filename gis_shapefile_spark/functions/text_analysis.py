@@ -246,6 +246,29 @@ def quality_score_sql(text: str, dialect: str = "spark") -> str:
     return f"CAST(floor(1000000 * {q}) AS BIGINT)"
 
 
+def dup_ngram_frac_sql(text: str, n: int, dialect: str = "spark") -> str:
+    """Duplicate word-``n``-gram fraction — the Gopher-style repetition
+    signal (Rae et al. 2021, "Scaling Language Models", §A1.1 quality
+    filters): ``1 - distinct_ngrams / total_ngrams``, integerized to
+    ``floor(frac * 1e6)`` so both engines emit the same exact BIGINT.
+    ``n=1`` is the duplicate-token fraction. Empty/short docs score 0.
+
+    O(m log m) per row in the m tokens (distinct, not pairwise), a pure
+    codegen expression — pipelines with the scan at 10^12 rows."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens_sql(text, dialect)
+    arr = toks if n == 1 else shingles_sql(toks, n, dialect)
+    dfn = "array_distinct" if dialect == "spark" else "list_distinct"
+    tot = _arr_len(arr, dialect)
+    dist = _arr_len(f"{dfn}({arr})", dialect)
+    frac = f"(1.0 - CAST({dist} AS DOUBLE) / CAST({tot} AS DOUBLE))"
+    return (
+        f"(CASE WHEN {tot} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor(1000000 * {frac}) AS BIGINT) END)"
+    )
+
+
 def token_count_sql(text: str, dialect: str = "spark") -> str:
     """Whitespace token count (empty/blank text counts 0)."""
     ln = _arr_len(tokens_sql(text, dialect), dialect)
@@ -290,6 +313,10 @@ def quality_score_col(text: str) -> Column:
 
 def fingerprint_col(text: str, n: int = 8) -> Column:
     return F.expr(fingerprint_sql(text, n, "spark"))
+
+
+def dup_ngram_frac_col(text: str, n: int) -> Column:
+    return F.expr(dup_ngram_frac_sql(text, n, "spark"))
 
 
 def simhash_col(text: str, nbits: int = 32) -> Column:

@@ -201,6 +201,34 @@ def test_lang_id_and_quality(spark):
     assert all(0 <= v <= 1000000 for v in q.values())
 
 
+def test_dup_ngram_fractions(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a a a",            # all dup tokens, all dup 2-grams
+                "a b c d",            # no repetition at any n
+                "a b a b a",          # 2-grams: (a b, b a, a b, b a) -> 1/2 dup
+                "   ",                # blank -> 0 everywhere
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {
+        r.doc_id: (r.d1, r.d2, r.d3)
+        for r in df.select(
+            "doc_id",
+            TA.dup_ngram_frac_col("text", 1).alias("d1"),
+            TA.dup_ngram_frac_col("text", 2).alias("d2"),
+            TA.dup_ngram_frac_col("text", 3).alias("d3"),
+        ).collect()
+    }
+    assert rows[0] == (750000, 666666, 500000)  # 1-1/4, 1-1/3, 1-1/2
+    assert rows[1] == (0, 0, 0)
+    assert rows[2] == (600000, 500000, 333333)  # 1-2/5, 1-2/4, 1-2/3
+    assert rows[3] == (0, 0, 0)
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """nprobe == n_centroids covers every bucket => exact brute-force result."""
     pdf = _vecs(80)
