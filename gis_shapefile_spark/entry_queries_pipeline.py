@@ -709,6 +709,34 @@ def q_image_tiling_oracle() -> str:
     """
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (phash hamming <= 6) over the fixture
+    with planted perturbed copies. ENGINE side decodes pixels and
+    recomputes every phash before the pigeonhole block join, so the whole
+    decode -> perceptual-hash -> block-join path is value-checked: the
+    ORACLE brute-forces pairs from the STORED phash column (true by
+    fixture construction), and any decode/hash regression breaks the
+    match."""
+    from .operators import multimodal as MM
+
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    images = spark.read.parquet(path)
+    out = MM.image_near_pairs(images, max_hamming=6)
+    return out.select("id_1", "id_2", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_image_neardup_oracle() -> str:
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    return f"""
+        WITH p AS (SELECT image_id, phash FROM read_parquet('{path}'))
+        SELECT least(a.image_id, b.image_id) AS id_1,
+               greatest(a.image_id, b.image_id) AS id_2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM p a JOIN p b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical tile pyramid (res 8 -> 6 -> 4): coarser levels folded
     from child-level aggregates, one point scan total."""
@@ -1039,6 +1067,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
+    "image_neardup": q_image_neardup,
 }
 
 ORACLES = {
@@ -1069,4 +1098,5 @@ ORACLES = {
     "corpus_curation": q_corpus_curation_oracle(),
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
+    "image_neardup": q_image_neardup_oracle(),
 }

@@ -277,28 +277,54 @@ def simhash_near_pairs(
     least one block, so candidates come from (block_idx, block_value)
     equi-joins — never a cross join. Verified with exact bit_count.
     """
-    blocks = max_hamming + 1
-    width = nbits // blocks
     sig = simhash_table(df, id_col, text_col, nbits)
+    return hamming_near_pairs(sig, id_col, "simhash", nbits, max_hamming)
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    nbits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pairs whose ``sig_col`` signatures differ in <= ``max_hamming`` bits,
+    via the pigeonhole block equi-join, for ANY precomputed integer
+    signature (text SimHash, image perceptual hash, ...).
+
+    The signature splits into ``max_hamming + 1`` contiguous blocks (the
+    low blocks absorb any remainder bits); a pair within distance k must
+    agree exactly on at least one block. Masking after the arithmetic
+    shift recovers the true bit-field even for negative int64 signatures
+    (sign-extension only touches positions above the mask).
+
+    Output: (id_1, id_2, hamming) with id_1 < id_2.
+    """
+    blocks = max_hamming + 1
+    if blocks > nbits:
+        raise ValueError(f"max_hamming {max_hamming} needs > {nbits} blocks")
+    base, rem = divmod(nbits, blocks)
+    widths = [base + 1 if i < rem else base for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
     block_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
                 F.expr(
-                    f"(shiftright(simhash, {i * width}) & {(1 << width) - 1})"
+                    f"(shiftright({sig_col}, {offsets[i]}) & {(1 << widths[i]) - 1})"
                 ).alias("val"),
             )
             for i in range(blocks)
         ]
     )
     bt = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("bb")
-    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+        F.col(id_col), F.col(sig_col).alias("_sig"), F.explode(block_structs).alias("bb")
+    ).select(id_col, "_sig", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
     # bucket-collect + in-expression pair expansion (see lsh_candidate_pairs)
     grouped = (
         bt.groupBy("blk", "val")
         .agg(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("ms")
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "_sig")).alias("ms")
         )
         .where(F.size("ms") >= 2)
     )
@@ -306,7 +332,7 @@ def simhash_near_pairs(
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms)), y -> struct("
         "least(x.id, y.id) AS id_1, greatest(x.id, y.id) AS id_2, "
-        "x.simhash AS s1, y.simhash AS s2))))"
+        "x._sig AS s1, y._sig AS s2))))"
     )
     cand = (
         grouped.select(F.explode(F.expr(pair_expr)).alias("p"))

@@ -112,6 +112,24 @@ def decode_stats(images: DataFrame) -> DataFrame:
     return images.mapInPandas(fn, schema)
 
 
+def image_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance.
+
+    The phash is RECOMPUTED from the decoded pixels (``decode_stats``, an
+    Arrow-batched mapInPandas over source splits — no shuffle), then pairs
+    within ``max_hamming`` bits come from the pigeonhole block equi-join
+    (``dedup.hamming_near_pairs``) — never a cross join, so at 10^12
+    images the cost is decode + one (block, value) shuffle of 64-bit
+    signatures, O(near-duplicates) pair expansion.
+
+    Output: (id_1, id_2, hamming) with id_1 < id_2.
+    """
+    from . import dedup as DD
+
+    sig = decode_stats(images).select("image_id", "phash_rec")
+    return DD.hamming_near_pairs(sig, "image_id", "phash_rec", 64, max_hamming)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-pixel resize on a deterministic integer sample grid,
     re-encoded in the same fmt. Output keeps the full input_hint schema;

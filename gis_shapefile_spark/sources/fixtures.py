@@ -279,6 +279,68 @@ def images_parquet_path(n: int, w: int = 16, h: int = 16) -> str:
     return path
 
 
+def make_near_dup_images(
+    n: int, n_dup: int, w: int = 16, h: int = 16
+) -> pd.DataFrame:
+    """The images table plus ``n_dup`` PERTURBED copies of its first rows
+    — planted image near-duplicates for perceptual-hash dedup.
+
+    Each copy inverts one phash-block-aligned 2x2 pixel patch (patch
+    position varies with the row), re-encodes with the row's own codec,
+    and stores the TRUE phash recomputed from the perturbed decode — the
+    same stored-phash invariant as the base fixture, so the engine's
+    decode->rehash path is value-checkable against the stored column.
+    Copies land at small nonzero hamming from their source (one block
+    mean flips hard, the global-mean ripple may flip a few marginal
+    bits); unrelated fixture images sit at hamming >= 14.
+    """
+    base = make_images(n, w, h)
+    rows = []
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    for i in range(n_dup):
+        src = base.iloc[i]
+        pix = decode_image(src["bytes"], w, h, src["fmt"]).copy()
+        by, bx = (i * 3) % 8, (i * 5) % 8
+        pix[by * bh : (by + 1) * bh, bx * bw : (bx + 1) * bw] = (
+            255 - pix[by * bh : (by + 1) * bh, bx * bw : (bx + 1) * bw]
+        )
+        data = encode_image(pix, src["fmt"])
+        dec = decode_image(data, w, h, src["fmt"])
+        rows.append(
+            dict(
+                image_id=f"img_dup{i:06d}",
+                bytes=data,
+                w=np.int32(w),
+                h=np.int32(h),
+                fmt=src["fmt"],
+                caption=src["caption"],
+                phash=phash64(dec),
+                lng=src["lng"],
+                lat=src["lat"],
+            )
+        )
+    return pd.concat([base, pd.DataFrame(rows)], ignore_index=True)
+
+
+def near_dup_images_parquet_path(
+    n: int, n_dup: int, w: int = 16, h: int = 16
+) -> str:
+    """Generate-once cache of the images ∪ perturbed-copies table."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(
+        FIXTURE_DIR, f"images_neardup_n{n}_d{n_dup}_w{w}_h{h}.parquet"
+    )
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = make_near_dup_images(n, n_dup, w, h)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        os.rename(path + ".tmp", path)  # atomic publish
+    return path
+
+
 def make_grid_features() -> pd.DataFrame:
     """Exact-rectangle variant of the 51-state table (no jitter, no holes).
 

@@ -239,3 +239,61 @@ def test_rasterize_polygons_with_simplify(spark):
     import numpy as np
     diffs = [abs(full[k] - simp[k]) for k in full]
     assert np.mean(diffs) <= 8  # <= 8 of 256 px average drift at eps=0.01
+
+
+def test_image_near_pairs_matches_bruteforce(spark):
+    """Pigeonhole phash block join finds EXACTLY the brute-force pairs on
+    the planted near-dup fixture (150 perturbed copies at hamming 0-6,
+    unrelated images at >= 14), with phash recomputed from pixels."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    path = FX.near_dup_images_parquet_path(n=400, n_dup=40)
+    pdf = pq.read_table(path).to_pandas()
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in MM.image_near_pairs(
+            spark.read.parquet(path), max_hamming=6
+        ).collect()
+    }
+    ph = dict(zip(pdf["image_id"], pdf["phash"].astype(np.int64)))
+    exp = {}
+    for a, b in itertools.combinations(sorted(ph), 2):
+        d = int(bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1"))
+        if d <= 6:
+            exp[(a, b)] = d
+    assert got == exp
+    assert len(exp) >= 30  # the planted copies are actually found
+
+
+def test_hamming_near_pairs_remainder_widths(spark):
+    """nbits not divisible by (max_hamming+1): remainder bits go to the
+    low blocks and completeness still holds (pigeonhole over uneven
+    widths), including negative int64 signatures (top bit set)."""
+    import itertools
+
+    import pandas as pd
+
+    from gis_shapefile_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(7)
+    sigs = rng.integers(-(2**63), 2**63, 60, dtype=np.int64)
+    u = sigs.view(np.uint64)
+    u[10] = u[0] ^ np.uint64(1 << 63) ^ np.uint64(5)  # hamming 3, sign flip
+    u[11] = u[1] ^ np.uint64(0b11)                    # hamming 2
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "sig": sigs})
+    )
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in DD.hamming_near_pairs(df, "doc_id", "sig", 64, 4).collect()
+    }
+    ph = dict(enumerate(int(s) for s in sigs))
+    exp = {}
+    for a, b in itertools.combinations(sorted(ph), 2):
+        d = int(bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1"))
+        if d <= 4:
+            exp[(a, b)] = d
+    assert got == exp and (0, 10) in exp and (1, 11) in exp
