@@ -811,6 +811,61 @@ def q_vector_stats_oracle() -> str:
     """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings: per-vector code stats +
+    integerized L1 reconstruction error (``similarity.quantize_stats_sqls``,
+    pure codegen array expressions — the 4x compression step before
+    shipping embeddings, value-checked bit-for-bit)."""
+    ex = SIM.quantize_stats_sqls("embedding", "spark")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(ex["q_sum"]).alias("q_sum"),
+        F.expr(ex["q_min"]).alias("q_min"),
+        F.expr(ex["q_max"]).alias("q_max"),
+        F.expr(ex["err_u"]).alias("err_u"),
+    )
+
+
+def q_embedding_quantize_oracle() -> str:
+    ex = SIM.quantize_stats_sqls("embedding", "duckdb")
+    return f"""
+        SELECT vec_id,
+               {ex['q_sum']} AS q_sum,
+               {ex['q_min']} AS q_min,
+               {ex['q_max']} AS q_max,
+               {ex['err_u']} AS err_u
+        FROM embeddings WHERE vec_id < 300
+    """
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: top-30 tokens by document frequency (explode
+    distinct tokens -> partial-agg count -> global top-k with
+    deterministic (df desc, token) tie-break) — the vocab/stopword
+    discovery pass over a 10^12-doc corpus; one shuffle on token."""
+    toks = TA.tokens_sql("text", "spark")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(f"array_distinct({toks})")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("token"))
+        .limit(30)
+    )
+
+
+def q_vocab_topk_oracle() -> str:
+    toks = TA.tokens_sql("text", "duckdb")
+    return f"""
+        SELECT token, count(*) AS n_docs FROM (
+          SELECT unnest(list_distinct({toks})) AS token FROM documents)
+        GROUP BY token ORDER BY n_docs DESC, token LIMIT 30
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -1061,6 +1116,8 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "json_props": q_json_props,
     "vector_stats": q_vector_stats,
+    "embedding_quantize": q_embedding_quantize,
+    "vocab_topk": q_vocab_topk,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -1092,6 +1149,8 @@ ORACLES = {
     "distinct_users": q_distinct_users_oracle(),
     "json_props": q_json_props_oracle(),
     "vector_stats": q_vector_stats_oracle(),
+    "embedding_quantize": q_embedding_quantize_oracle(),
+    "vocab_topk": q_vocab_topk_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),

@@ -72,6 +72,48 @@ def cosine_u_sql(dot_u: str, n1_u: str, n2_u: str) -> str:
     )
 
 
+def quantize_stats_sqls(vec: str, dialect: str = "spark") -> dict:
+    """Symmetric int8 scalar quantization of an embedding array, as
+    dual-dialect SQL expressions over per-vector stats (the
+    compression step a training-data pipeline applies before shipping
+    10^12 embeddings; 4x smaller than float32, error bounded by mx/127).
+
+    q_i = floor(127 * x_i / mx) with mx = max |x_i| (guarded >= 1e-12);
+    outputs are order-free integers so both engines hash identically:
+
+    * ``q_sum`` / ``q_min`` / ``q_max`` — BIGINT stats of the quantized
+      codes (the codes themselves, not a float derivative);
+    * ``err_u`` — L1 reconstruction error vs dequantized bucket centers
+      ``(q_i + 0.5) * mx / 127``, integerized PER ELEMENT (floor(|.|*1e9))
+      before the integer sum, so accumulation order cannot perturb it.
+
+    Every float op is an identical IEEE-double expression tree in both
+    dialects; all-zero vectors quantize to all-zero codes with err from
+    the 0.5-bucket offset (deterministic).
+    """
+    tf = "transform" if dialect == "spark" else "list_transform"
+    amax = "array_max" if dialect == "spark" else "list_max"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    if dialect == "spark":
+        asum = "aggregate({a}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    else:
+        asum = "CAST(coalesce(list_sum({a}), 0) AS BIGINT)"
+    mx = f"greatest({amax}({tf}({vec}, a -> abs(CAST(a AS DOUBLE)))), 1e-12)"
+    q = f"CAST(floor(127.0 * CAST(x AS DOUBLE) / {mx}) AS BIGINT)"
+    qarr = f"{tf}({vec}, x -> {q})"
+    err_elem = (
+        f"CAST(floor(abs(CAST(x AS DOUBLE) - (CAST({q} AS DOUBLE) + 0.5) "
+        f"* {mx} / 127.0) * 1e9) AS BIGINT)"
+    )
+    errarr = f"{tf}({vec}, x -> {err_elem})"
+    return {
+        "q_sum": asum.format(a=qarr),
+        "q_min": f"{amin}({qarr})",
+        "q_max": f"{amax}({qarr})",
+        "err_u": asum.format(a=errarr),
+    }
+
+
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------

@@ -470,3 +470,34 @@ def test_ivf_assign_batch_matches_expression(spark):
         for r in SIM.ivf_assign(df, cents).select("vec_id", "_bucket").collect()
     }
     assert a == b
+
+
+def test_quantize_stats_match_numpy(spark):
+    """Int8 quantization stats vs a direct numpy implementation of the
+    same formula (floor(127 x / max|x|), bucket-center dequant, 1e-9 L1)."""
+    rng = np.random.default_rng(3)
+    vecs = [rng.normal(0, 1, 16).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(8, dtype=np.float32))  # all-zero guard path
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ex = SIM.quantize_stats_sqls("embedding", "spark")
+    rows = {
+        r.vec_id: (r.q_sum, r.q_min, r.q_max, r.err_u)
+        for r in spark.createDataFrame(pdf)
+        .select(
+            "vec_id",
+            F.expr(ex["q_sum"]).alias("q_sum"),
+            F.expr(ex["q_min"]).alias("q_min"),
+            F.expr(ex["q_max"]).alias("q_max"),
+            F.expr(ex["err_u"]).alias("err_u"),
+        )
+        .collect()
+    }
+    for i, v in enumerate(vecs):
+        x = v.astype(np.float64)
+        mx = max(np.abs(x).max(), 1e-12)
+        q = np.floor(127.0 * x / mx).astype(np.int64)
+        err = np.floor(np.abs(x - (q + 0.5) * mx / 127.0) * 1e9).astype(np.int64)
+        assert rows[i] == (int(q.sum()), int(q.min()), int(q.max()), int(err.sum()))
+        assert -127 <= q.min() and q.max() <= 127
