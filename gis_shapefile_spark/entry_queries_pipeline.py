@@ -811,6 +811,87 @@ def q_vector_stats_oracle() -> str:
     """
 
 
+_SAMPLE_RATES = {"view": 0.05, "click": 0.25, "purchase": 1.0, "error": 0.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing sample of events: per-type deterministic hash
+    keep-rates (downsample dominant types, keep every purchase, drop
+    errors; unlisted types get the 0.5 default). Output fingerprints the
+    kept MEMBERSHIP per type (count, distinct users, event-id sum), so a
+    single off-by-one row breaks the hash match."""
+    from .operators import splits as SP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kept = SP.stratified_sample(
+        ev, "event_id", "event_type", _SAMPLE_RATES, default_rate=0.5
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+def q_stratified_sample_oracle() -> str:
+    from .operators import splits as SP
+
+    pred = SP.stratified_sample_sql(
+        "event_id", "event_type", _SAMPLE_RATES, default_rate=0.5,
+        dialect="duckdb",
+    )
+    return f"""
+        SELECT event_type,
+               count(*) AS n_kept,
+               count(DISTINCT user_id) AS n_users,
+               sum(event_id) AS id_sum
+        FROM events WHERE {pred}
+        GROUP BY event_type
+    """
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: ntile(10) over the integerized quality score
+    with a TOTAL order (quality_u, doc_id — ties broken so both engines
+    bin identically), then per-decile stats. The data-ordering pass a
+    curriculum-training pipeline runs before sharding.
+
+    Scale note: a global-ORDER window is a single-partition sort — this
+    exact-ntile form is the correctness twin at oracle scale. At 10^12
+    rows, bin with broadcast `percentile_approx` boundaries instead (a
+    scan-side CASE, no global sort); this query is the oracle those
+    approximate boundaries are validated against."""
+    q = TA.quality_score_sql("text", "spark")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(q).alias("quality_u")
+    )
+    binned = d.withColumn(
+        "decile",
+        F.expr("ntile(10) OVER (ORDER BY quality_u, doc_id)").cast("long"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality_u").alias("min_q"),
+        F.max("quality_u").alias("max_q"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_quality_deciles_oracle() -> str:
+    q = TA.quality_score_sql("text", "duckdb")
+    return f"""
+        WITH scored AS (SELECT doc_id, {q} AS quality_u FROM documents),
+        binned AS (
+          SELECT doc_id, quality_u,
+                 CAST(ntile(10) OVER (ORDER BY quality_u, doc_id) AS BIGINT)
+                   AS decile
+          FROM scored)
+        SELECT decile, count(*) AS n_docs, min(quality_u) AS min_q,
+               max(quality_u) AS max_q, sum(doc_id) AS id_sum
+        FROM binned GROUP BY decile
+    """
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of embeddings: per-vector code stats +
     integerized L1 reconstruction error (``similarity.quantize_stats_sqls``,
@@ -1118,6 +1199,8 @@ QUERIES = {
     "vector_stats": q_vector_stats,
     "embedding_quantize": q_embedding_quantize,
     "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
+    "quality_deciles": q_quality_deciles,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
@@ -1151,6 +1234,8 @@ ORACLES = {
     "vector_stats": q_vector_stats_oracle(),
     "embedding_quantize": q_embedding_quantize_oracle(),
     "vocab_topk": q_vocab_topk_oracle(),
+    "stratified_sample": q_stratified_sample_oracle(),
+    "quality_deciles": q_quality_deciles_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),

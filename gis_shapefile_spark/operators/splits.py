@@ -67,3 +67,52 @@ def hash_split(
     return df.withColumn(
         out_col, F.expr(split_sql(key_col, fractions, salt, "spark"))
     )
+
+
+def stratified_sample_sql(
+    key: str,
+    stratum: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+    dialect: str = "spark",
+) -> str:
+    """Boolean keep-predicate for per-stratum deterministic sampling.
+
+    Class rebalancing for a training corpus: each stratum value gets its
+    own keep-rate (e.g. downsample the dominant class, keep all of the
+    rare one), decided by the SAME salted key hash in both engines — so
+    the sample is reproducible across runs and engines, and a row's fate
+    never depends on partitioning or scan order. One codegen expression
+    on the scan: no shuffle, no count pass, no sampling state.
+    """
+    bucket = f"({TA.hash60_sql(_key_string(key, salt, dialect), dialect)} % {BUCKETS})"
+    whens = []
+    for value, rate in rates.items():
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate for {value!r} is {rate}, not in [0, 1]")
+        whens.append(
+            f"WHEN {stratum} = '{value}' THEN {bucket} < {int(round(rate * BUCKETS))}"
+        )
+    return (
+        "(CASE " + " ".join(whens)
+        + f" ELSE {bucket} < {int(round(default_rate * BUCKETS))} END)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Rows kept by the per-stratum deterministic keep-predicate."""
+    return df.where(
+        F.expr(
+            stratified_sample_sql(
+                key_col, stratum_col, rates, default_rate, salt, "spark"
+            )
+        )
+    )

@@ -501,3 +501,28 @@ def test_quantize_stats_match_numpy(spark):
         err = np.floor(np.abs(x - (q + 0.5) * mx / 127.0) * 1e9).astype(np.int64)
         assert rows[i] == (int(q.sum()), int(q.min()), int(q.max()), int(err.sum()))
         assert -127 <= q.min() and q.max() <= 127
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from gis_shapefile_spark.operators import splits as SP
+
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(8000, dtype=np.int64),
+            "cls": np.where(np.arange(8000) % 4 == 0, "rare", "common"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rates = {"rare": 1.0, "common": 0.1}
+    a = {r.k for r in SP.stratified_sample(df, "k", "cls", rates).collect()}
+    b = {r.k for r in SP.stratified_sample(df, "k", "cls", rates).collect()}
+    assert a == b  # deterministic, repartition/scan-order free
+    kept = pdf[pdf["k"].isin(a)]
+    assert (kept["cls"] == "rare").sum() == 2000  # rate 1.0 keeps all
+    n_common = (kept["cls"] == "common").sum()
+    assert 450 <= n_common <= 750  # ~10% of 6000, md5-uniform
+    # unlisted strata follow default_rate
+    none_kept = SP.stratified_sample(
+        df.withColumn("cls", F.lit("other")), "k", "cls", rates, default_rate=0.0
+    ).count()
+    assert none_kept == 0
