@@ -258,6 +258,16 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     timed("image_tiling", lambda: TI.image_tiling_pipeline(
         spark, images, FX.make_grid_features(), res=8), reps=2)
 
+    # image near-dup leg: decode + phash recompute + pigeonhole hamming
+    # block join over 20k images + 2k planted perturbed copies
+    from gis_shapefile_spark.operators import multimodal as MM
+
+    nd_images = spark.read.parquet(
+        FX.near_dup_images_parquet_path(n=20000, n_dup=2000)
+    )
+    timed("image_neardup", lambda: MM.image_near_pairs(
+        nd_images, max_hamming=6), reps=2)
+
     return {"timings": timings, "counts": counts}
 
 
