@@ -100,6 +100,44 @@ def stratified_sample_sql(
     )
 
 
+def percentile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Curriculum binning at scale: assign each row a quantile bin from
+    APPROXIMATE percentile boundaries — no global sort.
+
+    The exact-ntile formulation (driver query ``quality_deciles``) is a
+    single-partition global-ORDER window; this is its 10^12-row shape:
+    one aggregation computes ``percentile_approx`` boundaries (KLL-style
+    sketch, mergeable partials, driver state = n_bins-1 scalars), then
+    binning is a scan-side expression — boundary-count comparison via a
+    literal array, whole-stage codegen, zero extra shuffles.
+
+    Bins are 1..n_bins, row goes to bin ``1 + #{boundaries < value}``
+    (right-closed on boundaries). With exact boundaries this matches
+    value-level ntile up to in-boundary-tie placement; the pytest bounds
+    the per-bin count drift against exact ntile.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    row = df.select(
+        F.percentile_approx(col, fracs, accuracy).alias("bs")
+    ).collect()[0]
+    bounds = list(row["bs"])
+    arr = ", ".join(repr(b) for b in bounds)
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"CAST(1 + size(filter(array({arr}), b -> b < {col})) AS BIGINT)"
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -526,3 +526,33 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         df.withColumn("cls", F.lit("other")), "k", "cls", rates, default_rate=0.0
     ).count()
     assert none_kept == 0
+
+
+def test_percentile_bins_track_exact_ntile(spark):
+    """The scan-side approx-percentile binning (no global sort) must put
+    near-equal counts in every bin and agree with exact ntile up to
+    boundary ties at the documented accuracy."""
+    from gis_shapefile_spark.operators import splits as SP
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(5000, dtype=np.int64),
+            "q": np.floor(rng.normal(500000, 150000, 5000)).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    binned = SP.percentile_bins(df, "q", n_bins=10)
+    counts = {r.bin: r.n for r in binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(1, 11))
+    assert all(400 <= c <= 600 for c in counts.values()), counts
+    # agreement with exact ntile: mismatches only at bin boundaries
+    exact = df.withColumn(
+        "d", F.expr("ntile(10) OVER (ORDER BY q, doc_id)").cast("long")
+    )
+    joined = binned.join(exact.select("doc_id", "d"), "doc_id")
+    mism = joined.where(F.expr("abs(bin - d) > 1")).count()
+    assert mism == 0
+    close = joined.where(F.col("bin") != F.col("d")).count()
+    assert close <= 5000 * 0.05  # <= 5% rows sit on drifted boundaries
