@@ -243,6 +243,10 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     pairs = DD.near_duplicate_pairs(corpus, threshold=0.5).localCheckpoint()
     timed("dedup_components", lambda: DD.connected_components(
         corpus.select("doc_id"), pairs), reps=2)
+    # the scale default (O(log^2 n) rounds on any diameter; used by
+    # checkpointed_corpus_curation) benched alongside label propagation
+    timed("dedup_components_star", lambda: DD.connected_components_star(
+        corpus.select("doc_id"), pairs), reps=2)
 
     # temporal leg: gap-based sessions over the events table
     from gis_shapefile_spark.operators import sessionize as SE
