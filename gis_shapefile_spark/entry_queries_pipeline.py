@@ -737,6 +737,41 @@ def q_image_neardup_oracle() -> str:
     """
 
 
+def q_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image+text curation: one decode pass recomputes every phash
+    and CARRIES the caption through (no id re-join), then codegen caption
+    analytics (token count, quality) run on the verified rows.
+
+    The output includes the RECOMPUTED phash while the oracle reads the
+    STORED column (equal by fixture construction), so the decode->hash
+    path is value-checked per row alongside the text metrics — a
+    multimodal curation pass where either modality regressing breaks the
+    hash match."""
+    from .operators import multimodal as MM
+
+    path = FX.images_parquet_path(n=2000)
+    images = spark.read.parquet(path)
+    out = MM.decode_stats(images, carry=("caption",)).where("phash_ok")
+    return out.select(
+        "image_id",
+        F.col("phash_rec").alias("phash"),
+        F.expr(TA.token_count_sql("caption", "spark")).alias("n_cap_tokens"),
+        F.expr(TA.quality_score_sql("caption", "spark")).alias("cap_quality_u"),
+    )
+
+
+def q_caption_curation_oracle() -> str:
+    path = FX.images_parquet_path(n=2000)
+    ntok = TA.token_count_sql("caption", "duckdb")
+    q = TA.quality_score_sql("caption", "duckdb")
+    return f"""
+        SELECT image_id, phash,
+               {ntok} AS n_cap_tokens,
+               {q} AS cap_quality_u
+        FROM read_parquet('{path}')
+    """
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical tile pyramid (res 8 -> 6 -> 4): coarser levels folded
     from child-level aggregates, one point scan total."""
@@ -1208,6 +1243,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
     "image_neardup": q_image_neardup,
+    "caption_curation": q_caption_curation,
 }
 
 ORACLES = {
@@ -1243,4 +1279,5 @@ ORACLES = {
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
     "image_neardup": q_image_neardup_oracle(),
+    "caption_curation": q_caption_curation_oracle(),
 }

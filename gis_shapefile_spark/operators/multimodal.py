@@ -79,15 +79,23 @@ def _decode_stacks(
         yield np.asarray(poss), fmt, stack
 
 
-def decode_stats(images: DataFrame) -> DataFrame:
+def decode_stats(images: DataFrame, carry: tuple = ()) -> DataFrame:
     """Decode + per-image channel stats and recomputed phash.
 
-    Output: image_id, mean_r/g/b (x1e6, integerized), phash_rec, phash_ok.
+    Output: image_id, mean_r/g/b (x1e6, integerized), phash_rec, phash_ok,
+    plus any ``carry`` columns passed through unchanged — the one-pass
+    shape for joint image+metadata analytics: carrying e.g. the caption
+    through the decode stage avoids re-joining decoded results back to
+    the source by image_id (an id-keyed shuffle the pass-through makes
+    unnecessary at any scale).
     """
+    fields = {f.name: f.dataType.simpleString() for f in images.schema.fields}
     schema = (
         "image_id string, mean_r long, mean_g long, mean_b long, "
         "phash_rec long, phash_ok boolean"
     )
+    for c in carry:
+        schema += f", {c} {fields[c]}"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,16 +106,17 @@ def decode_stats(images: DataFrame) -> DataFrame:
             for poss, _fmt, stack in _decode_stacks(pdf):
                 means[poss] = stack.reshape(len(poss), -1, 3).mean(axis=1)
                 ph[poss] = FX.phash64_batch(stack)
-            yield pd.DataFrame(
-                {
-                    "image_id": pdf["image_id"].values,
-                    "mean_r": np.floor(means[:, 0] * 1e6).astype(np.int64),
-                    "mean_g": np.floor(means[:, 1] * 1e6).astype(np.int64),
-                    "mean_b": np.floor(means[:, 2] * 1e6).astype(np.int64),
-                    "phash_rec": ph,
-                    "phash_ok": ph == pdf["phash"].values.astype(np.int64),
-                }
-            )
+            out = {
+                "image_id": pdf["image_id"].values,
+                "mean_r": np.floor(means[:, 0] * 1e6).astype(np.int64),
+                "mean_g": np.floor(means[:, 1] * 1e6).astype(np.int64),
+                "mean_b": np.floor(means[:, 2] * 1e6).astype(np.int64),
+                "phash_rec": ph,
+                "phash_ok": ph == pdf["phash"].values.astype(np.int64),
+            }
+            for c in carry:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema)
 

@@ -297,3 +297,14 @@ def test_hamming_near_pairs_remainder_widths(spark):
         if d <= 4:
             exp[(a, b)] = d
     assert got == exp and (0, 10) in exp and (1, 11) in exp
+
+
+def test_decode_stats_carry_passthrough(spark, images_df, images_pdf):
+    """carry= columns ride through the decode stage unchanged, keeping
+    joint image+metadata analytics a single pass (no id re-join)."""
+    out = MM.decode_stats(images_df, carry=("caption", "lng")).collect()
+    exp = {r["image_id"]: (r["caption"], r["lng"]) for _, r in images_pdf.iterrows()}
+    assert len(out) == len(exp)
+    for r in out:
+        assert (r.caption, r.lng) == exp[r.image_id]
+        assert r.phash_ok
