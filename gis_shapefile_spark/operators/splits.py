@@ -89,6 +89,8 @@ def stratified_sample_sql(
     bucket = f"({TA.hash60_sql(_key_string(key, salt, dialect), dialect)} % {BUCKETS})"
     whens = []
     for value, rate in rates.items():
+        if "'" in value:
+            raise ValueError(f"stratum value {value!r} must not contain quotes")
         if not (0.0 <= rate <= 1.0):
             raise ValueError(f"rate for {value!r} is {rate}, not in [0, 1]")
         whens.append(
@@ -129,7 +131,8 @@ def percentile_bins(
         F.percentile_approx(col, fracs, accuracy).alias("bs")
     ).collect()[0]
     bounds = list(row["bs"])
-    arr = ", ".join(repr(b) for b in bounds)
+    # explicit DOUBLE: Spark parses bare decimal literals as DECIMAL
+    arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds)
     return df.withColumn(
         out_col,
         F.expr(
