@@ -230,9 +230,11 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     idx_path = os.path.join(FX.FIXTURE_DIR, "bench_ivf_index_1m")
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         SIM.ivf_write_index(big, cents64, idx_path)  # untimed: index build
-    # 64 queries: enough brute work (64M dot products) to rise clearly
-    # above the per-job floor, so the nprobe/C scan reduction is visible
-    qbig = big.where(F.col("vec_id") % 15625 == 0).select(
+    # 32 queries: enough brute work (32M dot products) to rise clearly
+    # above the per-job floor so the nprobe/C scan reduction is visible,
+    # while keeping the brute leg from dominating the suite in a
+    # degraded host window (64 queries measured 108 s in one)
+    qbig = big.where(F.col("vec_id") % 31250 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     timed("ann1m_brute", lambda: SIM.cosine_topk(big, qbig, k=10), reps=1)
@@ -322,7 +324,7 @@ def main() -> None:
 
             best = float("inf")
             job()  # steady-state warmup
-            for _ in range(3):  # two interleaved phases x 3 reps per level
+            for _ in range(2):  # 2 reps per level per pair (min taken)
                 t0 = time.time()
                 job()
                 best = min(best, time.time() - t0)
