@@ -433,6 +433,73 @@ def q_state_confidence_oracle() -> str:
     """
 
 
+def q_http_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 counterpart (reference server/main.cpp:87-228): the HTTP
+    plumbing as a REQUEST-TABLE query. Deterministic '/geocode?...' /
+    '/reverse?...' request strings are built per customer, then parsed
+    with the engine's dual-dialect urlDecode + extractParameter + route
+    kernels (functions/http.py) — the batch form of the reference's
+    request loop; the downstream geocode itself is the already-covered
+    geocode_forward / reverse_geocode."""
+    from .functions import http as H
+
+    ndf = spark.createDataFrame(_state_table_pdf())
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    req = cust.join(
+        F.broadcast(ndf), F.expr("c_custkey % 51") == F.col("idx")
+    ).select(
+        F.col("c_custkey").alias("request_id"),
+        F.expr(
+            "CASE WHEN c_custkey % 2 = 0 THEN "
+            "concat('/geocode?address=', replace(name, ' ', '+'), "
+            "'%2C+USA&format=json') "
+            "ELSE concat('/reverse?lat=', CAST(c_custkey % 180 - 90 AS STRING), "
+            "'&lng=', CAST(c_custkey % 360 - 180 AS STRING)) END"
+        ).alias("request"),
+    )
+    qs = H.query_string_sql("request", "spark")
+    addr = H.url_decode_sql(H.extract_param_sql(qs, "address", "spark"), "spark")
+    lat = H.extract_param_sql(qs, "lat", "spark")
+    lng = H.extract_param_sql(qs, "lng", "spark")
+    ep = H.route_sql("request", "spark")
+    return req.select(
+        "request_id",
+        F.expr(ep).alias("endpoint"),
+        F.expr(addr).alias("address"),
+        F.expr(f"CASE WHEN {ep} = 'reverse' THEN CAST({lat} AS BIGINT) END").alias("lat_i"),
+        F.expr(f"CASE WHEN {ep} = 'reverse' THEN CAST({lng} AS BIGINT) END").alias("lng_i"),
+    )
+
+
+def q_http_requests_oracle() -> str:
+    from .functions import http as H
+
+    qs = H.query_string_sql("request", "duckdb")
+    addr = H.url_decode_sql(H.extract_param_sql(qs, "address", "duckdb"), "duckdb")
+    lat = H.extract_param_sql(qs, "lat", "duckdb")
+    lng = H.extract_param_sql(qs, "lng", "duckdb")
+    ep = H.route_sql("request", "duckdb")
+    return f"""
+        WITH req AS (
+          SELECT c_custkey AS request_id,
+                 CASE WHEN c_custkey % 2 = 0 THEN
+                   '/geocode?address=' || replace(n1.name, ' ', '+')
+                     || '%2C+USA&format=json'
+                 ELSE '/reverse?lat=' || CAST(c_custkey % 180 - 90 AS VARCHAR)
+                   || '&lng=' || CAST(c_custkey % 360 - 180 AS VARCHAR) END
+                   AS request
+          FROM customer
+          JOIN {_state_table_values('n1')} ON n1.idx = c_custkey % 51
+        )
+        SELECT request_id,
+               {ep} AS endpoint,
+               {addr} AS address,
+               CASE WHEN {ep} = 'reverse' THEN CAST({lat} AS BIGINT) END AS lat_i,
+               CASE WHEN {ep} = 'reverse' THEN CAST({lng} AS BIGINT) END AS lng_i
+        FROM req
+    """
+
+
 def q_geocode_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full forward-geocode pipeline (J4: parse → 3-key probe → broadcast
     equi-join → F11 score → 0.3 filter → W1 top-1) over mangled state-name
@@ -892,6 +959,7 @@ QUERIES = {
     "normalize": q_normalize,
     "state_confidence": q_state_confidence,
     "geocode_forward": q_geocode_forward,
+    "http_requests": q_http_requests,
     "top1_per_group": q_top1_per_group,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -917,6 +985,7 @@ ORACLES = {
     "normalize": q_normalize_oracle(),
     "state_confidence": q_state_confidence_oracle(),
     "geocode_forward": q_geocode_forward_oracle(),
+    "http_requests": q_http_requests_oracle(),
     "top1_per_group": q_top1_per_group_oracle(),
     "pricing_summary": q_pricing_summary_oracle(),
     "top_revenue_orders": q_top_revenue_orders_oracle(),

@@ -238,3 +238,37 @@ def test_parse_address_column_matches_oracle(spark):
         want = o_parse(row.addr)
         got = row.p.asDict()
         assert got == want, row.addr
+
+
+def test_http_request_kernels(spark):
+    """F14 counterpart kernels match the reference server's semantics
+    (server/main.cpp:87-228): '+'->space, %XX decode with %2B ordering
+    (a decoded '+' is not re-decoded), unknown escapes pass through,
+    missing parameters extract as '', endpoint dispatch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gis_shapefile_spark.functions import http as H
+
+    pdf = pd.DataFrame({"req": [
+        "/geocode?address=NEW+YORK%2C+USA&format=json",
+        "/reverse?lat=-53&lng=127",
+        "/geocode?address=a%2Bb%20c%ZZ",
+        "/health",
+    ]})
+    qs = H.query_string_sql("req", "spark")
+    df = spark.createDataFrame(pdf).select(
+        "req",
+        F.expr(H.route_sql("req", "spark")).alias("ep"),
+        F.expr(H.url_decode_sql(
+            H.extract_param_sql(qs, "address", "spark"), "spark")).alias("addr"),
+        F.expr(H.extract_param_sql(qs, "lat", "spark")).alias("lat"),
+    )
+    rows = {r.req: (r.ep, r.addr, r.lat) for r in df.collect()}
+    assert rows["/geocode?address=NEW+YORK%2C+USA&format=json"] == (
+        "geocode", "NEW YORK, USA", "")
+    assert rows["/reverse?lat=-53&lng=127"] == ("reverse", "", "-53")
+    # %2B decodes to '+' and stays '+' (not re-decoded to space);
+    # unknown escape %ZZ passes through like the reference's failed-hex branch
+    assert rows["/geocode?address=a%2Bb%20c%ZZ"] == ("geocode", "a+b c%ZZ", "")
+    assert rows["/health"] == ("not_found", "", "")
