@@ -932,11 +932,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integerized L1 reconstruction error (``similarity.quantize_stats_sqls``,
     pure codegen array expressions — the 4x compression step before
     shipping embeddings, value-checked bit-for-bit)."""
-    ex = SIM.quantize_stats_sqls("embedding", "spark")
+    ex = SIM.quantize_stats_sqls("embedding", "spark", mx_col="_mx")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
         F.col("vec_id") < 300
     )
-    return emb.select(
+    # mx projected ONCE per row; lambdas reference the column (Catalyst
+    # does not CSE into HOF lambdas — inlined, each stat is O(d^2))
+    return emb.withColumn("_mx", F.expr(ex["mx"])).select(
         "vec_id",
         F.expr(ex["q_sum"]).alias("q_sum"),
         F.expr(ex["q_min"]).alias("q_min"),
@@ -946,14 +948,18 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_quantize_oracle() -> str:
-    ex = SIM.quantize_stats_sqls("embedding", "duckdb")
+    ex = SIM.quantize_stats_sqls("embedding", "duckdb", mx_col="_mx")
     return f"""
+        WITH m AS (
+          SELECT vec_id, embedding, {ex['mx']} AS _mx
+          FROM embeddings WHERE vec_id < 300
+        )
         SELECT vec_id,
                {ex['q_sum']} AS q_sum,
                {ex['q_min']} AS q_min,
                {ex['q_max']} AS q_max,
                {ex['err_u']} AS err_u
-        FROM embeddings WHERE vec_id < 300
+        FROM m
     """
 
 

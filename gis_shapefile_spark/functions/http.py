@@ -27,18 +27,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # decode order matters: '+'→' ' FIRST, so a '+' produced by %2B is not
-# re-decoded (the reference's single pass has the same property).
-URL_ESCAPES: list[tuple[str, str]] = [
-    ("+", " "),
-    ("%20", " "),
-    ("%2C", ","),
-    ("%2c", ","),
-    ("%2B", "+"),
-    ("%23", "#"),
-    ("%26", "&"),
-    ("%3D", "="),
-    ("%3F", "?"),
-    ("%2F", "/"),
+# re-decoded (the reference's single pass has the same property). The
+# reference's hex parse is case-insensitive (istringstream >> hex), so
+# every escape with hex letters appears in both cases.
+_ESCAPE_CHARS = [("20", " "), ("2C", ","), ("2B", "+"), ("23", "#"),
+                 ("26", "&"), ("3D", "="), ("3F", "?"), ("2F", "/")]
+URL_ESCAPES: list[tuple[str, str]] = [("+", " ")] + [
+    (f"%{hx}", ch)
+    for hex_upper, ch in _ESCAPE_CHARS
+    for hx in dict.fromkeys((hex_upper, hex_upper.lower()))
 ]
 
 

@@ -302,17 +302,24 @@ def hamming_near_pairs(
     """
     blocks = max_hamming + 1
     if blocks > nbits:
-        raise ValueError(f"max_hamming {max_hamming} needs > {nbits} blocks")
+        raise ValueError(
+            f"max_hamming {max_hamming} needs {blocks} blocks but nbits={nbits}"
+        )
     base, rem = divmod(nbits, blocks)
     widths = [base + 1 if i < rem else base for i in range(blocks)]
     offsets = [sum(widths[:i]) for i in range(blocks)]
+    def _block_val(i: int) -> str:
+        # a 64-bit-wide block is the whole signature: no mask (the literal
+        # 2^64-1 would overflow BIGINT and fail analysis)
+        if widths[i] >= 64:
+            return sig_col
+        return f"(shiftright({sig_col}, {offsets[i]}) & {(1 << widths[i]) - 1})"
+
     block_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.expr(
-                    f"(shiftright({sig_col}, {offsets[i]}) & {(1 << widths[i]) - 1})"
-                ).alias("val"),
+                F.expr(_block_val(i)).alias("val"),
             )
             for i in range(blocks)
         ]

@@ -79,21 +79,26 @@ def _decode_stacks(
         yield np.asarray(poss), fmt, stack
 
 
-def decode_stats(images: DataFrame, carry: tuple = ()) -> DataFrame:
-    """Decode + per-image channel stats and recomputed phash.
+def decode_stats(
+    images: DataFrame, carry: tuple = (), means: bool = True
+) -> DataFrame:
+    """Decode + recomputed phash, optionally per-image channel stats.
 
-    Output: image_id, mean_r/g/b (x1e6, integerized), phash_rec, phash_ok,
-    plus any ``carry`` columns passed through unchanged — the one-pass
-    shape for joint image+metadata analytics: carrying e.g. the caption
-    through the decode stage avoids re-joining decoded results back to
-    the source by image_id (an id-keyed shuffle the pass-through makes
-    unnecessary at any scale).
+    Output: image_id, [mean_r/g/b (x1e6, integerized) when ``means``],
+    phash_rec, phash_ok, plus any ``carry`` columns passed through
+    unchanged — the one-pass shape for joint image+metadata analytics:
+    carrying e.g. the caption through the decode stage avoids re-joining
+    decoded results back to the source by image_id (an id-keyed shuffle
+    the pass-through makes unnecessary at any scale). ``means=False``
+    skips the full-pixel mean pass for phash-only consumers (near-dup
+    pairing, streaming verify) — one shared decode kernel, parameterized
+    outputs, so a codec/phash change cannot diverge between paths.
     """
     fields = {f.name: f.dataType.simpleString() for f in images.schema.fields}
-    schema = (
-        "image_id string, mean_r long, mean_g long, mean_b long, "
-        "phash_rec long, phash_ok boolean"
-    )
+    schema = "image_id string"
+    if means:
+        schema += ", mean_r long, mean_g long, mean_b long"
+    schema += ", phash_rec long, phash_ok boolean"
     for c in carry:
         schema += f", {c} {fields[c]}"
 
@@ -101,19 +106,19 @@ def decode_stats(images: DataFrame, carry: tuple = ()) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            means = np.zeros((len(pdf), 3))
+            mns = np.zeros((len(pdf), 3))
             ph = np.zeros(len(pdf), dtype=np.int64)
             for poss, _fmt, stack in _decode_stacks(pdf):
-                means[poss] = stack.reshape(len(poss), -1, 3).mean(axis=1)
+                if means:
+                    mns[poss] = stack.reshape(len(poss), -1, 3).mean(axis=1)
                 ph[poss] = FX.phash64_batch(stack)
-            out = {
-                "image_id": pdf["image_id"].values,
-                "mean_r": np.floor(means[:, 0] * 1e6).astype(np.int64),
-                "mean_g": np.floor(means[:, 1] * 1e6).astype(np.int64),
-                "mean_b": np.floor(means[:, 2] * 1e6).astype(np.int64),
-                "phash_rec": ph,
-                "phash_ok": ph == pdf["phash"].values.astype(np.int64),
-            }
+            out = {"image_id": pdf["image_id"].values}
+            if means:
+                out["mean_r"] = np.floor(mns[:, 0] * 1e6).astype(np.int64)
+                out["mean_g"] = np.floor(mns[:, 1] * 1e6).astype(np.int64)
+                out["mean_b"] = np.floor(mns[:, 2] * 1e6).astype(np.int64)
+            out["phash_rec"] = ph
+            out["phash_ok"] = ph == pdf["phash"].values.astype(np.int64)
             for c in carry:
                 out[c] = pdf[c].values
             yield pd.DataFrame(out)
@@ -135,7 +140,7 @@ def image_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """
     from . import dedup as DD
 
-    sig = decode_stats(images).select("image_id", "phash_rec")
+    sig = decode_stats(images, means=False).select("image_id", "phash_rec")
     return DD.hamming_near_pairs(sig, "image_id", "phash_rec", 64, max_hamming)
 
 

@@ -72,7 +72,7 @@ def cosine_u_sql(dot_u: str, n1_u: str, n2_u: str) -> str:
     )
 
 
-def quantize_stats_sqls(vec: str, dialect: str = "spark") -> dict:
+def quantize_stats_sqls(vec: str, dialect: str = "spark", mx_col: str | None = None) -> dict:
     """Symmetric int8 scalar quantization of an embedding array, as
     dual-dialect SQL expressions over per-vector stats (the
     compression step a training-data pipeline applies before shipping
@@ -90,6 +90,14 @@ def quantize_stats_sqls(vec: str, dialect: str = "spark") -> dict:
     Every float op is an identical IEEE-double expression tree in both
     dialects; all-zero vectors quantize to all-zero codes with err from
     the 0.5-bucket offset (deterministic).
+
+    ``mx_col``: name of a pre-projected max-|x| column (the returned
+    ``"mx"`` expression). Without it the O(d) max-abs subexpression is
+    inlined into every per-element lambda — Catalyst does not CSE across
+    higher-order-function lambda boundaries, so each stat degrades to
+    O(d^2) per vector. Project ``mx`` once (a CTE in the DuckDB twin)
+    and pass its column name for the scale path; the referenced value is
+    the same IEEE tree, so oracle parity is unaffected.
     """
     tf = "transform" if dialect == "spark" else "list_transform"
     amax = "array_max" if dialect == "spark" else "list_max"
@@ -98,7 +106,8 @@ def quantize_stats_sqls(vec: str, dialect: str = "spark") -> dict:
         asum = "aggregate({a}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     else:
         asum = "CAST(coalesce(list_sum({a}), 0) AS BIGINT)"
-    mx = f"greatest({amax}({tf}({vec}, a -> abs(CAST(a AS DOUBLE)))), 1e-12)"
+    mx_expr = f"greatest({amax}({tf}({vec}, a -> abs(CAST(a AS DOUBLE)))), 1e-12)"
+    mx = mx_col if mx_col is not None else mx_expr
     q = f"CAST(floor(127.0 * CAST(x AS DOUBLE) / {mx}) AS BIGINT)"
     qarr = f"{tf}({vec}, x -> {q})"
     err_elem = (
@@ -107,6 +116,7 @@ def quantize_stats_sqls(vec: str, dialect: str = "spark") -> dict:
     )
     errarr = f"{tf}({vec}, x -> {err_elem})"
     return {
+        "mx": mx_expr,
         "q_sum": asum.format(a=qarr),
         "q_min": f"{amin}({qarr})",
         "q_max": f"{amax}({qarr})",

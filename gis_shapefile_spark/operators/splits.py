@@ -87,6 +87,8 @@ def stratified_sample_sql(
     on the scan: no shuffle, no count pass, no sampling state.
     """
     bucket = f"({TA.hash60_sql(_key_string(key, salt, dialect), dialect)} % {BUCKETS})"
+    if not rates:  # pure default-rate sample (CASE needs >= 1 WHEN)
+        return f"({bucket} < {int(round(default_rate * BUCKETS))})"
     whens = []
     for value, rate in rates.items():
         if "'" in value:
@@ -130,6 +132,10 @@ def percentile_bins(
     row = df.select(
         F.percentile_approx(col, fracs, accuracy).alias("bs")
     ).collect()[0]
+    if row["bs"] is None:
+        raise ValueError(
+            f"percentile_bins: no non-null values in column {col!r}"
+        )
     bounds = list(row["bs"])
     # explicit DOUBLE: Spark parses bare decimal literals as DECIMAL
     arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds)

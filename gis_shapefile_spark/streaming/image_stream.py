@@ -21,17 +21,12 @@ batch rollup's rows.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cells as C
 from ..operators import multimodal as MM
 from ..operators import spatial_join as SJ
-from ..sources import fixtures as FX
 
 IMAGES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -60,35 +55,17 @@ def verify_enrich(images: DataFrame) -> DataFrame:
 
     The batch pipeline computes invariants in a separate stage and joins
     them back by image_id; on a stream that join would be stream-stream.
-    This stage runs the same decode kernel (``multimodal._decode_stacks``
-    + ``fixtures.phash64_batch``) but emits the enriched row directly —
+    This stage runs the SHARED decode kernel
+    (``multimodal.decode_stats`` with ``means=False`` + carry columns),
+    so a codec/phash change cannot diverge between batch and stream —
     linear pipeline, no shuffle, batch/stream identical.
     """
-    schema = (
-        "image_id string, lng double, lat double, n_bytes long, "
-        "phash_ok boolean"
+    enriched = MM.decode_stats(
+        images.withColumn("n_bytes", F.octet_length("bytes").cast("long")),
+        carry=("lng", "lat", "n_bytes"),
+        means=False,
     )
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            n = len(pdf)
-            phash_ok = np.zeros(n, dtype=bool)
-            carried = pdf["phash"].values.astype(np.int64)
-            for poss, _fmt, stack in MM._decode_stacks(pdf):
-                phash_ok[poss] = FX.phash64_batch(stack) == carried[poss]
-            yield pd.DataFrame(
-                {
-                    "image_id": pdf["image_id"].values,
-                    "lng": pdf["lng"].values,
-                    "lat": pdf["lat"].values,
-                    "n_bytes": [len(b) for b in pdf["bytes"].values],
-                    "phash_ok": phash_ok,
-                }
-            )
-
-    return images.mapInPandas(fn, schema=schema)
+    return enriched.select("image_id", "lng", "lat", "n_bytes", "phash_ok")
 
 
 def streaming_tile_events(

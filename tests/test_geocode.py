@@ -254,6 +254,7 @@ def test_http_request_kernels(spark):
         "/geocode?address=NEW+YORK%2C+USA&format=json",
         "/reverse?lat=-53&lng=127",
         "/geocode?address=a%2Bb%20c%ZZ",
+        "/geocode?address=x%2by%2fz",
         "/health",
     ]})
     qs = H.query_string_sql("req", "spark")
@@ -271,4 +272,6 @@ def test_http_request_kernels(spark):
     # %2B decodes to '+' and stays '+' (not re-decoded to space);
     # unknown escape %ZZ passes through like the reference's failed-hex branch
     assert rows["/geocode?address=a%2Bb%20c%ZZ"] == ("geocode", "a+b c%ZZ", "")
+    # lowercase hex escapes decode too (reference hex parse is case-insensitive)
+    assert rows["/geocode?address=x%2by%2fz"] == ("geocode", "x+y/z", "")
     assert rows["/health"] == ("not_found", "", "")

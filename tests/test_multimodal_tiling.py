@@ -308,3 +308,22 @@ def test_decode_stats_carry_passthrough(spark, images_df, images_pdf):
     for r in out:
         assert (r.caption, r.lng) == exp[r.image_id]
         assert r.phash_ok
+
+
+def test_hamming_near_pairs_single_block_exact_dups(spark):
+    """max_hamming=0 over 64 bits: one unmasked 64-bit block (the full
+    signature — a 2^64-1 mask literal would overflow BIGINT), finding
+    exactly the equal-signature pairs including negative values."""
+    import pandas as pd
+
+    from gis_shapefile_spark.operators import dedup as DD
+
+    sigs = np.array([-5, -5, 7, 7, 9, -(2**63)], dtype=np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "sig": sigs})
+    )
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in DD.hamming_near_pairs(df, "doc_id", "sig", 64, 0).collect()
+    }
+    assert got == {(0, 1): 0, (2, 3): 0}

@@ -556,3 +556,21 @@ def test_percentile_bins_track_exact_ntile(spark):
     assert mism == 0
     close = joined.where(F.col("bin") != F.col("d")).count()
     assert close <= 5000 * 0.05  # <= 5% rows sit on drifted boundaries
+
+
+def test_stratified_sample_empty_rates_uses_default(spark):
+    from gis_shapefile_spark.operators import splits as SP
+
+    pdf = pd.DataFrame({"k": np.arange(4000, dtype=np.int64),
+                        "cls": ["x"] * 4000})
+    df = spark.createDataFrame(pdf)
+    n = SP.stratified_sample(df, "k", "cls", {}, default_rate=0.25).count()
+    assert 850 <= n <= 1150  # ~25%, md5-uniform
+
+
+def test_percentile_bins_empty_input_raises(spark):
+    from gis_shapefile_spark.operators import splits as SP
+
+    df = spark.createDataFrame([], schema="q long")
+    with pytest.raises(ValueError, match="no non-null values"):
+        SP.percentile_bins(df, "q")

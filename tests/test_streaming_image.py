@@ -33,10 +33,13 @@ def index(spark):
 @pytest.fixture(scope="module")
 def images_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("img_stream") / "images")
+    # multiple files for maxFilesPerTrigger WITHOUT repartitioning the
+    # binary payload (forbidden per CLAUDE.md: measured 10x regression) —
+    # maxRecordsPerFile splits each task's output at write time
     (
         spark.read.parquet(FX.images_parquet_path(n=N_IMAGES))
-        .repartition(3)
-        .write.parquet(d)
+        .write.option("maxRecordsPerFile", N_IMAGES // 3)
+        .parquet(d)
     )
     return d
 
