@@ -327,3 +327,21 @@ def test_hamming_near_pairs_single_block_exact_dups(spark):
         for r in DD.hamming_near_pairs(df, "doc_id", "sig", 64, 0).collect()
     }
     assert got == {(0, 1): 0, (2, 3): 0}
+
+
+def test_phash_mismatch_rows_are_detected_and_dropped(spark, images_pdf):
+    """The phash_ok invariant is live, not vacuous: a row whose carried
+    phash disagrees with the decoded pixels is flagged by decode_stats
+    and dropped by the verified-row filter the caption/tiling queries
+    apply (the oracle premise 'every fixture row passes' is exactly what
+    a decode regression would break)."""
+    bad = images_pdf.copy()
+    bad.loc[0, "phash"] = bad.loc[0, "phash"] ^ 1  # corrupt one invariant
+    df = spark.createDataFrame(bad)
+    out = MM.decode_stats(df, means=False)
+    flags = {r.image_id: r.phash_ok for r in out.collect()}
+    bad_id = bad.loc[0, "image_id"]
+    assert flags[bad_id] is False
+    assert all(ok for iid, ok in flags.items() if iid != bad_id)
+    kept = out.where("phash_ok").count()
+    assert kept == len(bad) - 1
