@@ -849,6 +849,49 @@ def q_vector_stats_oracle() -> str:
 _SAMPLE_RATES = {"view": 0.05, "click": 0.25, "purchase": 1.0, "error": 0.0}
 
 
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style regular-interval rollup: dense per-user hourly
+    series with gap-fill + carry-forward (``operators/resample.py``) —
+    the time_bucket_gapfill/locf shape."""
+    from .operators import resample as RS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") % 20 == 0
+    )
+    return RS.hourly_gapfill(ev)
+
+
+def q_hourly_gapfill_oracle() -> str:
+    cents = "CAST(floor(value * 100) AS BIGINT)"
+    win = (
+        "OVER (PARTITION BY user_id ORDER BY hour_epoch "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+        WITH hourly AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                 sum({cents}) AS cents, count(*) AS n_events
+          FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+        ), grid AS (
+          SELECT user_id, unnest(range(h0, h1 + 3600, 3600)) AS hour_epoch
+          FROM span
+        ), j AS (
+          SELECT g.user_id, g.hour_epoch, hourly.cents,
+                 coalesce(hourly.n_events, 0) AS n_events
+          FROM grid g LEFT JOIN hourly
+            ON hourly.user_id = g.user_id AND hourly.h = g.hour_epoch
+        )
+        SELECT user_id, hour_epoch,
+               coalesce(last_value(cents IGNORE NULLS) {win},
+                        CAST(0 AS BIGINT)) AS filled_cents,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM j
+    """
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-rebalancing sample of events: per-type deterministic hash
     keep-rates (downsample dominant types, keep every purchase, drop
@@ -1241,6 +1284,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
+    "hourly_gapfill": q_hourly_gapfill,
     "quality_deciles": q_quality_deciles,
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
@@ -1277,6 +1321,7 @@ ORACLES = {
     "embedding_quantize": q_embedding_quantize_oracle(),
     "vocab_topk": q_vocab_topk_oracle(),
     "stratified_sample": q_stratified_sample_oracle(),
+    "hourly_gapfill": q_hourly_gapfill_oracle(),
     "quality_deciles": q_quality_deciles_oracle(),
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),

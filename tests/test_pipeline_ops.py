@@ -574,3 +574,31 @@ def test_percentile_bins_empty_input_raises(spark):
     df = spark.createDataFrame([], schema="q long")
     with pytest.raises(ValueError, match="no non-null values"):
         SP.percentile_bins(df, "q")
+
+
+def test_hourly_gapfill_semantics(spark):
+    """Gap hours exist in the output, carry the last hourly sum forward,
+    and are marked n_events=0; bucket sums match a pandas oracle."""
+    from gis_shapefile_spark.operators import resample as RS
+
+    base = pd.Timestamp("2026-01-01 00:30:00")
+    rows = [
+        (1, base, 10.0),                         # hour 0
+        (1, base + pd.Timedelta(minutes=10), 2.5),  # hour 0
+        (1, base + pd.Timedelta(hours=3), 7.0),  # hour 3 (1-2 are gaps)
+        (2, base + pd.Timedelta(hours=1), 4.0),  # single-hour user
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    )
+    out = {
+        (r.user_id, r.hour_epoch): (r.filled_cents, r.n_events)
+        for r in RS.hourly_gapfill(df).collect()
+    }
+    h0 = int(pd.Timestamp("2026-01-01 00:00:00").timestamp())
+    assert out[(1, h0)] == (1250, 2)            # 10.00 + 2.50
+    assert out[(1, h0 + 3600)] == (1250, 0)     # gap: carried, marked
+    assert out[(1, h0 + 2 * 3600)] == (1250, 0)
+    assert out[(1, h0 + 3 * 3600)] == (700, 1)
+    assert out[(2, h0 + 3600)] == (400, 1)
+    assert len(out) == 5  # dense span for user 1 (4 hours) + user 2 (1)
