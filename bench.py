@@ -41,6 +41,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
+# Graceful-degradation wall-clock budget: this sandbox's throughput
+# swings 5-10x between host windows (BENCH/BASELINE.md), and a degraded
+# window can stretch the full run past an external timeout — which would
+# record NOTHING. Past the budget, remaining entries drop to 1 rep, then
+# get skipped (recorded in the artifact's "skipped" list); the scaling
+# pass always runs at least one N/4N pair (the north-rule evidence).
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+_T0 = time.time()
+
 # points per SF: sf encodes via lineitem rows ~ 6M * sf
 _SF = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
 N_POINTS = int(60_000_000 * _SF)  # sf0.1 -> 6M synthetic image points
@@ -135,14 +144,24 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     feats = FX.make_features()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    skipped: list[str] = []
 
     pts = spark.read.parquet(points_parquet(spark, n_points))
     warm_python_workers(spark)
 
-    def timed(name, df_builder, reps=3):
+    def timed(name, df_builder, reps=3, guard=0.0):
         """Warm once then report min of ``reps`` — this sandbox has ~25x
         slower first-touch page faults, so cold runs measure the host's
-        memory ballooning, not the plan."""
+        memory ballooning, not the plan. Over-budget entries degrade to
+        1 rep, then are skipped entirely (see BENCH_BUDGET); ``guard`` is
+        an entry's expected worst-window cost, so an expensive entry is
+        skipped BEFORE it can start near the budget edge and blow past."""
+        elapsed = time.time() - _T0
+        if elapsed > BENCH_BUDGET - guard:
+            skipped.append(name)
+            return
+        if elapsed > 0.5 * BENCH_BUDGET:
+            reps = 1
         df_builder().count()
         best = float("inf")
         for _ in range(reps):
@@ -237,9 +256,11 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
     qbig = big.where(F.col("vec_id") % 31250 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    timed("ann1m_brute", lambda: SIM.cosine_topk(big, qbig, k=10), reps=1)
+    timed("ann1m_brute", lambda: SIM.cosine_topk(big, qbig, k=10), reps=1,
+          guard=180.0)
     timed("ann1m_ivf", lambda: SIM.ivf_topk_indexed(
-        spark, idx_path, qbig, k=10, centroids=cents64, nprobe=4), reps=2)
+        spark, idx_path, qbig, k=10, centroids=cents64, nprobe=4), reps=2,
+        guard=60.0)
 
     # canonical-doc clustering over the verified near-dup pairs
     pairs = DD.near_duplicate_pairs(corpus, threshold=0.5).localCheckpoint()
@@ -262,7 +283,7 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
 
     images = spark.read.parquet(FX.images_parquet_path(n=20000))
     timed("image_tiling", lambda: TI.image_tiling_pipeline(
-        spark, images, FX.make_grid_features(), res=8), reps=2)
+        spark, images, FX.make_grid_features(), res=8), reps=2, guard=60.0)
 
     # image near-dup leg: decode + phash recompute + pigeonhole hamming
     # block join over 20k images + 2k planted perturbed copies
@@ -272,9 +293,9 @@ def run_suite(spark: SparkSession, n_points: int) -> dict:
         FX.near_dup_images_parquet_path(n=20000, n_dup=2000)
     )
     timed("image_neardup", lambda: MM.image_near_pairs(
-        nd_images, max_hamming=6), reps=2)
+        nd_images, max_hamming=6), reps=2, guard=60.0)
 
-    return {"timings": timings, "counts": counts}
+    return {"timings": timings, "counts": counts, "skipped": skipped}
 
 
 def main() -> None:
@@ -324,7 +345,10 @@ def main() -> None:
 
             best = float("inf")
             job()  # steady-state warmup
-            for _ in range(2):  # 2 reps per level per pair (min taken)
+            # over budget: one timed rep per level (the warmup already
+            # absorbed cold-start; fewer reps widens variance, not bias)
+            n_reps = 1 if time.time() - _T0 > 0.5 * BENCH_BUDGET else 2
+            for _ in range(n_reps):
                 t0 = time.time()
                 job()
                 best = min(best, time.time() - t0)
@@ -343,6 +367,14 @@ def main() -> None:
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         pair_stats = []
         for i in range(n_pairs):
+            # pair 0 always runs (the north-rule evidence). Over budget,
+            # later pairs run ONLY while no pair has met the >= 0.8 rule
+            # yet — one clean pair is the recorded number, so stopping
+            # early on success saves wall-clock, while a degraded-window
+            # miss keeps retrying up to n_pairs for a clean host window.
+            if i > 0 and time.time() - _T0 > BENCH_BUDGET:
+                if max(p["efficiency"] for p in pair_stats) >= 0.8:
+                    break
             if i % 2 == 0:
                 t_n = timed_job(f"local[{scale_n}]")
                 t_4n = timed_job(f"local[{scale_n * 4}]")
@@ -379,6 +411,11 @@ def main() -> None:
         "images_per_sec": round(images_per_sec, 1),
         "cells_per_sec": round(cells_per_sec, 1),
         "scaling": scaling,
+        "budget": {
+            "sec": BENCH_BUDGET,
+            "elapsed": round(time.time() - _T0, 1),
+            "skipped": res["skipped"],
+        },
     }
     print(json.dumps(out))
 
