@@ -947,6 +947,69 @@ def q_pip_first_hit_oracle() -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# raster -> vector polygonize (inverse of rasterize_*; north rule's
+# raster<->vector materialization closed in both directions)
+# ---------------------------------------------------------------------------
+
+_RASTER_N = 32  # 32x32 density grid over the fixture canvas
+_PX_SQL = (
+    f"least({_RASTER_N - 1}, greatest(0, CAST(floor((lng - {_dbl('-125.0')})"
+    f" / {_dbl('59.0')} * {_RASTER_N}) AS BIGINT)))"
+)
+_PY_SQL = (
+    f"least({_RASTER_N - 1}, greatest(0, CAST(floor((lat - {_dbl('24.0')})"
+    f" / {_dbl('26.0')} * {_RASTER_N}) AS BIGINT)))"
+)
+_VAL_SQL = "CASE WHEN cnt >= 3 THEN 2 WHEN cnt >= 2 THEN 1 ELSE 0 END"
+
+
+def q_vectorize_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: density-classed point raster polygonized into
+    axis-aligned rectangles (``operators.tiling.vectorize_raster``, the
+    two-pass gaps-and-islands merge). Integer-exact end-to-end: the only
+    float op is the shared floor-quantization of the synthesized coords."""
+    from .operators import tiling as TL
+
+    raster = (
+        _points_df(spark, sf_dir)
+        .groupBy(
+            F.expr(_PX_SQL).alias("px"), F.expr(_PY_SQL).alias("py")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("px", "py", F.expr(_VAL_SQL).alias("val"))
+    )
+    return TL.vectorize_raster(raster)
+
+
+def q_vectorize_raster_oracle() -> str:
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        raster AS (
+            SELECT {_PX_SQL} AS px, {_PY_SQL} AS py, count(*) AS cnt
+            FROM pts GROUP BY 1, 2
+        ),
+        cells AS (SELECT px, py, {_VAL_SQL} AS val FROM raster),
+        runs AS (
+            SELECT py, val, min(px) AS x0, max(px) AS x1
+            FROM (SELECT px, py, val,
+                         px - row_number() OVER (PARTITION BY py, val ORDER BY px) AS grp
+                  FROM cells) t
+            GROUP BY py, val, grp
+        ),
+        rects AS (
+            SELECT val, x0, x1, min(py) AS y0, max(py) AS y1
+            FROM (SELECT py, val, x0, x1,
+                         py - row_number() OVER (PARTITION BY val, x0, x1 ORDER BY py) AS vgrp
+                  FROM runs) r
+            GROUP BY val, x0, x1, vgrp
+        )
+        SELECT val, x0, y0, x1, y1,
+               (x1 - x0 + 1) * (y1 - y0 + 1) AS n_cells
+        FROM rects
+    """
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -971,6 +1034,7 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "above_avg_orders": q_above_avg_orders,
     "median_balances": q_median_balances,
+    "vectorize_raster": q_vectorize_raster,
 }
 
 ORACLES = {
@@ -997,4 +1061,5 @@ ORACLES = {
     "promo_revenue": q_promo_revenue_oracle(),
     "above_avg_orders": q_above_avg_orders_oracle(),
     "median_balances": q_median_balances_oracle(),
+    "vectorize_raster": q_vectorize_raster_oracle(),
 }

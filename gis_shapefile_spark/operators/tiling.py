@@ -10,6 +10,9 @@ the engine's raster<->vector leg mandated by the north rule:
   (``applyInPandas`` per cell, numpy 2-D histogram, zlib-packed);
 * ``rasterize_polygons``— vector->raster for the feature table: per-tile
   coverage masks from the exact ray-cast kernel on pixel centers;
+* ``vectorize_raster``  — raster->vector (polygonize): contiguous
+  same-value cell regions merged into axis-aligned rectangles via a
+  two-pass gaps-and-islands plan (row runs, then vertical run merge);
 * ``image_tiling_pipeline`` — the flagship composition: cell assign ->
   PIP join -> per-(state, tile) stats + invariant verify.
 
@@ -287,4 +290,61 @@ def image_tiling_pipeline(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.length("bytes")).alias("n_bytes"),
         phash_agg,
+    )
+
+
+def vectorize_raster(
+    raster: DataFrame,
+    x_col: str = "px",
+    y_col: str = "py",
+    value_col: str = "val",
+) -> DataFrame:
+    """Raster -> vector (polygonize): merge contiguous same-value cells
+    into axis-aligned rectangles. The inverse leg of ``rasterize_*`` —
+    together they close the north rule's raster<->vector materialization.
+
+    Two-pass gaps-and-islands, all JVM-side (no UDFs):
+
+    1. row runs: within each (y, value), consecutive x cells collapse to
+       one run via the classic ``x - row_number()`` island key;
+    2. vertical merge: runs with identical (value, x0, x1) on consecutive
+       y rows collapse the same way on ``y - row_number()``.
+
+    Output: one row per rectangle ``(value, x0, y0, x1, y1, n_cells)``.
+    The decomposition is the standard run-merge polygonization: it exactly
+    tiles the input cells (disjoint cover — property-tested), and is
+    deterministic because x is unique within (y, value) and y is unique
+    within (value, x0, x1).
+
+    Scale shape: two exchanges, both on narrow keys. Each window
+    partitioning is immediately reused by the following groupBy on a
+    superset of the sort prefix, and min/max/count combine map-side. No
+    step ever materializes a per-region cell list, so region size is
+    unbounded (a 10^6-cell ocean rectangle is still one output row).
+    The worst-case skew key is one raster ROW of one value — bounded by
+    raster width, not region area.
+    """
+    from pyspark.sql import Window
+
+    w_row = Window.partitionBy(y_col, value_col).orderBy(x_col)
+    runs = (
+        raster.withColumn("grp", F.col(x_col) - F.row_number().over(w_row))
+        .groupBy(y_col, value_col, "grp")
+        .agg(F.min(x_col).alias("x0"), F.max(x_col).alias("x1"))
+    )
+    w_col = Window.partitionBy(value_col, "x0", "x1").orderBy(y_col)
+    return (
+        runs.withColumn("vgrp", F.col(y_col) - F.row_number().over(w_col))
+        .groupBy(value_col, "x0", "x1", "vgrp")
+        .agg(F.min(y_col).alias("y0"), F.max(y_col).alias("y1"))
+        .select(
+            value_col,
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            ((F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)).alias(
+                "n_cells"
+            ),
+        )
     )

@@ -345,3 +345,55 @@ def test_phash_mismatch_rows_are_detected_and_dropped(spark, images_pdf):
     assert all(ok for iid, ok in flags.items() if iid != bad_id)
     kept = out.where("phash_ok").count()
     assert kept == len(bad) - 1
+
+
+def test_vectorize_raster_exact_disjoint_cover(spark):
+    """Polygonize property: the output rectangles exactly tile the input
+    raster cells per value — every input cell in exactly one rectangle of
+    its value, no rectangle covering a non-input or wrong-value cell.
+    Adversarial layout: rng rasters mix holes, single cells, long runs,
+    and an L-shape that must split into >1 rectangle."""
+    import numpy as np
+    from gis_shapefile_spark.operators.tiling import vectorize_raster
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 24
+        grid = rng.integers(0, 4, size=(n, n))  # 0..3 values
+        grid[rng.random((n, n)) < 0.35] = -1  # holes (absent cells)
+        cells = [
+            (int(x), int(y), int(grid[y, x]))
+            for y in range(n)
+            for x in range(n)
+            if grid[y, x] >= 0
+        ]
+        df = spark.createDataFrame(cells, "px long, py long, val long")
+        rects = vectorize_raster(df).collect()
+
+        covered = {}
+        for r in rects:
+            assert r.n_cells == (r.x1 - r.x0 + 1) * (r.y1 - r.y0 + 1)
+            for x in range(r.x0, r.x1 + 1):
+                for y in range(r.y0, r.y1 + 1):
+                    assert (x, y) not in covered, "overlapping rectangles"
+                    covered[(x, y)] = r.val
+        assert covered == {(x, y): v for x, y, v in cells}
+
+
+def test_vectorize_raster_merges_solid_block(spark):
+    """A solid 6x4 same-value block must come back as ONE rectangle, and
+    an L-shape (no hole) as exactly two run-merged rectangles."""
+    from gis_shapefile_spark.operators.tiling import vectorize_raster
+
+    block = [(x, y, 1) for x in range(6) for y in range(4)]
+    df = spark.createDataFrame(block, "px long, py long, val long")
+    out = vectorize_raster(df).collect()
+    assert len(out) == 1 and out[0].n_cells == 24
+
+    # L: full rows y=0..1 x=0..5, then x=0..1 for y=2..4
+    ell = [(x, y, 7) for y in range(2) for x in range(6)] + [
+        (x, y, 7) for y in range(2, 5) for x in range(2)
+    ]
+    df = spark.createDataFrame(ell, "px long, py long, val long")
+    out = sorted(vectorize_raster(df).collect(), key=lambda r: r.n_cells)
+    assert [r.n_cells for r in out] == [6, 12]  # (0..5, y0..1) + (0..1, y2..4)
