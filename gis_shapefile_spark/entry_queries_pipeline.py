@@ -1259,6 +1259,59 @@ def q_ann_ivf_oracle() -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/test n-gram leakage check)
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination over the dup corpus (docs + mangled copies):
+    every doc's distinct 3-gram shingles checked against the global shingle
+    set of a deterministic eval slice (doc_id % 97 = 0). Planted signal:
+    eval docs hit 100%, their mangled copies hit all but first-token
+    shingles, everything else ~0."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=True)
+    evalset = _docs(spark, sf_dir).where("doc_id % 97 = 0").select("doc_id", "text")
+    return DD.decontaminate(corpus, evalset, shingle_n=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        "contaminated",
+    )
+
+
+def q_decontaminate_oracle() -> str:
+    ghs = TA._arr_transform(
+        TA.shingles_sql(TA.tokens_sql("text", "duckdb"), 3, "duckdb"),
+        "g",
+        TA.hash60_sql("g", "duckdb"),
+        "duckdb",
+    )
+    return f"""
+        WITH corpus AS ({_dup_corpus_cte(mangle=True)}),
+        evalset AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        eval_grams AS (
+            SELECT DISTINCT gh FROM (
+                SELECT unnest(list_distinct({ghs})) AS gh FROM evalset) t
+        ),
+        doc_grams AS (
+            SELECT doc_id, unnest(list_distinct({ghs})) AS gh FROM corpus
+        ),
+        stats AS (
+            SELECT d.doc_id, count(*) AS ns,
+                   sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS nh
+            FROM doc_grams d LEFT JOIN eval_grams e ON d.gh = e.gh
+            GROUP BY d.doc_id
+        )
+        SELECT c.doc_id::BIGINT AS doc_id,
+               CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(s.nh, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN coalesce(s.nh, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS contaminated
+        FROM corpus c LEFT JOIN stats s ON c.doc_id = s.doc_id
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1294,6 +1347,7 @@ QUERIES = {
     "image_tiling": q_image_tiling,
     "image_neardup": q_image_neardup,
     "caption_curation": q_caption_curation,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES = {
@@ -1331,4 +1385,5 @@ ORACLES = {
     "image_tiling": q_image_tiling_oracle(),
     "image_neardup": q_image_neardup_oracle(),
     "caption_curation": q_caption_curation_oracle(),
+    "decontaminate": q_decontaminate_oracle(),
 }

@@ -504,3 +504,74 @@ def connected_components_star(
             F.coalesce("label", "node").alias("component"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    shingle_n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per-corpus-doc overlap against the
+    n-gram shingle set of an evaluation corpus (the standard train/test
+    leakage check run before every pretraining job — a training doc that
+    shares eval n-grams inflates benchmark scores).
+
+    Returns (id_col, n_shingles, n_hits, contaminated):
+
+    * ``n_shingles``   — distinct word ``shingle_n``-gram hashes in the doc;
+    * ``n_hits``       — how many of those occur ANYWHERE in the eval set
+      (global eval shingle set, the GPT-3/PaLM-style criterion — not
+      per-eval-doc);
+    * ``contaminated`` — 1 when ``n_hits >= min_hits``. Docs with fewer
+      than ``shingle_n`` tokens have zero shingles and are never flagged
+      (kept in the output with zero counts via ``explode_outer``, so the
+      report covers every corpus doc).
+
+    Scale shape: the eval side (thousands of docs) collapses to a distinct
+    hash set and is BROADCAST; the corpus side streams scan -> shingle
+    expressions (JVM codegen, ``functions/text_analysis.py``) -> explode ->
+    broadcast hash join -> one groupBy(id) shuffle. The 10^12-doc corpus is
+    read once, never re-joined to itself, and nothing corpus-sized is ever
+    collected or broadcast. Count aggregates combine map-side.
+    """
+    gh = F.expr(
+        TA._arr_transform(
+            TA.shingles_sql(TA.tokens_sql(text_col), shingle_n),
+            "g",
+            TA.hash60_sql("g"),
+            "spark",
+        )
+    )
+    eval_grams = (
+        eval_set.select(F.explode(F.array_distinct(gh)).alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # per-doc gram dedup via array_distinct BEFORE the explode: the
+    # row-level distinct it replaces cost a full extra shuffle of the
+    # exploded gram stream (hash(doc_id, gh) partitioning is useless to
+    # the later groupBy(doc_id)); the array form keeps dedup inside the
+    # scan stage and leaves ONE exchange in the whole plan.
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(gh)).alias("gh")
+    )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gh").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hits",
+            F.when(F.col("n_hits") >= min_hits, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -602,3 +602,37 @@ def test_hourly_gapfill_semantics(spark):
     assert out[(1, h0 + 3 * 3600)] == (700, 1)
     assert out[(2, h0 + 3600)] == (400, 1)
     assert len(out) == 5  # dense span for user 1 (4 hours) + user 2 (1)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Planted contamination: a training doc that embeds an eval doc's
+    text is flagged with the exact shared-shingle count; disjoint docs
+    are clean; a doc shorter than the shingle width survives with zero
+    counts (explode_outer path)."""
+    evalset = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words then the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated content about spark partitions here"),
+            (12, "tiny doc"),  # < 3 tokens -> zero shingles
+            (13, "the quick brown fox jumps over the lazy dog"),  # exact eval copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in DD.decontaminate(corpus, evalset, shingle_n=3).collect()
+    }
+    assert len(out) == 4
+    # eval doc has 9 tokens -> 7 distinct 3-gram shingles
+    assert out[13].n_shingles == 7 and out[13].n_hits == 7
+    assert out[13].contaminated == 1
+    # embedded copy: all 7 eval shingles present among its own
+    assert out[10].n_hits == 7 and out[10].contaminated == 1
+    assert out[10].n_shingles > 7
+    assert out[11].n_hits == 0 and out[11].contaminated == 0
+    assert out[12].n_shingles == 0 and out[12].n_hits == 0
+    assert out[12].contaminated == 0
