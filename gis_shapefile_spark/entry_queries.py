@@ -1010,6 +1010,96 @@ def q_vectorize_raster_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# polygon measures (area / perimeter over the flattened-ring wire format)
+# ---------------------------------------------------------------------------
+
+
+def _ring_rows() -> list[tuple]:
+    """(record_number, ring_idx, xs, ys) per ring of every fixture polygon."""
+    feats = FX.make_features()
+    rows = []
+    for _, r in feats.iterrows():
+        if r["shape_type"] != 5 or len(r["ring_sizes"]) == 0:
+            continue
+        off = 0
+        for ri, sz in enumerate(r["ring_sizes"]):
+            rows.append(
+                (
+                    int(r["record_number"]),
+                    ri,
+                    [float(v) for v in r["xs"][off : off + sz]],
+                    [float(v) for v in r["ys"][off : off + sz]],
+                )
+            )
+            off += sz
+    return rows
+
+
+def _ring_values_sql() -> str:
+    """The ring table as a VALUES list with DOUBLE[] literals (oracle side).
+
+    Array elements go through repr() (shortest round-trip decimal) and the
+    whole list is CAST to DOUBLE[], so DuckDB materializes bit-identical
+    doubles to the Arrow values Spark gets from createDataFrame."""
+    vals = ", ".join(
+        f"({rn}, {ri}, CAST([{', '.join(repr(v) for v in xs)}] AS DOUBLE[]), "
+        f"CAST([{', '.join(repr(v) for v in ys)}] AS DOUBLE[]))"
+        for rn, ri, xs, ys in _ring_rows()
+    )
+    return f"(VALUES {vals}) AS r(record_number, ring_idx, xs, ys)"
+
+
+def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature area / perimeter / ring census over the jittered+holed
+    state polygons — higher-order-function shoelace on the flattened-array
+    wire format (``functions/geometry.py::ring_area2_sql``), no UDFs.
+    Area uses POSITIONAL ring roles (shell minus holes), the same
+    convention as the PIP kernel. All measures integerized per edge."""
+    from .functions import geometry as G
+
+    rings = spark.createDataFrame(
+        _ring_rows(),
+        "record_number long, ring_idx int, xs array<double>, ys array<double>",
+    )
+    per_ring = rings.select(
+        "record_number",
+        "ring_idx",
+        F.expr(G.ring_area2_sql("xs", "ys", "spark")).alias("a2"),
+        F.expr(G.ring_perim_sql("xs", "ys", "spark")).alias("pu"),
+        F.size("xs").alias("nv"),
+    )
+    return per_ring.groupBy("record_number").agg(
+        F.sum(
+            F.when(F.col("ring_idx") == 0, F.col("a2")).otherwise(-F.col("a2"))
+        ).alias("area2_u"),
+        F.sum("pu").alias("perim_u"),
+        F.count(F.lit(1)).cast("long").alias("n_rings"),
+        F.sum("nv").alias("n_verts"),
+    )
+
+
+def q_polygon_stats_oracle() -> str:
+    from .functions import geometry as G
+
+    a2 = G.ring_area2_sql("xs", "ys", "duckdb")
+    pu = G.ring_perim_sql("xs", "ys", "duckdb")
+    return f"""
+        SELECT record_number::BIGINT AS record_number,
+               CAST(sum(CASE WHEN ring_idx = 0 THEN a2 ELSE -a2 END) AS BIGINT)
+                   AS area2_u,
+               CAST(sum(pu) AS BIGINT) AS perim_u,
+               count(*)::BIGINT AS n_rings,
+               CAST(sum(nv) AS BIGINT) AS n_verts
+        FROM (
+            SELECT record_number, ring_idx, {a2} AS a2, {pu} AS pu,
+                   len(xs) AS nv
+            FROM {_ring_values_sql()}
+        ) t
+        GROUP BY record_number
+    """
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -1035,6 +1125,7 @@ QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "median_balances": q_median_balances,
     "vectorize_raster": q_vectorize_raster,
+    "polygon_stats": q_polygon_stats,
 }
 
 ORACLES = {
@@ -1062,4 +1153,5 @@ ORACLES = {
     "above_avg_orders": q_above_avg_orders_oracle(),
     "median_balances": q_median_balances_oracle(),
     "vectorize_raster": q_vectorize_raster_oracle(),
+    "polygon_stats": q_polygon_stats_oracle(),
 }

@@ -239,3 +239,65 @@ def simplify_features(features_pdf, epsilon: float):
     out["ys"] = new_ys
     out["ring_sizes"] = new_sizes
     return out
+
+
+# ---------------------------------------------------------------------------
+# ring measures (engine addition — the reference computes only bounds).
+# Dual-dialect SQL over the flattened-array wire format: higher-order
+# functions only (JVM codegen in Spark / native list kernels in DuckDB),
+# no UDFs. Integerized per-EDGE (floor(term * 1e6) as BIGINT before the
+# sum) so the reduction is an exact integer in any accumulation order —
+# the cross-engine determinism rule for float aggregates.
+# ---------------------------------------------------------------------------
+
+_SCALE_DBL = "CAST(1000000 AS DOUBLE)"
+
+
+def _edge_sum_sql(xs: str, ys: str, term: str, dialect: str) -> str:
+    """SUM over edges i=1..n-1 of integerized ``term`` (uses x1,y1,x2,y2).
+
+    ``term`` is a SQL template over ``{x1} {y1} {x2} {y2}`` (vertex i and
+    i+1). Rings arrive closed (first vertex repeated last), so the edge
+    range covers the full boundary.
+    """
+    if dialect == "spark":
+        x1, y1 = f"element_at({xs}, i)", f"element_at({ys}, i)"
+        x2, y2 = f"element_at({xs}, i + 1)", f"element_at({ys}, i + 1)"
+        t = term.format(x1=x1, y1=y1, x2=x2, y2=y2)
+        return (
+            f"aggregate(sequence(1, size({xs}) - 1), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CAST(floor(({t}) * {_SCALE_DBL}) AS BIGINT))"
+        )
+    x1, y1 = f"{xs}[i]", f"{ys}[i]"
+    x2, y2 = f"{xs}[i + 1]", f"{ys}[i + 1]"
+    t = term.format(x1=x1, y1=y1, x2=x2, y2=y2)
+    return (
+        f"CAST(coalesce(list_sum(list_transform(range(1, len({xs})), "
+        f"i -> CAST(floor(({t}) * {_SCALE_DBL}) AS BIGINT))), 0) AS BIGINT)"
+    )
+
+
+def ring_area2_sql(xs: str, ys: str, dialect: str = "spark") -> str:
+    """Signed shoelace 2*area of one closed ring, integerized (1e-6 units).
+
+    Sign follows vertex order; callers combine rings by POSITIONAL role
+    (ring 0 shell minus later holes), matching the engine's PIP convention
+    (geometry.cpp:106-118 ignores winding too).
+    """
+    return _edge_sum_sql(
+        xs, ys, "{x1} * {y2} - {x2} * {y1}", dialect
+    )
+
+
+def ring_perim_sql(xs: str, ys: str, dialect: str = "spark") -> str:
+    """Ring perimeter in Euclidean degrees, integerized (1e-6 units).
+
+    Per-edge sqrt is a single IEEE op on identical inputs, exact in both
+    engines; the floor-then-sum makes the total order-independent.
+    """
+    return _edge_sum_sql(
+        xs,
+        ys,
+        "sqrt(({x2} - {x1}) * ({x2} - {x1}) + ({y2} - {y1}) * ({y2} - {y1}))",
+        dialect,
+    )

@@ -136,3 +136,45 @@ def test_tile_pyramid_reuses_base_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"ReusedExchange", plan)) >= 2
+
+
+def test_ring_measures_known_square_with_hole(spark):
+    """Shoelace/perimeter SQL on a hand-computable figure: a 10x10 CCW
+    square shell with a 2x2 hole. area2_u = shell - hole by positional
+    role; perimeter sums both boundaries. Exact integers at 1e-6 scale."""
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.functions import geometry as G
+
+    shell_x = [0.0, 10.0, 10.0, 0.0, 0.0]
+    shell_y = [0.0, 0.0, 10.0, 10.0, 0.0]
+    hole_x = [4.0, 6.0, 6.0, 4.0, 4.0]
+    hole_y = [4.0, 4.0, 6.0, 6.0, 4.0]
+    df = spark.createDataFrame(
+        [(1, 0, shell_x, shell_y), (1, 1, hole_x, hole_y)],
+        "record_number long, ring_idx int, xs array<double>, ys array<double>",
+    )
+    per_ring = df.select(
+        "ring_idx",
+        F.expr(G.ring_area2_sql("xs", "ys", "spark")).alias("a2"),
+        F.expr(G.ring_perim_sql("xs", "ys", "spark")).alias("pu"),
+    ).collect()
+    vals = {r.ring_idx: r for r in per_ring}
+    assert vals[0].a2 == 200_000_000  # 2 * 100 * 1e6 (CCW positive)
+    assert vals[1].a2 == 8_000_000  # 2 * 4 * 1e6
+    assert vals[0].pu == 40_000_000
+    assert vals[1].pu == 8_000_000
+
+    # positional combine: shell minus hole = 2*(100-4)*1e6
+    import duckdb
+
+    for dialect, runner in (
+        ("spark", None),
+        ("duckdb", duckdb),
+    ):
+        a2 = G.ring_area2_sql("xs", "ys", dialect)
+        if dialect == "duckdb":
+            got = duckdb.sql(
+                f"SELECT {a2} AS a2 FROM (VALUES (CAST([0.0,10.0,10.0,0.0,0.0] AS DOUBLE[]),"
+                f" CAST([0.0,0.0,10.0,10.0,0.0] AS DOUBLE[]))) t(xs, ys)"
+            ).fetchone()[0]
+            assert got == 200_000_000
