@@ -1100,6 +1100,48 @@ def q_polygon_stats_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# key-skew profiling (the measurement behind the salting policy)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the res-6 tile keys: which cells are hot
+    and by how many multiples of the mean (``operators.profiling``) —
+    the data that decides AQE-vs-salting for the spatial joins."""
+    from .operators import profiling as PR
+
+    cells = _points_df(spark, sf_dir).select(
+        F.expr(C.cell_sql("lng", "lat", 6, "spark")).alias("cell")
+    )
+    return PR.key_skew_profile(cells, ["cell"], top_k=20)
+
+
+def q_cell_skew_oracle() -> str:
+    cell = C.cell_sql("lng", "lat", 6, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        counts AS (
+            SELECT {cell} AS cell, count(*) AS n_rows FROM pts GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS _total,
+                   count(*) AS _n_keys
+            FROM counts
+        ),
+        ranked AS (
+            SELECT cell, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC, cell) AS rank
+            FROM counts
+        )
+        SELECT rank::BIGINT AS rank, cell, n_rows::BIGINT AS n_rows,
+               CAST(floor(n_rows * 1000000 / _total) AS BIGINT) AS share_ppm,
+               CAST(floor(n_rows * _n_keys * 100 / _total) AS BIGINT)
+                   AS skew_x100
+        FROM ranked CROSS JOIN tot WHERE rank <= 20
+    """
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -1126,6 +1168,7 @@ QUERIES = {
     "median_balances": q_median_balances,
     "vectorize_raster": q_vectorize_raster,
     "polygon_stats": q_polygon_stats,
+    "cell_skew": q_cell_skew,
 }
 
 ORACLES = {
@@ -1154,4 +1197,5 @@ ORACLES = {
     "median_balances": q_median_balances_oracle(),
     "vectorize_raster": q_vectorize_raster_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),
+    "cell_skew": q_cell_skew_oracle(),
 }

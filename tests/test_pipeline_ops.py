@@ -636,3 +636,22 @@ def test_decontaminate_planted_overlap(spark):
     assert out[11].n_hits == 0 and out[11].contaminated == 0
     assert out[12].n_shingles == 0 and out[12].n_hits == 0
     assert out[12].contaminated == 0
+
+
+def test_key_skew_profile_finds_planted_hot_key(spark):
+    """1000 rows on key 7, one row each on keys 0..99: the profiler must
+    rank the hot key first with exact integer share/skew measures."""
+    from gis_shapefile_spark.operators import profiling as PR
+
+    rows = [(7,)] * 1000 + [(k,) for k in range(100)]
+    df = spark.createDataFrame(rows, "key long")
+    out = PR.key_skew_profile(df, ["key"], top_k=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    top = out[0]
+    assert top.key == 7 and top.n_rows == 1001
+    # total = 1100, n_keys = 100
+    assert top.share_ppm == (1001 * 1000000) // 1100
+    assert top.skew_x100 == (1001 * 100 * 100) // 1100
+    # ties among the singleton keys break by key ascending
+    assert [r.key for r in out[1:]] == [0, 1, 2, 3]
+    assert all(r.n_rows == 1 for r in out[1:])
