@@ -1142,6 +1142,81 @@ def q_cell_skew_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# MERGE INTO-style upsert (Iceberg-style table maintenance)
+# ---------------------------------------------------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over orders (``plans/merge.py``): keys %13 update
+    (priority -> 'MERGED'), %17 delete (tombstones win over updates on
+    overlap), a shifted copy of the %13 slice inserts as new keys. The
+    result is aggregated per priority so the oracle hash covers all three
+    MERGE arms (update/insert/delete) at once."""
+    from .plans import merge as MG
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = base.where((k % 13 == 0) | (k % 17 == 0)).select(
+        k.alias("o_orderkey"),
+        F.when(k % 17 == 0, F.col("o_orderpriority"))
+        .otherwise(F.lit("MERGED"))
+        .alias("o_orderpriority"),
+        "o_totalprice",
+        (k % 17 == 0).alias("_del"),
+    )
+    ins = base.where(k % 13 == 0).select(
+        (k + 1000000000).alias("o_orderkey"),
+        F.lit("INSERTED").alias("o_orderpriority"),
+        "o_totalprice",
+        F.lit(False).alias("_del"),
+    )
+    merged = MG.merge_upsert(
+        base, upd.unionByName(ins), ["o_orderkey"], delete_col="_del"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+def q_merge_upsert_oracle() -> str:
+    return """
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 17 = 0 THEN o_orderpriority
+                        ELSE 'MERGED' END AS o_orderpriority,
+                   o_totalprice,
+                   (o_orderkey % 17 = 0) AS _del
+            FROM base WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 = 0
+            UNION ALL
+            SELECT o_orderkey + 1000000000, 'INSERTED', o_totalprice, FALSE
+            FROM base WHERE o_orderkey % 13 = 0
+        ),
+        merged AS (
+            SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice
+            FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u
+                              WHERE u.o_orderkey = b.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM upd WHERE NOT _del
+        )
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM merged GROUP BY o_orderpriority
+    """
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -1169,6 +1244,7 @@ QUERIES = {
     "vectorize_raster": q_vectorize_raster,
     "polygon_stats": q_polygon_stats,
     "cell_skew": q_cell_skew,
+    "merge_upsert": q_merge_upsert,
 }
 
 ORACLES = {
@@ -1198,4 +1274,5 @@ ORACLES = {
     "vectorize_raster": q_vectorize_raster_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),
     "cell_skew": q_cell_skew_oracle(),
+    "merge_upsert": q_merge_upsert_oracle(),
 }

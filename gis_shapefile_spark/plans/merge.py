@@ -1,0 +1,56 @@
+"""MERGE INTO-style upsert for the Iceberg-style table layer.
+
+The checkpoint tables (``plans/checkpoint.py``) commit immutable stage
+snapshots; a 10^12-row image table also needs in-place-SEMANTICS updates
+(new crawl batches upserting by image_id, takedown tombstones). Real
+Iceberg gets MERGE INTO from the format; this engine re-expresses it as
+one declarative plan over (target ∪ updates):
+
+    priority union -> per-key latest pick -> tombstone filter
+
+Scale shape: ONE shuffle (hash partition by key for the row_number
+window); both inputs stream through unmaterialized; no driver state. At
+1000 executors this is the same cost as any keyed dedup pass. The window
+per key is bounded by 1 target row + this batch's updates for that key —
+no unbounded per-key state. Copy-on-write granularity is the OUTPUT
+partitioning (write the merged result back through the checkpoint layer
+for an atomic-commit new snapshot — merge-on-read compaction deferred,
+like Iceberg's COW mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics: rows in ``updates`` replace same-key rows in
+    ``target`` (matched => UPDATE), new keys append (not matched =>
+    INSERT), and — when ``delete_col`` names a boolean column on
+    ``updates`` — true tombstones drop the key entirely (matched =>
+    DELETE).
+
+    Requires keys unique within each input (the usual MERGE precondition;
+    duplicate update keys would make the result order-dependent).
+    ``updates`` must carry the same schema as ``target`` (plus the
+    optional tombstone column).
+    """
+    tomb = F.col(delete_col) if delete_col else F.lit(False)
+    u = updates.withColumn("_tomb", F.coalesce(tomb.cast("boolean"), F.lit(False)))
+    if delete_col:
+        u = u.drop(delete_col)
+    t = target.withColumn("_tomb", F.lit(False)).withColumn("_src", F.lit(0))
+    u = u.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_src").desc())
+    return (
+        t.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & ~F.col("_tomb"))
+        .drop("_rn", "_src", "_tomb")
+    )

@@ -260,3 +260,32 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_pts_b")
         spark.sql("DROP TABLE IF EXISTS t_enr_b")
+
+
+def test_merge_upsert_three_arms(spark):
+    """MERGE semantics: update replaces, insert appends, tombstone deletes
+    — and a key absent from updates passes through untouched."""
+    from gis_shapefile_spark.plans.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "dead", True), (9, "new", False)],
+        "k long, v string, _del boolean",
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, updates, ["k"], delete_col="_del").collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c", 9: "new"}
+
+    # tombstone for a key that never existed is a no-op insert-suppress
+    upd2 = spark.createDataFrame([(77, "x", True)], "k long, v string, _del boolean")
+    got2 = {r.k for r in merge_upsert(target, upd2, ["k"], delete_col="_del").collect()}
+    assert got2 == {1, 2, 3, 4}
+
+    # without delete_col the same frame upserts everything
+    upd3 = spark.createDataFrame([(1, "A")], "k long, v string")
+    got3 = {r.k: r.v for r in merge_upsert(target, upd3, ["k"]).collect()}
+    assert got3 == {1: "A", 2: "b", 3: "c", 4: "d"}
