@@ -22,6 +22,8 @@ polygons are covered by the pytest oracle suite instead.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1015,12 +1017,17 @@ def q_vectorize_raster_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
 def _ring_rows() -> list[tuple]:
-    """(record_number, ring_idx, xs, ys) per ring of every fixture polygon."""
+    """(record_number, ring_idx, xs, ys) per ring of every LIVE fixture
+    polygon — the deleted-DBF record is excluded, matching every reader-
+    based query's semantics (51 rows = the 51 state polygons). Cached:
+    the fixture jitter + repr serialization runs once per process, not on
+    every import-time ORACLES build plus every queries() call."""
     feats = FX.make_features()
     rows = []
     for _, r in feats.iterrows():
-        if r["shape_type"] != 5 or len(r["ring_sizes"]) == 0:
+        if r["shape_type"] != 5 or len(r["ring_sizes"]) == 0 or r["deleted"]:
             continue
         off = 0
         for ri, sz in enumerate(r["ring_sizes"]):

@@ -259,14 +259,21 @@ def _edge_sum_sql(xs: str, ys: str, term: str, dialect: str) -> str:
     ``term`` is a SQL template over ``{x1} {y1} {x2} {y2}`` (vertex i and
     i+1). Rings arrive closed (first vertex repeated last), so the edge
     range covers the full boundary.
+
+    Degenerate rings (< 2 vertices) sum to 0 in BOTH dialects: Spark's
+    ``sequence(1, 0)`` counts DOWN (same hazard CASE-gated in
+    text_analysis.py::shingles_sql), so the range is gated; DuckDB's
+    empty ``range`` already yields NULL -> coalesce 0.
     """
     if dialect == "spark":
         x1, y1 = f"element_at({xs}, i)", f"element_at({ys}, i)"
         x2, y2 = f"element_at({xs}, i + 1)", f"element_at({ys}, i + 1)"
         t = term.format(x1=x1, y1=y1, x2=x2, y2=y2)
         return (
+            f"(CASE WHEN size({xs}) >= 2 THEN "
             f"aggregate(sequence(1, size({xs}) - 1), CAST(0 AS BIGINT), "
-            f"(acc, i) -> acc + CAST(floor(({t}) * {_SCALE_DBL}) AS BIGINT))"
+            f"(acc, i) -> acc + CAST(floor(({t}) * {_SCALE_DBL}) AS BIGINT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
     x1, y1 = f"{xs}[i]", f"{ys}[i]"
     x2, y2 = f"{xs}[i + 1]", f"{ys}[i + 1]"

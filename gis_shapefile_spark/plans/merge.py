@@ -41,6 +41,13 @@ def merge_upsert(
     ``updates`` must carry the same schema as ``target`` (plus the
     optional tombstone column).
     """
+    reserved = {"_tomb", "_src", "_rn"}
+    clash = (set(target.columns) | set(updates.columns)) & reserved
+    if clash or (delete_col in reserved):
+        raise ValueError(
+            f"merge_upsert reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash) or [delete_col]} before merging"
+        )
     tomb = F.col(delete_col) if delete_col else F.lit(False)
     u = updates.withColumn("_tomb", F.coalesce(tomb.cast("boolean"), F.lit(False)))
     if delete_col:

@@ -164,17 +164,41 @@ def test_ring_measures_known_square_with_hole(spark):
     assert vals[0].pu == 40_000_000
     assert vals[1].pu == 8_000_000
 
-    # positional combine: shell minus hole = 2*(100-4)*1e6
+    # positional combine (shell minus hole): 2*(100-4)*1e6
+    combined = (
+        df.select(
+            F.when(F.col("ring_idx") == 0, F.expr(G.ring_area2_sql("xs", "ys", "spark")))
+            .otherwise(-F.expr(G.ring_area2_sql("xs", "ys", "spark")))
+            .alias("signed")
+        )
+        .groupBy()
+        .sum("signed")
+        .collect()[0][0]
+    )
+    assert combined == 192_000_000
+
+    # DuckDB dialect computes the identical shell value
     import duckdb
 
-    for dialect, runner in (
-        ("spark", None),
-        ("duckdb", duckdb),
-    ):
-        a2 = G.ring_area2_sql("xs", "ys", dialect)
-        if dialect == "duckdb":
-            got = duckdb.sql(
-                f"SELECT {a2} AS a2 FROM (VALUES (CAST([0.0,10.0,10.0,0.0,0.0] AS DOUBLE[]),"
-                f" CAST([0.0,0.0,10.0,10.0,0.0] AS DOUBLE[]))) t(xs, ys)"
-            ).fetchone()[0]
-            assert got == 200_000_000
+    got = duckdb.sql(
+        f"SELECT {G.ring_area2_sql('xs', 'ys', 'duckdb')} AS a2 "
+        f"FROM (VALUES (CAST([0.0,10.0,10.0,0.0,0.0] AS DOUBLE[]),"
+        f" CAST([0.0,0.0,10.0,10.0,0.0] AS DOUBLE[]))) t(xs, ys)"
+    ).fetchone()[0]
+    assert got == 200_000_000
+
+    # degenerate rings sum to 0 in BOTH dialects (the sequence(1,0) guard)
+    for xs_lit, ys_lit in (("[]", "[]"), ("[1.0]", "[2.0]")):
+        d = duckdb.sql(
+            f"SELECT {G.ring_area2_sql('xs', 'ys', 'duckdb')} AS a2 FROM "
+            f"(VALUES (CAST({xs_lit} AS DOUBLE[]), CAST({ys_lit} AS DOUBLE[]))) t(xs, ys)"
+        ).fetchone()[0]
+        assert d == 0
+    degen = spark.createDataFrame(
+        [(0, [], []), (1, [1.0], [2.0])],
+        "i int, xs array<double>, ys array<double>",
+    ).select(
+        F.expr(G.ring_area2_sql("xs", "ys", "spark")).alias("a2"),
+        F.expr(G.ring_perim_sql("xs", "ys", "spark")).alias("pu"),
+    ).collect()
+    assert all(r.a2 == 0 and r.pu == 0 for r in degen)

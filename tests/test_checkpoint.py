@@ -289,3 +289,12 @@ def test_merge_upsert_three_arms(spark):
     upd3 = spark.createDataFrame([(1, "A")], "k long, v string")
     got3 = {r.k: r.v for r in merge_upsert(target, upd3, ["k"]).collect()}
     assert got3 == {1: "A", 2: "b", 3: "c", 4: "d"}
+
+    # reserved metadata names are rejected, not silently clobbered
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, "x", 0)], "k long, v string, _src int")
+    with _pytest.raises(ValueError, match="reserves column names"):
+        merge_upsert(target, bad, ["k"])
+    with _pytest.raises(ValueError, match="reserves column names"):
+        merge_upsert(target, upd3, ["k"], delete_col="_tomb")
