@@ -1154,17 +1154,19 @@ def q_cell_skew_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE semantics over orders (``plans/merge.py``): keys %13 update
-    (priority -> 'MERGED'), %17 delete (tombstones win over updates on
-    overlap), a shifted copy of the %13 slice inserts as new keys. The
-    result is aggregated per priority so the oracle hash covers all three
-    MERGE arms (update/insert/delete) at once."""
-    from .plans import merge as MG
-
-    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+
+def _orders_merged(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(base, merged): the shared MERGE scenario — keys %13 update
+    (priority -> 'MERGED'), %17 delete (tombstones win on overlap), a
+    shifted copy of the %13 slice inserts as new keys."""
+    from .plans import merge as MG
+
+    base = _orders_base(spark, sf_dir)
     k = F.col("o_orderkey")
     upd = base.where((k % 13 == 0) | (k % 17 == 0)).select(
         k.alias("o_orderkey"),
@@ -1183,6 +1185,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = MG.merge_upsert(
         base, upd.unionByName(ins), ["o_orderkey"], delete_col="_del"
     )
+    return base, merged
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over orders (``plans/merge.py``); the result is
+    aggregated per priority so the oracle hash covers all three MERGE
+    arms (update/insert/delete) at once."""
+    _, merged = _orders_merged(spark, sf_dir)
     return merged.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -1191,9 +1201,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_merge_upsert_oracle() -> str:
-    return """
-        WITH base AS (
+_MERGE_CTES = """base AS (
             SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         ),
         upd AS (
@@ -1215,12 +1223,51 @@ def q_merge_upsert_oracle() -> str:
             UNION ALL
             SELECT o_orderkey, o_orderpriority, o_totalprice
             FROM upd WHERE NOT _del
-        )
+        )"""
+
+
+def q_merge_upsert_oracle() -> str:
+    return f"""
+        WITH {_MERGE_CTES}
         SELECT o_orderpriority,
                count(*)::BIGINT AS n_orders,
                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS total_cents
         FROM merged GROUP BY o_orderpriority
+    """
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between the pre- and post-MERGE snapshots of orders
+    (``plans/merge.py::snapshot_diff``): one full-outer key join +
+    null-safe column comparison classifies every churned key as
+    insert/update/delete; unchanged keys never leave the join."""
+    from .plans import merge as MG
+
+    base, merged = _orders_merged(spark, sf_dir)
+    return MG.snapshot_diff(base, merged, ["o_orderkey"]).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"), "change_type"
+    )
+
+
+def q_snapshot_diff_oracle() -> str:
+    # keys are non-null in both snapshots, so side-presence can be read
+    # off the joined keys directly (the operator's marker columns handle
+    # the general nullable-compare-column case)
+    return f"""
+        WITH {_MERGE_CTES}
+        SELECT coalesce(b.o_orderkey, m.o_orderkey)::BIGINT AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                    WHEN m.o_orderkey IS NULL THEN 'delete'
+                    WHEN b.o_orderpriority IS DISTINCT FROM m.o_orderpriority
+                      OR b.o_totalprice IS DISTINCT FROM m.o_totalprice
+                    THEN 'update' END AS change_type
+        FROM base b FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+        WHERE (CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                    WHEN m.o_orderkey IS NULL THEN 'delete'
+                    WHEN b.o_orderpriority IS DISTINCT FROM m.o_orderpriority
+                      OR b.o_totalprice IS DISTINCT FROM m.o_totalprice
+                    THEN 'update' END) IS NOT NULL
     """
 
 
@@ -1252,6 +1299,7 @@ QUERIES = {
     "polygon_stats": q_polygon_stats,
     "cell_skew": q_cell_skew,
     "merge_upsert": q_merge_upsert,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
@@ -1282,4 +1330,5 @@ ORACLES = {
     "polygon_stats": q_polygon_stats_oracle(),
     "cell_skew": q_cell_skew_oracle(),
     "merge_upsert": q_merge_upsert_oracle(),
+    "snapshot_diff": q_snapshot_diff_oracle(),
 }

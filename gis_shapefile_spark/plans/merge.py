@@ -61,3 +61,57 @@ def merge_upsert(
         .where((F.col("_rn") == 1) & ~F.col("_tomb"))
         .drop("_rn", "_src", "_tomb")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table (the
+    read-side companion of ``merge_upsert``; with the checkpoint layer's
+    manifest time travel this diffs any two committed versions).
+
+    Returns (key_cols..., change_type) for every key that CHANGED:
+    ``insert`` (key only in ``new``), ``delete`` (key only in ``old``),
+    ``update`` (key in both, any compare column differs). Unchanged keys
+    are dropped — at 10^12 rows the diff output is bounded by churn, not
+    table size.
+
+    Scale shape: one full-outer hash equi-join on the keys (both sides
+    shuffle once; AQE handles size asymmetry), then a codegen CASE over
+    null-guarded column equality. Column comparison is exact per column
+    (``eqNullSafe``) — no row hashing, so a NULL->value flip is a
+    detected update and column order never matters.
+    """
+    reserved = {"_in_old", "_in_new"}
+    clash = (set(old.columns) | set(new.columns)) & reserved
+    if clash:
+        raise ValueError(
+            f"snapshot_diff reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} before diffing"
+        )
+    compare_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in key_cols and c in new.columns]
+    )
+    # presence flags are literal marker columns (the join COALESCES the
+    # key columns, so key nullness can't detect side presence, and a
+    # compare column may legitimately be NULL)
+    o = old.withColumn("_in_old", F.lit(1)).alias("o")
+    n = new.withColumn("_in_new", F.lit(1)).alias("n")
+    joined = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        joined.select(*key_cols, change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )

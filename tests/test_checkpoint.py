@@ -298,3 +298,33 @@ def test_merge_upsert_three_arms(spark):
         merge_upsert(target, bad, ["k"])
     with _pytest.raises(ValueError, match="reserves column names"):
         merge_upsert(target, upd3, ["k"], delete_col="_tomb")
+
+
+def test_snapshot_diff_classifies_churn_only(spark):
+    """CDC: insert/update/delete classified; unchanged keys absent;
+    a NULL->value flip IS an update (null-safe compare, no row hashing)."""
+    from gis_shapefile_spark.plans.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", 30), (4, "d", 40)],
+        "k long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "filled", 20), (4, "d", 41), (9, "new", 90)],
+        "k long, v string, n long",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "delete", 4: "update", 9: "insert"}
+
+    # compare_cols restriction: diff only on v -> key 4 becomes unchanged
+    got2 = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    }
+    assert got2 == {2: "update", 3: "delete", 9: "insert"}
+
+    import pytest as _pytest
+
+    bad = old.withColumnRenamed("v", "_in_old")
+    with _pytest.raises(ValueError, match="reserves column names"):
+        snapshot_diff(bad, new, ["k"])
