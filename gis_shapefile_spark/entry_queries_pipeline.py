@@ -1312,6 +1312,54 @@ def q_decontaminate_oracle() -> str:
     """
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate scoring: shingles in >= 1% of documents are
+    boilerplate; every doc reports its contaminated fraction
+    (``operators/profiling.py::boilerplate_profile``)."""
+    from .operators import profiling as PR
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return PR.boilerplate_profile(docs, shingle_n=3, min_df_pct=1).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_shingles",
+        "n_boiler",
+        "boiler_ppm",
+    )
+
+
+def q_boilerplate_oracle() -> str:
+    ghs = TA._arr_transform(
+        TA.shingles_sql(TA.tokens_sql("text", "duckdb"), 3, "duckdb"),
+        "g",
+        TA.hash60_sql("g", "duckdb"),
+        "duckdb",
+    )
+    return f"""
+        WITH doc_grams AS (
+            SELECT doc_id, unnest(list_distinct({ghs})) AS gh FROM documents
+        ),
+        nd AS (SELECT count(*) AS _n_docs FROM documents),
+        boiler AS (
+            SELECT gh FROM (
+                SELECT gh, count(*) AS df FROM doc_grams GROUP BY gh) d
+            CROSS JOIN nd WHERE df * 100 >= _n_docs * 1
+        ),
+        stats AS (
+            SELECT d.doc_id, count(*) AS ns,
+                   sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS nb
+            FROM doc_grams d LEFT JOIN boiler b ON d.gh = b.gh
+            GROUP BY d.doc_id
+        )
+        SELECT c.doc_id::BIGINT AS doc_id,
+               CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(s.nb, 0) AS BIGINT) AS n_boiler,
+               CAST(CASE WHEN coalesce(s.ns, 0) = 0 THEN 0
+                    ELSE floor(coalesce(s.nb, 0) * 1000000 / s.ns) END
+                    AS BIGINT) AS boiler_ppm
+        FROM documents c LEFT JOIN stats s ON c.doc_id = s.doc_id
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1348,6 +1396,7 @@ QUERIES = {
     "image_neardup": q_image_neardup,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
+    "boilerplate": q_boilerplate,
 }
 
 ORACLES = {
@@ -1386,4 +1435,5 @@ ORACLES = {
     "image_neardup": q_image_neardup_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),
+    "boilerplate": q_boilerplate_oracle(),
 }

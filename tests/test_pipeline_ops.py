@@ -655,3 +655,29 @@ def test_key_skew_profile_finds_planted_hot_key(spark):
     # ties among the singleton keys break by key ascending
     assert [r.key for r in out[1:]] == [0, 1, 2, 3]
     assert all(r.n_rows == 1 for r in out[1:])
+
+
+def test_boilerplate_profile_planted_footer(spark):
+    """A footer shared by >=1% of docs is flagged as boilerplate in every
+    doc carrying it; unique text scores 0; a doc that is ONLY footer
+    scores ~1e6 ppm."""
+    from gis_shapefile_spark.operators import profiling as PR
+
+    footer = "all rights reserved contact us at example"  # 7 tokens -> 5 shingles
+    # body tokens all embed the doc id, so no body (or body->footer
+    # stitch) shingle repeats across docs — only the footer is common
+    rows = [(i, f"a{i}q b{i}r c{i}s d{i}t e{i}u " + footer) for i in range(20)]
+    rows += [(100, "completely unrelated standalone text with no common parts")]
+    rows += [(101, footer)]  # pure boilerplate doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 22 docs, footer shingles in 21 -> df*100 >= 22*50 needs min_df_pct=50
+    out = {r.doc_id: r for r in
+           PR.boilerplate_profile(df, shingle_n=3, min_df_pct=50).collect()}
+    assert out[101].n_boiler == out[101].n_shingles == 5
+    assert out[101].boiler_ppm == 1000000
+    assert out[100].n_boiler == 0 and out[100].boiler_ppm == 0
+    # footered docs: exactly the 5 footer shingles + the 2 stitch shingles
+    # spanning body->footer are doc-specific (contain the unique id words)
+    for i in range(20):
+        assert out[i].n_boiler == 5
+        assert 0 < out[i].boiler_ppm < 1000000
