@@ -137,6 +137,75 @@ class CheckpointTable:
                 os.remove(os.path.join(self.root, "_manifests", f"v{v}.json"))
         return removed
 
+    @staticmethod
+    def _footer_lineage(path: str) -> tuple[dict, int]:
+        """Per-file (rows, bytes) from parquet FOOTER METADATA — a
+        driver-side metadata read (KBs per file), never a second Spark
+        pass over the data (at 100 TB a re-count scan would double the
+        stage's read cost)."""
+        import pyarrow.parquet as pq
+
+        part_rows = {}
+        n_bytes = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(path, f)
+            part_rows[f] = pq.ParquetFile(full).metadata.num_rows
+            n_bytes += os.path.getsize(full)
+        return part_rows, n_bytes
+
+    def compact(self, name: str, target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction for a committed stage (Iceberg
+        rewrite-data-files): rewrite the stage's parquet into
+        ``ceil(bytes / target_bytes)`` right-sized files and commit a new
+        manifest version pointing the SAME stage (same fingerprint —
+        content is identical, only the file layout changes). Prior
+        versions keep time-travel access to the old layout until
+        ``vacuum`` expires them.
+
+        Micro-batch streaming sinks and per-core task parallelism both
+        breed KB-scale files; at 10^12 rows the resulting footer/open
+        overhead dominates scans. Compaction is a single read->write of
+        the stage (no shuffle beyond the repartition), safe to run any
+        time the table is quiescent (same single-writer contract as
+        ``vacuum``). Returns the new manifest entry.
+        """
+        st = self.manifest()["stages"].get(name)
+        if not st:
+            raise KeyError(f"stage {name!r} not committed")
+        n_files = max(1, -(-st["bytes"] // target_bytes))
+        t0 = time.time()
+        df = self.spark.read.parquet(st["path"]).repartition(n_files)
+        fp = st["fingerprint"]
+        # unique dir per compaction run: re-compacting must not clobber a
+        # prior layout that older manifest versions still time-travel to
+        final = self._stage_dir(name, f"{fp}#compact-{uuid.uuid4().hex[:8]}")
+        tmp = os.path.join(self.root, "data", f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        part_rows, n_bytes = self._footer_lineage(final)
+        if sum(part_rows.values()) != st["rows"]:
+            raise RuntimeError(
+                f"compaction row drift for {name!r}: "
+                f"{sum(part_rows.values())} != {st['rows']}"
+            )
+        m = self.manifest()
+        m["version"] += 1
+        entry = dict(
+            st,
+            path=final,
+            bytes=int(n_bytes),
+            partitions=part_rows,
+            wall_s=round(time.time() - t0, 3),
+            committed_at_version=m["version"],
+        )
+        m["stages"][name] = entry
+        self._commit(m)
+        return entry
+
     def stage(self, name: str, fingerprint: str, fn, metrics=None) -> DataFrame:
         """Run-or-resume one pipeline stage.
 
@@ -173,20 +242,7 @@ class CheckpointTable:
             shutil.rmtree(final)  # stale uncommitted attempt
         os.rename(tmp, final)
 
-        # per-partition lineage from parquet FOOTER METADATA of the files
-        # actually committed — a driver-side metadata read (KBs per file),
-        # not a second Spark pass over the stage's data (at 100 TB a
-        # re-count scan would double the stage's read cost)
-        import pyarrow.parquet as pq
-
-        part_rows = {}
-        n_bytes = 0
-        for f in os.listdir(final):
-            if not f.endswith(".parquet"):
-                continue
-            full = os.path.join(final, f)
-            part_rows[f] = pq.ParquetFile(full).metadata.num_rows
-            n_bytes += os.path.getsize(full)
+        part_rows, n_bytes = self._footer_lineage(final)
         m = self.manifest()
         m["version"] += 1
         m["stages"][name] = {

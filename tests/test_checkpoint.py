@@ -328,3 +328,40 @@ def test_snapshot_diff_classifies_churn_only(spark):
     bad = old.withColumnRenamed("v", "_in_old")
     with _pytest.raises(ValueError, match="reserves column names"):
         snapshot_diff(bad, new, ["k"])
+
+
+def test_compact_rewrites_small_files_preserving_content(spark, tmp_path):
+    """Compaction: a stage written as many tiny files collapses to the
+    computed file count, rows/content identical, new manifest version;
+    time travel still reads the pre-compaction layout; resume still
+    short-circuits on the original fingerprint."""
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+
+    t = CheckpointTable(spark, str(tmp_path / "cp"))
+    t.stage(
+        "many", "fp",
+        lambda: spark.range(10000).repartition(32).selectExpr("id", "id * 3 AS v"),
+    )
+    st0 = t.manifest()["stages"]["many"]
+    assert len(st0["partitions"]) == 32
+    v0 = t.manifest()["version"]
+    before = sorted(r.id for r in t.read_stage("many").collect())
+
+    entry = t.compact("many", target_bytes=st0["bytes"])  # -> 1 file
+    assert len(entry["partitions"]) == 1
+    assert entry["rows"] == st0["rows"] == 10000
+    assert t.manifest()["version"] == v0 + 1
+    after = sorted(r.id for r in t.read_stage("many").collect())
+    assert before == after
+
+    # time travel to the pre-compaction snapshot still sees 32 files' rows
+    assert t.read_stage("many", version=v0).count() == 10000
+    # resume: same (name, fingerprint) does NOT recompute
+    calls = []
+    t.stage("many", "fp", lambda: (calls.append(1), spark.range(1))[1])
+    assert calls == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.compact("missing")
