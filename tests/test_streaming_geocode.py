@@ -123,3 +123,56 @@ def test_foreachbatch_checkpoint_table_lineage(spark, index, tmp_path):
         table.read_stage(s).count() for s in lin
     )
     assert total == batch.count()
+
+
+def test_streaming_merge_sink_applies_batches_and_resumes(spark, tmp_path):
+    """Continuous upsert: three stream runs over a growing update feed —
+    each run merges only the unseen files into the committed snapshot
+    (update/insert/delete arms all exercised), and a no-new-files rerun
+    commits nothing."""
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+    from gis_shapefile_spark.streaming import merge_stream as MS
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    table = CheckpointTable(spark, str(tmp_path / "tbl"))
+    schema = "k long, v string, _del boolean, seq long"
+
+    def push(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        MS.streaming_merge_sink(
+            spark, stream, table, "img", ["k"], ckpt,
+            delete_col="_del", order_col="seq",
+        )
+
+    import hashlib
+
+    name = f"img_{hashlib.md5(ckpt.encode()).hexdigest()[:8]}"
+
+    push([(1, "a", False, 1), (2, "b", False, 1),
+          (2, "b2", False, 2)], 1)  # in-batch dup on k=2: seq 2 wins
+    run()
+    state = {r.k: r.v for r in table.read_stage(name).collect()}
+    assert state == {1: "a", 2: "b2"}
+
+    push([(1, "a3", False, 3), (3, "c", False, 3)], 2)  # update + insert
+    run()
+    state = {r.k: r.v for r in table.read_stage(name).collect()}
+    assert state == {1: "a3", 2: "b2", 3: "c"}
+    v_after_2 = table.manifest()["version"]
+
+    push([(2, "x", True, 4), (4, "d", False, 4)], 3)  # delete + insert
+    run()
+    state = {r.k: r.v for r in table.read_stage(name).collect()}
+    assert state == {1: "a3", 3: "c", 4: "d"}
+    assert table.manifest()["version"] == v_after_2 + 1
+
+    # no new files: the rerun commits no new manifest version
+    v = table.manifest()["version"]
+    run()
+    assert table.manifest()["version"] == v
