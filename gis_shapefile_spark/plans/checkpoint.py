@@ -166,25 +166,27 @@ class CheckpointTable:
 
         Micro-batch streaming sinks and per-core task parallelism both
         breed KB-scale files; at 10^12 rows the resulting footer/open
-        overhead dominates scans. Compaction is a single read->write of
-        the stage (no shuffle beyond the repartition), safe to run any
-        time the table is quiescent (same single-writer contract as
-        ``vacuum``). Returns the new manifest entry.
+        overhead dominates scans. Compaction is a SHUFFLE-FREE
+        read->write of the stage: ``coalesce`` merges input splits
+        without an exchange (compaction only ever reduces the file
+        count), which matters because stages may hold binary image
+        payloads — repartitioning those measured 10x slower
+        (BENCH/BASELINE.md). Safe to run any time the table is quiescent
+        (same single-writer contract as ``vacuum``). Returns the new
+        manifest entry.
         """
         st = self.manifest()["stages"].get(name)
         if not st:
             raise KeyError(f"stage {name!r} not committed")
         n_files = max(1, -(-st["bytes"] // target_bytes))
         t0 = time.time()
-        df = self.spark.read.parquet(st["path"]).repartition(n_files)
+        df = self.spark.read.parquet(st["path"]).coalesce(n_files)
         fp = st["fingerprint"]
         # unique dir per compaction run: re-compacting must not clobber a
         # prior layout that older manifest versions still time-travel to
         final = self._stage_dir(name, f"{fp}#compact-{uuid.uuid4().hex[:8]}")
         tmp = os.path.join(self.root, "data", f".tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):
-            shutil.rmtree(final)
         os.rename(tmp, final)
         part_rows, n_bytes = self._footer_lineage(final)
         if sum(part_rows.values()) != st["rows"]:

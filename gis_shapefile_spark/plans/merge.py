@@ -79,6 +79,13 @@ def snapshot_diff(
     are dropped — at 10^12 rows the diff output is bounded by churn, not
     table size.
 
+    Preconditions (same contract as ``merge_upsert``): keys unique
+    within each snapshot — duplicate keys fan out the full-outer join
+    into contradictory change rows. Default ``compare_cols`` is the
+    INTERSECTION of non-key columns: a column that exists on only one
+    side (schema evolution) is NOT treated as a change; pass
+    ``compare_cols`` explicitly to control that.
+
     Scale shape: one full-outer hash equi-join on the keys (both sides
     shuffle once; AQE handles size asymmetry), then a codegen CASE over
     null-guarded column equality. Column comparison is exact per column

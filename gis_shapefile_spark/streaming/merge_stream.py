@@ -19,7 +19,6 @@ apart; for second-scale batches compact less often and let
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -41,10 +40,16 @@ def streaming_merge_sink(
     ``stage_name`` snapshot of ``table`` (a ``CheckpointTable``).
 
     ``order_col``: when a batch can carry several updates for one key,
-    the row with the max (order_col, then deterministic tie-break on the
-    remaining columns' order in the window spec) wins — MERGE requires
-    one update per key. Without it, batches are assumed key-unique (the
+    the row with the max order_col wins, with the remaining columns
+    (sorted by name, descending values) as a deterministic tie-break —
+    MERGE requires one update per key, and a replayed batch must pick
+    the SAME winner. Without it, batches are assumed key-unique (the
     usual CDC-feed contract).
+
+    Single-writer: the sink commits under ``stage_name`` itself, so one
+    CheckpointTable stage belongs to ONE stream (same contract as
+    ``vacuum``); restarting with a fresh stream checkpoint continues the
+    existing snapshot.
 
     Exactly-once: the stage fingerprint embeds (stream checkpoint, batch
     id). Within one checkpoint lineage batch N replays with identical
@@ -52,12 +57,18 @@ def streaming_merge_sink(
     commit finds the fingerprint already committed and skips the
     re-apply — no double-merge. Returns the (terminated) StreamingQuery.
     """
-    ck = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
-    name = f"{stage_name}_{ck}"
+    name = stage_name
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if order_col is not None:
-            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            tie = [
+                F.col(c).desc()
+                for c in sorted(batch_df.columns)
+                if c != order_col and c not in key_cols
+            ]
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc(), *tie
+            )
             batch_df = (
                 batch_df.withColumn("__mrn", F.row_number().over(w))
                 .where(F.col("__mrn") == 1)

@@ -150,9 +150,7 @@ def test_streaming_merge_sink_applies_batches_and_resumes(spark, tmp_path):
             delete_col="_del", order_col="seq",
         )
 
-    import hashlib
-
-    name = f"img_{hashlib.md5(ckpt.encode()).hexdigest()[:8]}"
+    name = "img"  # the sink commits under stage_name directly
 
     push([(1, "a", False, 1), (2, "b", False, 1),
           (2, "b2", False, 2)], 1)  # in-batch dup on k=2: seq 2 wins
