@@ -122,3 +122,67 @@ def snapshot_diff(
         joined.select(*key_cols, change.alias("change_type"))
         .where(F.col("change_type").isNotNull())
     )
+
+
+def merge_upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+    delete_col: str | None = None,
+) -> list:
+    """Partition-scoped COW MERGE into a hive-partitioned parquet table:
+    only partitions that carry update keys are read, merged, and
+    rewritten — the 10^12-row answer, where a churn batch touching 0.1%
+    of partitions must not rewrite (or even read) the other 99.9%.
+
+    ``updates`` must already carry ``part_col`` (for cell-partitioned
+    layouts that is the same deterministic expression the layout writer
+    used). Returns the sorted list of touched partition values.
+
+    Plan shape: touched partition values are collected driver-side
+    (bounded by churn locality, metadata scale) and pushed as an IN
+    filter -> static partition pruning at the scan; the merge window
+    shuffles only touched-partition rows + the batch; the write uses
+    dynamic partition overwrite so untouched directories are never
+    staged. Partitions whose rows are ALL deleted produce no output and
+    dynamic overwrite would silently keep their old files — those are
+    removed explicitly afterwards.
+
+    Single-writer, like every maintenance op in this layer.
+    """
+    import os
+    import shutil
+
+    touched = sorted(
+        r[0] for r in updates.select(part_col).distinct().collect()
+    )
+    if not touched:
+        return []
+    target = spark.read.parquet(path).where(F.col(part_col).isin(touched))
+    merged = merge_upsert(target, updates, key_cols, delete_col=delete_col)
+    # pre-repartition by the partition column: without it every task
+    # writes a file into every touched partition (tasks x partitions tiny
+    # files — measured in BENCH/BASELINE.md's layout notes)
+    survivors = {
+        r[0] for r in merged.select(part_col).distinct().collect()
+    }
+    with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    finally:
+        if with_mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_mode)
+    for v in touched:
+        if v not in survivors:
+            d = os.path.join(path, f"{part_col}={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return touched

@@ -365,3 +365,47 @@ def test_compact_rewrites_small_files_preserving_content(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         t.compact("missing")
+
+
+def test_merge_upsert_partitioned_touches_only_churned_partitions(spark, tmp_path):
+    """Partition-scoped COW MERGE: untouched partition files are not
+    rewritten (byte-identical on disk), touched partitions merge
+    correctly, and a fully-deleted partition's directory is removed."""
+    import glob
+    import os
+    from gis_shapefile_spark.plans.merge import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptab")
+    base = spark.createDataFrame(
+        [(k, k % 4, f"v{k}") for k in range(100)], "k long, p long, v string"
+    )
+    base.repartition(F.col("p")).write.partitionBy("p").parquet(path)
+
+    def files_with_mtime(p):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/p={p}/*.parquet")
+        }
+
+    untouched_before = files_with_mtime(0)
+    # updates touch p=1 (update k=1, insert k=101), p=2 (delete ALL keys)
+    upd = spark.createDataFrame(
+        [(1, 1, "V1", False), (101, 1, "new", False)]
+        + [(k, 2, "x", True) for k in range(100) if k % 4 == 2],
+        "k long, p long, v string, _del boolean",
+    )
+    touched = merge_upsert_partitioned(
+        spark, path, upd, ["k"], "p", delete_col="_del"
+    )
+    assert touched == [1, 2]
+
+    after = spark.read.parquet(path)
+    got = {r.k: r.v for r in after.collect()}
+    assert got[1] == "V1" and got[101] == "new"
+    assert all(k % 4 != 2 for k in got if k < 100)  # p=2 emptied
+    assert not os.path.isdir(f"{path}/p=2")
+    # p=0 and p=3 rows intact, p=0 files untouched on disk
+    assert sum(1 for k in got if k < 100 and k % 4 == 0) == 25
+    assert files_with_mtime(0) == untouched_before
+    # row count: 100 - 25 (p=2) + 1 insert
+    assert after.count() == 76
