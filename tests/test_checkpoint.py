@@ -409,3 +409,31 @@ def test_merge_upsert_partitioned_touches_only_churned_partitions(spark, tmp_pat
     assert files_with_mtime(0) == untouched_before
     # row count: 100 - 25 (p=2) + 1 insert
     assert after.count() == 76
+
+
+def test_merge_upsert_randomized_vs_dict_oracle(spark):
+    """Sequential randomized MERGE batches vs a plain dict oracle: after
+    every batch the Spark table equals the dict (upserts and tombstones
+    in arbitrary interleavings, incl. delete-then-reinsert of a key)."""
+    import random
+
+    from gis_shapefile_spark.plans.merge import merge_upsert
+
+    rng = random.Random(2026)
+    state = {}
+    table = spark.createDataFrame([], "k long, v long")
+    for batch in range(5):
+        keys = rng.sample(range(30), rng.randint(3, 10))
+        rows = []
+        for k in keys:
+            if rng.random() < 0.3:
+                rows.append((k, 0, True))  # tombstone
+                state.pop(k, None)
+            else:
+                v = rng.randint(0, 10**6)
+                rows.append((k, v, False))
+                state[k] = v
+        upd = spark.createDataFrame(rows, "k long, v long, _del boolean")
+        table = merge_upsert(table, upd, ["k"], delete_col="_del").localCheckpoint()
+        got = {r.k: r.v for r in table.collect()}
+        assert got == state, f"batch {batch} diverged"
