@@ -1360,6 +1360,63 @@ def q_boilerplate_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# data-mixing: token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 400000, "src1": 300000, "src2": 200000, "src3": 100000}
+_MIX_BUDGET = 2000  # tokens
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mix: downsample sources to a 2000-token budget at
+    40/30/20/10% proportions by TOKENS (``operators/splits.py::
+    mixture_sample``); unlisted sources drop. Output fingerprints kept
+    membership per source (count, token mass, id sum)."""
+    from .operators import splits as SP
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    kept = SP.mixture_sample(
+        docs, "doc_id", "source", _MIX_WEIGHTS, _MIX_BUDGET
+    )
+    tok = F.expr(TA.token_count_sql("text", "spark"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(tok).cast("long").alias("kept_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def q_mixture_sample_oracle() -> str:
+    from .operators import splits as SP
+
+    tok = TA.token_count_sql("text", "duckdb")
+    thr = SP.mixture_sample_threshold_sql(
+        "source", "_toks", _MIX_WEIGHTS, _MIX_BUDGET
+    )
+    bucket = (
+        f"({TA.hash60_sql(SP._key_string('doc_id', 'mix-v1', 'duckdb'), 'duckdb')}"
+        f" % {SP.BUCKETS})"
+    )
+    return f"""
+        WITH tot AS (
+            SELECT source, CAST(sum({tok}) AS BIGINT) AS _toks
+            FROM documents GROUP BY source
+        ),
+        thr AS (SELECT source, {thr} AS _thr FROM tot),
+        kept AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d JOIN thr t ON d.source = t.source
+            WHERE {bucket} < t._thr
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_kept,
+               CAST(sum({tok}) AS BIGINT) AS kept_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM kept GROUP BY source
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1397,6 +1454,7 @@ QUERIES = {
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
     "boilerplate": q_boilerplate,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES = {
@@ -1436,4 +1494,5 @@ ORACLES = {
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),
     "boilerplate": q_boilerplate_oracle(),
+    "mixture_sample": q_mixture_sample_oracle(),
 }

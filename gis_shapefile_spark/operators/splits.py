@@ -163,3 +163,80 @@ def stratified_sample(
             )
         )
     )
+
+
+def _mixture_tgt_case(
+    source_col: str, weights_ppm: dict[str, int], budget_tokens: int
+) -> str:
+    """CASE mapping each source to its integer token TARGET
+    (budget * weight, computed exactly in Python — parameters, not data).
+    Unlisted sources target 0 tokens and are dropped."""
+    whens = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {(budget_tokens * ppm) // 1000000}"
+        for s, ppm in weights_ppm.items()
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def mixture_sample_threshold_sql(
+    source_col: str,
+    toks_col: str,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+) -> str:
+    """Per-source keep threshold over ``hash % 10000`` buckets:
+    ``least(10000, floor(target * 10000 / source_tokens))`` — one IEEE
+    division on identical BIGINT operands, floor-pinned, identical text
+    in both dialects."""
+    tgt = _mixture_tgt_case(source_col, weights_ppm, budget_tokens)
+    return (
+        f"least(10000, CAST(floor({tgt} * 10000 / {toks_col}) AS BIGINT))"
+    )
+
+
+def mixture_sample(
+    df,
+    id_col: str,
+    source_col: str,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+    text_col: str = "text",
+    salt: str = "mix-v1",
+):
+    """Data-mixing sampler: downsample each source to hit a global token
+    budget at prescribed mixture proportions (the pretraining data-mix
+    step — e.g. 40% web / 30% books / 20% code by TOKENS, not rows).
+
+    ``weights_ppm``: {source: parts-per-million of the budget}. Each
+    source's keep probability is its token target over its actual token
+    mass, capped at 1 (a source smaller than its target is kept whole —
+    no upsampling; repeat-epoch upsampling is a separate concern).
+    Membership is the salted key hash — stable across runs, partitions,
+    and engines, like every split in this module.
+
+    Scale shape: one aggregation pass for per-source token totals
+    (map-side combined, source-cardinality rows), broadcast-joined back;
+    the keep decision is a codegen hash predicate at the scan. Nothing
+    data-sized reaches the driver.
+    """
+    from pyspark.sql import functions as F
+
+    tok = F.expr(TA.token_count_sql(text_col, "spark"))
+    totals = df.groupBy(source_col).agg(
+        F.sum(tok).cast("long").alias("_toks")
+    )
+    thr_expr = mixture_sample_threshold_sql(
+        source_col, "_toks", weights_ppm, budget_tokens
+    )
+    thr = totals.select(
+        source_col, F.expr(thr_expr).alias("_thr")
+    )
+    bucket = (
+        f"({TA.hash60_sql(_key_string(id_col, salt, 'spark'), 'spark')}"
+        f" % {BUCKETS})"
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .where(F.expr(bucket) < F.col("_thr"))
+        .drop("_thr")
+    )

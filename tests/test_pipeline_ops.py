@@ -681,3 +681,36 @@ def test_boilerplate_profile_planted_footer(spark):
     for i in range(20):
         assert out[i].n_boiler == 5
         assert 0 < out[i].boiler_ppm < 1000000
+
+
+def test_mixture_sample_budget_and_cap(spark):
+    """Token-budget mixing: a source smaller than its target is kept
+    WHOLE (cap, no upsampling); a dominant source is downsampled toward
+    its token target; unlisted sources are dropped; membership is stable
+    across repartitioning."""
+    from gis_shapefile_spark.operators import splits as SP
+
+    rows = [(i, "big", "w " * 50) for i in range(400)]        # 20k tokens
+    rows += [(1000 + i, "tiny", "t " * 10) for i in range(5)]  # 50 tokens
+    rows += [(2000 + i, "other", "x y z") for i in range(50)]  # unlisted
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    kept = SP.mixture_sample(
+        df, "doc_id", "source",
+        {"big": 500000, "tiny": 500000}, budget_tokens=4000,
+    )
+    by_src = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    assert "other" not in by_src
+    assert by_src["tiny"] == 5  # target 2000 tokens >> 50 -> keep all
+    # big: target 2000 of 20000 tokens -> ~10% keep rate (hash variance)
+    assert 20 <= by_src["big"] <= 65
+
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {
+        r.doc_id
+        for r in SP.mixture_sample(
+            df.repartition(13), "doc_id", "source",
+            {"big": 500000, "tiny": 500000}, budget_tokens=4000,
+        ).collect()
+    }
+    assert ids1 == ids2
