@@ -1417,6 +1417,79 @@ def q_mixture_sample_oracle() -> str:
     """
 
 
+_EPOCH_WEIGHTS = {"src0": 500000, "src1": 300000, "src2": 200000}
+_EPOCH_BUDGET = 20000  # tokens: src0's target far exceeds its mass -> upsamples
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-epoch data mixing (``splits.py::epoch_mixture_sample``):
+    sources under their token target emit full repeat epochs plus a
+    hash-sampled partial epoch. Output fingerprints per-source repeated
+    membership (row count incl. repeats, epoch ceiling, token mass,
+    id*(epoch+1) sum — sensitive to WHICH doc landed in WHICH epoch)."""
+    from .operators import splits as SP
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    kept = SP.epoch_mixture_sample(
+        docs, "doc_id", "source", _EPOCH_WEIGHTS, _EPOCH_BUDGET
+    )
+    tok = F.expr(TA.token_count_sql("text", "spark"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+        F.sum(tok).cast("long").alias("kept_tokens"),
+        F.sum(F.col("doc_id") * (F.col("epoch") + 1)).cast("long").alias(
+            "id_epoch_sum"
+        ),
+    )
+
+
+def q_epoch_mix_oracle() -> str:
+    from .operators import splits as SP
+
+    tok = TA.token_count_sql("text", "duckdb")
+    tgt = SP._mixture_tgt_case("source", _EPOCH_WEIGHTS, _EPOCH_BUDGET)
+    bucket = (
+        f"({TA.hash60_sql(SP._key_string('doc_id', 'mix-v1', 'duckdb'), 'duckdb')}"
+        f" % {SP.BUCKETS})"
+    )
+    return f"""
+        WITH tot AS (
+            SELECT source, CAST(sum({tok}) AS BIGINT) AS _toks
+            FROM documents GROUP BY source
+        ),
+        plan AS (
+            SELECT source,
+                   CAST(floor({tgt} / _toks) AS BIGINT) AS _full,
+                   CAST(floor(({tgt} % _toks) * 10000 / _toks) AS BIGINT)
+                       AS _rem_thr
+            FROM tot
+        ),
+        joined AS (
+            -- unnest over a JOIN output triggers a DuckDB internal
+            -- binder error when the unnest alias is referenced by a
+            -- later CTE; materializing the join first avoids it
+            SELECT d.doc_id, d.source, d.text, p._full, p._rem_thr
+            FROM documents d JOIN plan p ON d.source = p.source
+        ),
+        fanned AS (
+            SELECT doc_id, source, text, _full, _rem_thr,
+                   unnest(range(0, _full + 1)) AS epoch
+            FROM joined
+        ),
+        kept AS (
+            SELECT doc_id, source, text, epoch FROM fanned
+            WHERE epoch < _full OR {bucket} < _rem_thr
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_rows,
+               CAST(max(epoch) AS BIGINT) AS max_epoch,
+               CAST(sum({tok}) AS BIGINT) AS kept_tokens,
+               CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS id_epoch_sum
+        FROM kept GROUP BY source
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1455,6 +1528,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "boilerplate": q_boilerplate,
     "mixture_sample": q_mixture_sample,
+    "epoch_mix": q_epoch_mix,
 }
 
 ORACLES = {
@@ -1495,4 +1569,5 @@ ORACLES = {
     "decontaminate": q_decontaminate_oracle(),
     "boilerplate": q_boilerplate_oracle(),
     "mixture_sample": q_mixture_sample_oracle(),
+    "epoch_mix": q_epoch_mix_oracle(),
 }

@@ -714,3 +714,27 @@ def test_mixture_sample_budget_and_cap(spark):
         ).collect()
     }
     assert ids1 == ids2
+
+
+def test_epoch_mixture_sample_upsamples_scarce_source(spark):
+    """Repeat-epoch mixing: a source at half its token target appears
+    exactly twice (1 full epoch + full-threshold partial); a source at
+    4x its target downsamples to ~25% with epoch 0 only; expected token
+    mass tracks the targets."""
+    from gis_shapefile_spark.operators import splits as SP
+
+    rows = [(i, "scarce", "s " * 10) for i in range(10)]   # 100 tokens
+    rows += [(100 + i, "big", "b " * 10) for i in range(80)]  # 800 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = SP.epoch_mixture_sample(
+        df, "doc_id", "source",
+        {"scarce": 500000, "big": 500000}, budget_tokens=400,
+    ).collect()
+    # scarce: target 200 vs mass 100 -> _full=2, rem 0 -> epochs {0,1}, all docs
+    sc = [r for r in kept if r.source == "scarce"]
+    assert len(sc) == 20 and {r.epoch for r in sc} == {0, 1}
+    assert all(sum(1 for r in sc if r.doc_id == i) == 2 for i in range(10))
+    # big: target 200 vs mass 800 -> _full=0, thr 2500 -> ~25% in epoch 0
+    bg = [r for r in kept if r.source == "big"]
+    assert {r.epoch for r in bg} == {0}
+    assert 8 <= len(bg) <= 35  # hash variance around 20
