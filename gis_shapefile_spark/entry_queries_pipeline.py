@@ -1490,6 +1490,63 @@ def q_epoch_mix_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# cross-modal alignment (LAION-style image-text pair filtering)
+# ---------------------------------------------------------------------------
+
+_ALIGN_THR = 0  # cos >= 0: BoW counts are non-negative, so sign carries signal
+
+
+def q_crossmodal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment filtering over (embedding, caption) pairs —
+    the curation step that drops mismatched pairs before training: stored
+    image embedding ⨯ deterministic hashed-BoW caption vector, integerized
+    cosine (``similarity.py`` kernels), keep = align above threshold."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bow = TA.bow_vec_sql("text", EMB_DIM, "spark")
+    align = SIM.cosine_u_sql(
+        SIM.dot_u_sql("embedding", "txtvec", "spark"),
+        SIM.norm_u_sql("embedding", "spark"),
+        SIM.norm_u_sql("txtvec", "spark"),
+    )
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select("doc_id", "embedding", F.expr(bow).alias("txtvec"))
+        .select("doc_id", F.expr(align).alias("align_u"))
+        .select(
+            "doc_id",
+            "align_u",
+            F.when(F.col("align_u") >= _ALIGN_THR, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+def q_crossmodal_align_oracle() -> str:
+    bow = TA.bow_vec_sql("text", EMB_DIM, "duckdb")
+    align = SIM.cosine_u_sql(
+        SIM.dot_u_sql("embedding", "txtvec", "duckdb"),
+        SIM.norm_u_sql("embedding", "duckdb"),
+        SIM.norm_u_sql("txtvec", "duckdb"),
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT d.doc_id, e.embedding, {bow} AS txtvec
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ),
+        scored AS (SELECT doc_id, {align} AS align_u FROM pairs)
+        SELECT doc_id, align_u,
+               CAST(CASE WHEN align_u >= {_ALIGN_THR} THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+        FROM scored
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1529,6 +1586,7 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "mixture_sample": q_mixture_sample,
     "epoch_mix": q_epoch_mix,
+    "crossmodal_align": q_crossmodal_align,
 }
 
 ORACLES = {
@@ -1570,4 +1628,5 @@ ORACLES = {
     "boilerplate": q_boilerplate_oracle(),
     "mixture_sample": q_mixture_sample_oracle(),
     "epoch_mix": q_epoch_mix_oracle(),
+    "crossmodal_align": q_crossmodal_align_oracle(),
 }

@@ -334,3 +334,27 @@ def band_hash_col(text: str, band: int, rows_per_band: int, shingle_n: int = 3) 
     return F.expr(
         band_hash_sql(token_hashes_sql(sh, "spark"), band, rows_per_band, "spark")
     )
+
+
+def bow_vec_sql(text: str, dim: int = 64, dialect: str = "spark") -> str:
+    """Hashed bag-of-words vector (``dim`` token-hash-bucket counts) of a
+    text column — the deterministic text-embedding twin used for
+    cross-modal alignment against stored image embeddings.
+
+    Pure dual-dialect SQL (nested higher-order lambdas), so the DuckDB
+    oracle computes bit-identical vectors. O(dim * n_tokens) interpreted
+    lambda evaluation: fine at oracle/test scale; the 10^12-row scale
+    path is the same hash-bucket count in a vectorized Pandas stage
+    (one pass per token), not this expression.
+    """
+    toks = tokens_sql(text, dialect)
+    h = f"({hash60_sql('t', dialect)} % {dim})"
+    if dialect == "spark":
+        return (
+            f"transform(sequence(0, {dim - 1}), "
+            f"d -> size(filter({toks}, t -> {h} = d)))"
+        )
+    return (
+        f"list_transform(range(0, {dim}), "
+        f"d -> len(list_filter({toks}, t -> {h} = d)))"
+    )

@@ -738,3 +738,35 @@ def test_epoch_mixture_sample_upsamples_scarce_source(spark):
     bg = [r for r in kept if r.source == "big"]
     assert {r.epoch for r in bg} == {0}
     assert 8 <= len(bg) <= 35  # hash variance around 20
+
+
+def test_crossmodal_alignment_planted_pairs(spark):
+    """Integerized cross-modal cosine: an embedding equal to its caption's
+    hashed-BoW vector scores ~+1e9, the negated embedding ~-1e9, an
+    orthogonal one-hot (on an empty BoW bucket) scores 0."""
+    from gis_shapefile_spark.operators import similarity as SIM
+
+    dim = 8
+    cap = "the cat sat on the mat"
+    bow = [2.0, 0.0, 1.0, 1.0, 0.0, 2.0, 0.0, 0.0]  # verified vs duckdb
+    ortho = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # hits only empty bucket
+    df = spark.createDataFrame(
+        [(0, cap, bow), (1, cap, [-v for v in bow]), (2, cap, ortho)],
+        "doc_id long, text string, embedding array<double>",
+    )
+    align = SIM.cosine_u_sql(
+        SIM.dot_u_sql("embedding", "txtvec", "spark"),
+        SIM.norm_u_sql("embedding", "spark"),
+        SIM.norm_u_sql("txtvec", "spark"),
+    )
+    out = {
+        r.doc_id: r.align_u
+        for r in df.select(
+            "doc_id",
+            F.expr(TA.bow_vec_sql("text", dim, "spark")).alias("txtvec"),
+            "embedding",
+        ).select("doc_id", F.expr(align).alias("align_u")).collect()
+    }
+    assert abs(out[0] - 10**9) <= 2
+    assert abs(out[1] + 10**9) <= 2
+    assert out[2] == 0
