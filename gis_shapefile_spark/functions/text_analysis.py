@@ -349,12 +349,21 @@ def bow_vec_sql(text: str, dim: int = 64, dialect: str = "spark") -> str:
     """
     toks = tokens_sql(text, dialect)
     h = f"({hash60_sql('t', dialect)} % {dim})"
+    # blank-text guard (same hazard token_count_sql gates): splitting ''
+    # yields [''] in both dialects, which would count one phantom token
+    # into bucket hash('')%dim — an empty caption must be the ZERO vector
+    # so cosine's zero-norm guard scores it 0, not ±1.
+    blank = f"(trim({text}) = '')"
     if dialect == "spark":
-        return (
+        vec = (
             f"transform(sequence(0, {dim - 1}), "
             f"d -> size(filter({toks}, t -> {h} = d)))"
         )
-    return (
-        f"list_transform(range(0, {dim}), "
-        f"d -> len(list_filter({toks}, t -> {h} = d)))"
-    )
+        zero = f"transform(sequence(0, {dim - 1}), d -> 0)"
+    else:
+        vec = (
+            f"list_transform(range(0, {dim}), "
+            f"d -> len(list_filter({toks}, t -> {h} = d)))"
+        )
+        zero = f"list_transform(range(0, {dim}), d -> 0)"
+    return f"(CASE WHEN {blank} THEN {zero} ELSE {vec} END)"

@@ -171,6 +171,9 @@ def _mixture_tgt_case(
     """CASE mapping each source to its integer token TARGET
     (budget * weight, computed exactly in Python — parameters, not data).
     Unlisted sources target 0 tokens and are dropped."""
+    for s in weights_ppm:
+        if "'" in s:
+            raise ValueError(f"source value {s!r} must not contain quotes")
     whens = " ".join(
         f"WHEN {source_col} = '{s}' THEN {(budget_tokens * ppm) // 1000000}"
         for s, ppm in weights_ppm.items()
@@ -221,6 +224,12 @@ def mixture_sample(
     """
     from pyspark.sql import functions as F
 
+    clash = set(df.columns) & {"_thr", "_toks"}
+    if clash:
+        raise ValueError(
+            f"mixture_sample reserves column names ['_thr', '_toks']; "
+            f"rename {sorted(clash)} first"
+        )
     tok = F.expr(TA.token_count_sql(text_col, "spark"))
     totals = df.groupBy(source_col).agg(
         F.sum(tok).cast("long").alias("_toks")
@@ -272,6 +281,12 @@ def epoch_mixture_sample(
     """
     from pyspark.sql import functions as F
 
+    clash = set(df.columns) & {"_full", "_rem_thr", "_toks", "epoch"}
+    if clash:
+        raise ValueError(
+            "epoch_mixture_sample reserves column names "
+            f"['_full', '_rem_thr', '_toks', 'epoch']; rename {sorted(clash)} first"
+        )
     tok = F.expr(TA.token_count_sql(text_col, "spark"))
     tgt = _mixture_tgt_case(source_col, weights_ppm, budget_tokens)
     totals = df.groupBy(source_col).agg(F.sum(tok).cast("long").alias("_toks"))

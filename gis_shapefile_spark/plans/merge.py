@@ -131,6 +131,7 @@ def merge_upsert_partitioned(
     key_cols: list[str],
     part_col: str,
     delete_col: str | None = None,
+    repartition_output: bool = True,
 ) -> list:
     """Partition-scoped COW MERGE into a hive-partitioned parquet table:
     only partitions that carry update keys are read, merged, and
@@ -141,14 +142,27 @@ def merge_upsert_partitioned(
     layouts that is the same deterministic expression the layout writer
     used). Returns the sorted list of touched partition values.
 
+    PRECONDITION — ``part_col`` is immutable per key: the scan prunes to
+    the updates' (new) partition values, so a key that MOVES partitions
+    would leave its old-partition row in place as a stale duplicate.
+    Encode partition moves the way every partition-pruned MERGE
+    (Hive/Iceberg COW alike) requires: a tombstone in the old partition
+    plus an insert in the new one, in the same batch.
+
     Plan shape: touched partition values are collected driver-side
     (bounded by churn locality, metadata scale) and pushed as an IN
     filter -> static partition pruning at the scan; the merge window
-    shuffles only touched-partition rows + the batch; the write uses
+    shuffles only touched-partition rows + the batch (persisted, so the
+    survivors probe and the write share one computation); the write uses
     dynamic partition overwrite so untouched directories are never
     staged. Partitions whose rows are ALL deleted produce no output and
     dynamic overwrite would silently keep their old files — those are
     removed explicitly afterwards.
+
+    ``repartition_output=False`` skips the pre-write shuffle on
+    ``part_col``: REQUIRED for tables with binary payload columns (image
+    bytes must not cross an exchange — measured 10x, CLAUDE.md); the
+    resulting per-task small files are ``CheckpointTable.compact``'s job.
 
     Single-writer, like every maintenance op in this layer.
     """
@@ -162,24 +176,28 @@ def merge_upsert_partitioned(
         return []
     target = spark.read.parquet(path).where(F.col(part_col).isin(touched))
     merged = merge_upsert(target, updates, key_cols, delete_col=delete_col)
-    # pre-repartition by the partition column: without it every task
-    # writes a file into every touched partition (tasks x partitions tiny
-    # files — measured in BENCH/BASELINE.md's layout notes)
-    survivors = {
-        r[0] for r in merged.select(part_col).distinct().collect()
-    }
-    with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.persist()
     try:
-        (
-            merged.repartition(F.col(part_col))
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(path)
-        )
+        survivors = {
+            r[0] for r in merged.select(part_col).distinct().collect()
+        }
+        out = merged
+        if repartition_output:
+            # without this every task writes a file into every touched
+            # partition (tasks x partitions tiny files)
+            out = merged.repartition(F.col(part_col))
+        key = "spark.sql.sources.partitionOverwriteMode"
+        with_mode = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        finally:
+            if with_mode is not None:
+                spark.conf.set(key, with_mode)
+            else:
+                spark.conf.unset(key)
     finally:
-        if with_mode is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_mode)
+        merged.unpersist()
     for v in touched:
         if v not in survivors:
             d = os.path.join(path, f"{part_col}={v}")

@@ -751,7 +751,8 @@ def test_crossmodal_alignment_planted_pairs(spark):
     bow = [2.0, 0.0, 1.0, 1.0, 0.0, 2.0, 0.0, 0.0]  # verified vs duckdb
     ortho = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # hits only empty bucket
     df = spark.createDataFrame(
-        [(0, cap, bow), (1, cap, [-v for v in bow]), (2, cap, ortho)],
+        [(0, cap, bow), (1, cap, [-v for v in bow]), (2, cap, ortho),
+         (3, "   ", bow)],  # blank caption -> zero vector -> score 0
         "doc_id long, text string, embedding array<double>",
     )
     align = SIM.cosine_u_sql(
@@ -770,3 +771,4 @@ def test_crossmodal_alignment_planted_pairs(spark):
     assert abs(out[0] - 10**9) <= 2
     assert abs(out[1] + 10**9) <= 2
     assert out[2] == 0
+    assert out[3] == 0  # blank caption must not score via a phantom token
