@@ -1074,15 +1074,43 @@ def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ring_idx",
         F.expr(G.ring_area2_sql("xs", "ys", "spark")).alias("a2"),
         F.expr(G.ring_perim_sql("xs", "ys", "spark")).alias("pu"),
+        F.expr(G.ring_centroid_num_sql("xs", "ys", "x", "spark")).alias("cxn"),
+        F.expr(G.ring_centroid_num_sql("xs", "ys", "y", "spark")).alias("cyn"),
         F.size("xs").alias("nv"),
     )
-    return per_ring.groupBy("record_number").agg(
-        F.sum(
-            F.when(F.col("ring_idx") == 0, F.col("a2")).otherwise(-F.col("a2"))
-        ).alias("area2_u"),
-        F.sum("pu").alias("perim_u"),
-        F.count(F.lit(1)).cast("long").alias("n_rings"),
-        F.sum("nv").alias("n_verts"),
+    shell = F.when(F.col("ring_idx") == 0, F.col("a2")).otherwise(F.lit(0))
+    shell_cx = F.when(F.col("ring_idx") == 0, F.col("cxn")).otherwise(F.lit(0))
+    shell_cy = F.when(F.col("ring_idx") == 0, F.col("cyn")).otherwise(F.lit(0))
+    return (
+        per_ring.groupBy("record_number")
+        .agg(
+            F.sum(
+                F.when(F.col("ring_idx") == 0, F.col("a2")).otherwise(-F.col("a2"))
+            ).alias("area2_u"),
+            F.sum("pu").alias("perim_u"),
+            F.count(F.lit(1)).cast("long").alias("n_rings"),
+            F.sum("nv").alias("n_verts"),
+            F.sum(shell).alias("_sa2"),
+            F.sum(shell_cx).alias("_scx"),
+            F.sum(shell_cy).alias("_scy"),
+        )
+        .select(
+            "record_number",
+            "area2_u",
+            "perim_u",
+            "n_rings",
+            "n_verts",
+            # exact shell centroid in microdegrees (the reference only has
+            # the bbox-center approximation); zero-area shells pin to 0
+            F.when(F.col("_sa2") == 0, F.lit(0))
+            .otherwise(F.floor(F.col("_scx") * 1000000 / (3 * F.col("_sa2"))))
+            .cast("long")
+            .alias("cx_u"),
+            F.when(F.col("_sa2") == 0, F.lit(0))
+            .otherwise(F.floor(F.col("_scy") * 1000000 / (3 * F.col("_sa2"))))
+            .cast("long")
+            .alias("cy_u"),
+        )
     )
 
 
@@ -1091,19 +1119,38 @@ def q_polygon_stats_oracle() -> str:
 
     a2 = G.ring_area2_sql("xs", "ys", "duckdb")
     pu = G.ring_perim_sql("xs", "ys", "duckdb")
+    cxn = G.ring_centroid_num_sql("xs", "ys", "x", "duckdb")
+    cyn = G.ring_centroid_num_sql("xs", "ys", "y", "duckdb")
     return f"""
-        SELECT record_number::BIGINT AS record_number,
-               CAST(sum(CASE WHEN ring_idx = 0 THEN a2 ELSE -a2 END) AS BIGINT)
-                   AS area2_u,
-               CAST(sum(pu) AS BIGINT) AS perim_u,
-               count(*)::BIGINT AS n_rings,
-               CAST(sum(nv) AS BIGINT) AS n_verts
-        FROM (
-            SELECT record_number, ring_idx, {a2} AS a2, {pu} AS pu,
-                   len(xs) AS nv
-            FROM {_ring_values_sql()}
-        ) t
-        GROUP BY record_number
+        WITH agg AS (
+            SELECT record_number,
+                   CAST(sum(CASE WHEN ring_idx = 0 THEN a2 ELSE -a2 END)
+                        AS BIGINT) AS area2_u,
+                   CAST(sum(pu) AS BIGINT) AS perim_u,
+                   count(*)::BIGINT AS n_rings,
+                   CAST(sum(nv) AS BIGINT) AS n_verts,
+                   CAST(sum(CASE WHEN ring_idx = 0 THEN a2 ELSE 0 END)
+                        AS BIGINT) AS _sa2,
+                   CAST(sum(CASE WHEN ring_idx = 0 THEN cxn ELSE 0 END)
+                        AS BIGINT) AS _scx,
+                   CAST(sum(CASE WHEN ring_idx = 0 THEN cyn ELSE 0 END)
+                        AS BIGINT) AS _scy
+            FROM (
+                SELECT record_number, ring_idx, {a2} AS a2, {pu} AS pu,
+                       {cxn} AS cxn, {cyn} AS cyn, len(xs) AS nv
+                FROM {_ring_values_sql()}
+            ) t
+            GROUP BY record_number
+        )
+        SELECT record_number::BIGINT AS record_number, area2_u, perim_u,
+               n_rings, n_verts,
+               CAST(CASE WHEN _sa2 = 0 THEN 0
+                    ELSE floor(_scx * 1000000 / (3 * _sa2)) END AS BIGINT)
+                   AS cx_u,
+               CAST(CASE WHEN _sa2 = 0 THEN 0
+                    ELSE floor(_scy * 1000000 / (3 * _sa2)) END AS BIGINT)
+                   AS cy_u
+        FROM agg
     """
 
 

@@ -308,3 +308,25 @@ def ring_perim_sql(xs: str, ys: str, dialect: str = "spark") -> str:
         "sqrt(({x2} - {x1}) * ({x2} - {x1}) + ({y2} - {y1}) * ({y2} - {y1}))",
         dialect,
     )
+
+
+def ring_centroid_num_sql(xs: str, ys: str, axis: str, dialect: str = "spark") -> str:
+    """Numerator of the shoelace (area-weighted) ring centroid for one
+    axis, integerized per edge: ``sum floor((c1 + c2) * cross * 1e6)``
+    where ``cross = x1*y2 - x2*y1``. Divide by ``3 * area2`` (in the same
+    1e-6 units) for the centroid coordinate — the reference only ever
+    computes bbox CENTERS (geocoder.cpp centroid = bbox midpoint); this
+    is the exact polygon centroid the bbox approximation stands in for.
+    """
+    if axis == "x":
+        c1, c2 = "{x1}", "{x2}"
+    elif axis == "y":
+        c1, c2 = "{y1}", "{y2}"
+    else:
+        raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
+    return _edge_sum_sql(
+        xs,
+        ys,
+        f"(({c1}) + ({c2})) * ({{x1}} * {{y2}} - {{x2}} * {{y1}})",
+        dialect,
+    )

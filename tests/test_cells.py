@@ -164,6 +164,14 @@ def test_ring_measures_known_square_with_hole(spark):
     assert vals[0].pu == 40_000_000
     assert vals[1].pu == 8_000_000
 
+    # shell centroid: numerator / (3 * area2) = (5, 5) exactly
+    cen = df.where("ring_idx = 0").select(
+        F.expr(G.ring_centroid_num_sql("xs", "ys", "x", "spark")).alias("cxn"),
+        F.expr(G.ring_centroid_num_sql("xs", "ys", "y", "spark")).alias("cyn"),
+        F.expr(G.ring_area2_sql("xs", "ys", "spark")).alias("a2"),
+    ).collect()[0]
+    assert cen.cxn / (3 * cen.a2) == 5.0 and cen.cyn / (3 * cen.a2) == 5.0
+
     # positional combine (shell minus hole): 2*(100-4)*1e6
     combined = (
         df.select(
