@@ -348,3 +348,77 @@ def vectorize_raster(
             ),
         )
     )
+
+
+def hull_per_cell(
+    points: DataFrame,
+    res: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Convex hull of the points in each cell — the coverage-footprint
+    aggregate (engine addition; the reference's only spatial aggregate is
+    the bbox fold): per tile, the exact polygon hull instead of the bbox
+    overestimate, e.g. for coverage maps and footprint joins.
+
+    Andrew's monotone chain per cell (numpy, O(n log n) in the cell's
+    point count) inside ``applyInPandas`` — one shuffle on the cell key,
+    per-task memory bounded by the largest cell (the same bound every
+    per-cell aggregate here lives with; AQE skew-split applies). Output:
+    (cell, n_points, hull_xs, hull_ys, hull_area2_u) with hull vertices
+    counter-clockwise, first vertex NOT repeated; degenerate cells
+    (1-2 points / collinear) emit their points with area 0.
+    """
+    schema = (
+        "cell long, n_points long, hull_xs array<double>, "
+        "hull_ys array<double>, hull_area2_u long"
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        pts = np.unique(
+            np.column_stack(
+                [pdf[lng_col].to_numpy(np.float64), pdf[lat_col].to_numpy(np.float64)]
+            ),
+            axis=0,
+        )  # sorted lexicographically by (x, y) — the chain's required order
+        n = len(pts)
+        if n <= 2:
+            hull = pts
+        else:
+            def half(chain_pts):
+                out = []
+                for p in chain_pts:
+                    while len(out) >= 2 and np.cross(
+                        out[-1] - out[-2], p - out[-2]
+                    ) <= 0:
+                        out.pop()
+                    out.append(p)
+                return out
+
+            lower = half(pts)
+            upper = half(pts[::-1])
+            hull = np.array(lower[:-1] + upper[:-1])
+        hx, hy = hull[:, 0], hull[:, 1]
+        # shoelace over the closed hull (wrap via roll), 1e-6-integerized
+        # per edge exactly like functions/geometry.py::ring_area2_sql
+        if len(hull) >= 3:
+            x2, y2 = np.roll(hx, -1), np.roll(hy, -1)
+            a2 = int(np.sum(np.floor((hx * y2 - x2 * hy) * 1e6)))
+        else:
+            a2 = 0
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "n_points": [len(pdf)],
+                "hull_xs": [hx.tolist()],
+                "hull_ys": [hy.tolist()],
+                "hull_area2_u": [a2],
+            }
+        )
+
+    return (
+        assign_cells(points, res, lng_col, lat_col)
+        .groupBy("cell")
+        .applyInPandas(fn, schema)
+    )

@@ -397,3 +397,61 @@ def test_vectorize_raster_merges_solid_block(spark):
     df = spark.createDataFrame(ell, "px long, py long, val long")
     out = sorted(vectorize_raster(df).collect(), key=lambda r: r.n_cells)
     assert [r.n_cells for r in out] == [6, 12]  # (0..5, y0..1) + (0..1, y2..4)
+
+
+def test_hull_per_cell_known_and_containment(spark):
+    """Convex hull aggregate: a square + interior points yields exactly
+    the 4 corners (CCW, positive area 2*side^2); every input point lies
+    inside-or-on its cell's hull (verified with the engine's own PIP
+    kernel on a slightly inflated hull); degenerate 2-point cells emit
+    area 0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gis_shapefile_spark.functions import geometry as G
+    from gis_shapefile_spark.operators.tiling import hull_per_cell
+
+    # all points inside ONE coarse cell (res 2): a 2x2 square + interior
+    sq = [(-100.0, 40.0), (-98.0, 40.0), (-98.0, 42.0), (-100.0, 42.0)]
+    interior = [(-99.5, 40.5), (-99.0, 41.0), (-98.5, 41.7), (-99.9, 41.9)]
+    rows = [(i, x, y) for i, (x, y) in enumerate(sq + interior)]
+    df = spark.createDataFrame(rows, "point_id long, lng double, lat double")
+    out = hull_per_cell(df, res=2).collect()
+    assert len(out) == 1
+    h = out[0]
+    assert h.n_points == 8 and len(h.hull_xs) == 4
+    assert set(zip(h.hull_xs, h.hull_ys)) == set(sq)
+    assert h.hull_area2_u == 2 * 4 * 10**6  # 2 * area(4) at 1e-6 scale
+
+    # containment property on scattered points across many cells
+    pts = [(i, -125.0 + (i * 2654435761 % 59000000) / 1e6,
+            24.0 + (i * 40503 % 26000000) / 1e6) for i in range(400)]
+    df2 = spark.createDataFrame(pts, "point_id long, lng double, lat double")
+    hulls = {r.cell: r for r in hull_per_cell(df2, res=4).collect()}
+    from gis_shapefile_spark.functions import cells as C
+    import numpy as np
+    cell_of = C.cell_of_numpy(
+        np.array([p[1] for p in pts]), np.array([p[2] for p in pts]), 4
+    )
+    for (pid, x, y), cell in zip(pts, cell_of):
+        h = hulls[int(cell)]
+        if len(h.hull_xs) < 3 or abs(h.hull_area2_u) <= len(h.hull_xs):
+            # 1-2 points, or exactly-collinear cells (the affine synthetic
+            # generator produces these): hull is a segment — membership is
+            # boundary-only, which the interior ray-cast can't attest.
+            # Degenerate area integerizes to within one floor-unit per
+            # edge of zero, not exactly zero.
+            continue
+        # inflate the hull a hair so boundary points test inside
+        cx, cy = np.mean(h.hull_xs), np.mean(h.hull_ys)
+        hx = cx + (np.array(h.hull_xs) - cx) * (1 + 1e-9)
+        hy = cy + (np.array(h.hull_ys) - cy) * (1 + 1e-9)
+        assert G.polygon_contains_points(
+            [hx], [hy], np.array([x]), np.array([y])
+        )[0], (pid, h.cell)
+
+    # degenerate: two points -> both returned, zero area
+    d2 = spark.createDataFrame(
+        [(0, -99.0, 40.0), (1, -98.0, 41.0)], "point_id long, lng double, lat double"
+    )
+    r = hull_per_cell(d2, res=2).collect()[0]
+    assert r.hull_area2_u == 0 and len(r.hull_xs) == 2
