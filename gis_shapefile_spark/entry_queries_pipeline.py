@@ -1547,6 +1547,43 @@ def q_crossmodal_align_oracle() -> str:
     """
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep the top-5 docs of each source by quality
+    (ties broken by doc_id) — the row-quota sibling of token-budget
+    mixing, used to cap any one domain's influence."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", TA.quality_score_col("text").alias("quality_u")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_u").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "source", "quality_u", "rank")
+    )
+
+
+def q_source_cap_oracle() -> str:
+    q = TA.quality_score_sql("text", "duckdb")
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, source, {q} AS quality_u FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, quality_u,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality_u DESC, doc_id)
+                       AS rank
+            FROM scored
+        )
+        SELECT doc_id, source, quality_u, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1587,6 +1624,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "epoch_mix": q_epoch_mix,
     "crossmodal_align": q_crossmodal_align,
+    "source_cap": q_source_cap,
 }
 
 ORACLES = {
@@ -1629,4 +1667,5 @@ ORACLES = {
     "mixture_sample": q_mixture_sample_oracle(),
     "epoch_mix": q_epoch_mix_oracle(),
     "crossmodal_align": q_crossmodal_align_oracle(),
+    "source_cap": q_source_cap_oracle(),
 }
