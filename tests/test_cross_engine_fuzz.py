@@ -119,3 +119,48 @@ def test_cell_index_agrees_across_engines_and_numpy(spark):
         npv = C.cell_of_numpy(lngs, lats, res)
         for i in range(len(lngs)):
             assert sp[i] == int(du.loc[i]) == int(npv[i]), (res, i, lngs[i], lats[i])
+
+
+def test_ring_measures_agree_across_engines(spark):
+    """ring_area2/perim/centroid-numerator SQL: Spark == DuckDB on random
+    closed rings (3..40 vertices), plus degenerate 0/1/2-vertex inputs."""
+    import numpy as np
+
+    from gis_shapefile_spark.functions import geometry as G
+
+    rng = np.random.default_rng(9)
+    rings = []
+    for n in [3, 4, 7, 15, 40]:
+        xs = rng.uniform(-125, -66, n)
+        ys = rng.uniform(24, 50, n)
+        rings.append((list(xs) + [xs[0]], list(ys) + [ys[0]]))
+    rings += [([], []), ([1.0], [2.0]), ([1.0, 3.0], [2.0, 4.0])]
+    pdf = pd.DataFrame(
+        {"i": range(len(rings)), "xs": [r[0] for r in rings], "ys": [r[1] for r in rings]}
+    )
+    exprs = {
+        "a2": (G.ring_area2_sql("xs", "ys", "spark"),
+               G.ring_area2_sql("xs", "ys", "duckdb")),
+        "pu": (G.ring_perim_sql("xs", "ys", "spark"),
+               G.ring_perim_sql("xs", "ys", "duckdb")),
+        "cxn": (G.ring_centroid_num_sql("xs", "ys", "x", "spark"),
+                G.ring_centroid_num_sql("xs", "ys", "x", "duckdb")),
+        "cyn": (G.ring_centroid_num_sql("xs", "ys", "y", "spark"),
+                G.ring_centroid_num_sql("xs", "ys", "y", "duckdb")),
+    }
+    df = spark.createDataFrame(
+        pdf, "i long, xs array<double>, ys array<double>"
+    )
+    sp = {
+        r.i: r
+        for r in df.selectExpr(
+            "i", *[f"{s} AS {k}" for k, (s, _) in exprs.items()]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dsel = ", ".join(f"{d} AS {k}" for k, (_, d) in exprs.items())
+    du = con.sql(f"SELECT i, {dsel} FROM t").df().set_index("i")
+    for i in range(len(rings)):
+        for k in exprs:
+            assert sp[i][k] == int(du.loc[i, k]), (k, i)
