@@ -26,9 +26,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return EQ.q_pip_grid_join(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate enumerates only the FIRST 50 queries()
+# entries. Order is therefore load-bearing: the first 50 slots hold every
+# SURVEY-mapped / LLM-pipeline flagship query plus everything that has
+# never had a driver-green artifact row (round 2's 18-entry overflow).
+# The entries past the cap are relational-surface demos and redundant
+# variants that are already driver-green in CORRECTNESS_r01/r02 (each
+# names the artifact round in COVERAGE.md); their oracles remain runnable
+# via tools/check_correctness.py.
+DRIVER_CAP = 50
+
+_PRIORITY = [
+    # spatial core (SURVEY J/P/A rows with no other oracle)
+    "pip_grid_join", "pip_first_hit", "within_distance", "knn3",
+    "bbox_join", "reverse_geocode", "tile_bounds", "tile_pyramid",
+    "vectorize_raster", "cell_skew",
+    # geocoder / text functions (F rows)
+    "normalize", "state_confidence", "geocode_forward", "http_requests",
+    "top1_per_group",
+    # storage layer
+    "merge_upsert", "snapshot_diff",
+    # text analysis / quality
+    "token_count", "lang_id", "quality_score", "doc_fingerprint",
+    "repetition", "boilerplate", "decontaminate",
+    # dedup family
+    "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
+    "dedup_components", "image_neardup",
+    # embeddings / ANN
+    "ann_topk", "ann_ivf", "embedding_neardup", "embedding_quantize",
+    "crossmodal_align",
+    # multimodal flagships + composite pipeline
+    "image_tiling", "caption_curation", "corpus_curation",
+    # events / temporal
+    "running_windows", "events_window", "sessionize", "asof_join",
+    "interval_join", "hourly_gapfill",
+    # data mixing / splits
+    "train_val_split", "stratified_sample", "quality_deciles",
+    "mixture_sample", "epoch_mix", "source_cap", "vocab_topk",
+    # --- position 51+ from here: every entry below already has a
+    # driver-green row in CORRECTNESS_r01 and/or r02 (see COVERAGE.md) ---
+    "vector_stats",
+    "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",
+    "polygon_stats", "pricing_summary", "top_revenue_orders",
+    "regional_volume", "priority_rollup", "priority_cube",
+    "quiet_customers", "promo_revenue", "above_avg_orders",
+    "median_balances", "distinct_users", "json_props",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    missing = [k for k in _PRIORITY if k not in mapping]
+    extra = [k for k in mapping if k not in _PRIORITY]
+    if missing or extra:
+        raise RuntimeError(
+            f"query registry drift: missing={missing} unordered={extra}"
+        )
+    return {k: mapping[k] for k in _PRIORITY}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**EQ.QUERIES, **EQP.QUERIES}
+    return _ordered({**EQ.QUERIES, **EQP.QUERIES})
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQP.ORACLES}
+    merged = {**EQ.ORACLES, **EQP.ORACLES}
+    return {k: merged[k] for k in _PRIORITY if k in merged}

@@ -320,13 +320,15 @@ def q_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
+        # CAST(...AS BIGINT) in BOTH dialects: DuckDB sum(BIGINT) widens to
+        # HUGEINT -> pandas float64, Spark stays int64 (round-2 hash-red).
         F.expr(
-            f"sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND CURRENT ROW)"
+            f"CAST(sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS BIGINT)"
         ).alias("running_c"),
         F.expr(
-            f"sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN 2 PRECEDING "
-            "AND CURRENT ROW)"
+            f"CAST(sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN 2 PRECEDING "
+            "AND CURRENT ROW) AS BIGINT)"
         ).alias("moving3_c"),
         F.expr(f"{vc} - lag({vc}, 1, CAST(0 AS BIGINT)) OVER ({_RUN_WIN})").alias(
             "delta_c"
@@ -338,10 +340,10 @@ def q_running_windows_oracle() -> str:
     vc = "CAST(floor(value * 100) AS BIGINT)"
     return f"""
         SELECT user_id, event_id,
-               sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
-                 AND CURRENT ROW) AS running_c,
-               sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN 2 PRECEDING
-                 AND CURRENT ROW) AS moving3_c,
+               CAST(sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS running_c,
+               CAST(sum({vc}) OVER ({_RUN_WIN} ROWS BETWEEN 2 PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS moving3_c,
                {vc} - lag({vc}, 1, CAST(0 AS BIGINT)) OVER ({_RUN_WIN})
                  AS delta_c
         FROM events
@@ -885,8 +887,8 @@ def q_hourly_gapfill_oracle() -> str:
             ON hourly.user_id = g.user_id AND hourly.h = g.hour_epoch
         )
         SELECT user_id, hour_epoch,
-               coalesce(last_value(cents IGNORE NULLS) {win},
-                        CAST(0 AS BIGINT)) AS filled_cents,
+               CAST(coalesce(last_value(cents IGNORE NULLS) {win},
+                        CAST(0 AS BIGINT)) AS BIGINT) AS filled_cents,
                CAST(n_events AS BIGINT) AS n_events
         FROM j
     """
@@ -922,7 +924,7 @@ def q_stratified_sample_oracle() -> str:
         SELECT event_type,
                count(*) AS n_kept,
                count(DISTINCT user_id) AS n_users,
-               sum(event_id) AS id_sum
+               CAST(sum(event_id) AS BIGINT) AS id_sum
         FROM events WHERE {pred}
         GROUP BY event_type
     """
@@ -965,7 +967,7 @@ def q_quality_deciles_oracle() -> str:
                    AS decile
           FROM scored)
         SELECT decile, count(*) AS n_docs, min(quality_u) AS min_q,
-               max(quality_u) AS max_q, sum(doc_id) AS id_sum
+               max(quality_u) AS max_q, CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM binned GROUP BY decile
     """
 

@@ -311,16 +311,20 @@ def kmeans_fit(
     result rounds to 6 decimals so centroid literals are engine-exact.
     """
     rng = np.random.RandomState(seed)
-    cent = vectors[rng.choice(len(vectors), n_centroids, replace=False)].astype(
-        np.float64
-    )
+    x = vectors.astype(np.float64)
+    cent = x[rng.choice(len(x), n_centroids, replace=False)].copy()
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via one matmul per iter: the
+    # broadcasted (n, C, dim) difference tensor is ~270 MB at n=8192,
+    # C=64 and this sandbox faults first-touch pages ~25x slower than
+    # warm access — the naive form measured 17 s where this runs <0.5 s
+    x_sq = (x * x).sum(axis=1)[:, None]
     for _ in range(iters):
-        d = ((vectors[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d = x_sq - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(n_centroids):
             m = assign == c
             if m.any():
-                cent[c] = vectors[m].mean(axis=0)
+                cent[c] = x[m].mean(axis=0)
     return np.round(cent, 6)
 
 

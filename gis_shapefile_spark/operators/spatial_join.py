@@ -447,9 +447,11 @@ def _occupied_cells_bounded(
 
     At fine resolutions with globally-spread points the occupied-cell set
     is up to 4^res — res 10 could pull ~10^6 cells x |features| doubles
-    onto the driver. The guard probes the count with
-    ``approx_count_distinct`` (map-side-partial sketch, one scalar back —
-    NOT a collect) and steps the resolution down until it fits; only the
+    onto the driver. The guard probes the counts with
+    ``approx_count_distinct`` (map-side-partial sketches — NOT a
+    collect) for EVERY candidate resolution in ONE aggregation pass
+    (round-2 advice: the per-step probe loop paid one full scan per
+    downgrade), then picks the finest resolution that fits; only the
     final, bounded cell set is collected. The 0.9 factor absorbs the
     sketch's ~5% relative error. Coarser cells mean more candidates per
     cell but identical (exact) results — the window refine is unchanged.
@@ -457,15 +459,22 @@ def _occupied_cells_bounded(
     When 4^res already fits the budget the probe is skipped entirely —
     the common coarse-res case pays ZERO extra passes.
     """
-    while res > 0 and 4 ** res > max_occupied:
-        approx = points.select(
-            F.approx_count_distinct(
-                C.cell_col(lng_col, lat_col, res)
-            ).alias("n")
-        ).collect()[0]["n"]
-        if approx <= max_occupied * 0.9:
-            break
-        res -= 1
+    probe_res = [r for r in range(res, 0, -1) if 4 ** r > max_occupied]
+    if probe_res:
+        row = points.agg(
+            *[
+                F.approx_count_distinct(
+                    C.cell_col(lng_col, lat_col, r)
+                ).alias(f"n{r}")
+                for r in probe_res
+            ]
+        ).collect()[0]
+        for r in range(res, 0, -1):
+            if 4 ** r <= max_occupied or row[f"n{r}"] <= max_occupied * 0.9:
+                res = r
+                break
+        else:
+            res = 1
     occupied = np.array(
         [
             r["c"]

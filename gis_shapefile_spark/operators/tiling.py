@@ -387,11 +387,15 @@ def hull_per_cell(
             hull = pts
         else:
             def half(chain_pts):
+                # explicit 2-D determinant (np.cross on 2-vectors is
+                # deprecated since NumPy 1.25, removed in 2.x)
                 out = []
                 for p in chain_pts:
-                    while len(out) >= 2 and np.cross(
-                        out[-1] - out[-2], p - out[-2]
-                    ) <= 0:
+                    while len(out) >= 2:
+                        a = out[-1] - out[-2]
+                        b = p - out[-2]
+                        if a[0] * b[1] - a[1] * b[0] > 0:
+                            break
                         out.pop()
                     out.append(p)
                 return out

@@ -124,6 +124,26 @@ def snapshot_diff(
     )
 
 
+def _partition_dir_names(spark, part_col: str, value) -> list[str]:
+    """Candidate on-disk directory names for one partition value.
+
+    Spark Hive-escapes special characters in partition paths
+    (``p=a%2Fb``). Where possible, ask Spark's own escaping util so the
+    computed name matches what the writer produced; the plain
+    ``col=value`` form is kept as a fallback candidate for simple values
+    (ints, clean strings) and for when the internal class moves.
+    """
+    names = [f"{part_col}={value}"]
+    try:
+        util = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        escaped = util.getPartitionPathString(part_col, str(value))
+        if escaped not in names:
+            names.insert(0, escaped)
+    except Exception:  # pragma: no cover - internal API moved
+        pass
+    return names
+
+
 def merge_upsert_partitioned(
     spark,
     path: str,
@@ -132,6 +152,7 @@ def merge_upsert_partitioned(
     part_col: str,
     delete_col: str | None = None,
     repartition_output: bool = True,
+    check_moves: bool = False,
 ) -> list:
     """Partition-scoped COW MERGE into a hive-partitioned parquet table:
     only partitions that carry update keys are read, merged, and
@@ -148,16 +169,33 @@ def merge_upsert_partitioned(
     Encode partition moves the way every partition-pruned MERGE
     (Hive/Iceberg COW alike) requires: a tombstone in the old partition
     plus an insert in the new one, in the same batch.
+    ``check_moves=True`` enforces the churn-bounded half of that
+    precondition: one extra equi-join of the update keys against the
+    touched-partition target rows raises on any key whose stored
+    partition differs from its update's partition. (A move arriving FROM
+    an untouched partition is invisible to any partition-pruned MERGE
+    without a full-table scan — that residual risk is inherent to the
+    pruning and stays documented.)
+
+    Commit protocol (crash-safe, no in-place overwrite): the merged
+    output is staged to a fresh sibling directory first — DURABLE before
+    any target file is disturbed, so a lost executor or evicted cache
+    block can only ever recompute from still-intact source files — then
+    an intent journal (``<path>._merge_commit.json``) is written and
+    each touched partition directory is swapped in via ``os.rename``
+    (atomic per partition on POSIX). A crash mid-swap leaves every
+    partition either fully old or fully new plus the journal + staging
+    dir for inspection; re-running the SAME batch is idempotent (upserts
+    re-apply, tombstones re-delete), which is the recovery procedure.
+    Partition directory names are taken from the staged output itself
+    (identical Hive escaping by construction); only fully-deleted
+    partitions need a computed name (see ``_partition_dir_names``).
 
     Plan shape: touched partition values are collected driver-side
     (bounded by churn locality, metadata scale) and pushed as an IN
     filter -> static partition pruning at the scan; the merge window
-    shuffles only touched-partition rows + the batch (persisted, so the
-    survivors probe and the write share one computation); the write uses
-    dynamic partition overwrite so untouched directories are never
-    staged. Partitions whose rows are ALL deleted produce no output and
-    dynamic overwrite would silently keep their old files — those are
-    removed explicitly afterwards.
+    shuffles only touched-partition rows + the batch; the staged write
+    IS the only materialization (no persist, no second pass).
 
     ``repartition_output=False`` skips the pre-write shuffle on
     ``part_col``: REQUIRED for tables with binary payload columns (image
@@ -166,8 +204,10 @@ def merge_upsert_partitioned(
 
     Single-writer, like every maintenance op in this layer.
     """
+    import json
     import os
     import shutil
+    import uuid
 
     touched = sorted(
         r[0] for r in updates.select(part_col).distinct().collect()
@@ -175,32 +215,78 @@ def merge_upsert_partitioned(
     if not touched:
         return []
     target = spark.read.parquet(path).where(F.col(part_col).isin(touched))
-    merged = merge_upsert(target, updates, key_cols, delete_col=delete_col)
-    merged.persist()
+    if check_moves:
+        # a target row is safely addressed iff the batch carries SOME row
+        # (update or tombstone) for its key IN ITS partition; a key whose
+        # batch rows all sit in other partitions is an un-encoded move
+        upd_parts = updates.groupBy(*key_cols).agg(
+            F.collect_set(F.col(part_col)).alias("_new_parts")
+        )
+        moved = (
+            target.select(*key_cols, part_col)
+            .join(upd_parts, key_cols)
+            .where(~F.array_contains(F.col("_new_parts"), F.col(part_col)))
+            .limit(3)
+            .collect()
+        )
+        if moved:
+            raise ValueError(
+                f"merge_upsert_partitioned: update keys change {part_col} "
+                f"(first offenders: {[tuple(r) for r in moved]}); encode "
+                "partition moves as tombstone(old partition) + insert(new "
+                "partition) in the same batch"
+            )
+    # merge on (key, partition): a tombstone+insert move batch then has
+    # UNIQUE merge keys (merge_upsert's precondition — on bare key_cols
+    # the tombstone and the insert would tie in the pick window), normal
+    # same-partition upserts behave identically, and a cross-partition
+    # "update" can never silently re-home a row (the pruned scan couldn't
+    # support that anyway — see PRECONDITION above)
+    merged = merge_upsert(
+        target, updates, key_cols + [part_col], delete_col=delete_col
+    )
+    out = merged
+    if repartition_output:
+        # without this every task writes a file into every touched
+        # partition (tasks x partitions tiny files)
+        out = merged.repartition(F.col(part_col))
+
+    base = path.rstrip("/")
+    staging = f"{base}._staging-{uuid.uuid4().hex[:12]}"
+    journal = f"{base}._merge_commit.json"
+    out.write.mode("overwrite").partitionBy(part_col).parquet(staging)
     try:
-        survivors = {
-            r[0] for r in merged.select(part_col).distinct().collect()
-        }
-        out = merged
-        if repartition_output:
-            # without this every task writes a file into every touched
-            # partition (tasks x partitions tiny files)
-            out = merged.repartition(F.col(part_col))
-        key = "spark.sql.sources.partitionOverwriteMode"
-        with_mode = spark.conf.get(key, None)
-        spark.conf.set(key, "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy(part_col).parquet(path)
-        finally:
-            if with_mode is not None:
-                spark.conf.set(key, with_mode)
-            else:
-                spark.conf.unset(key)
+        staged_dirs = sorted(
+            d for d in os.listdir(staging)
+            if d.startswith(f"{part_col}=")
+            and os.path.isdir(os.path.join(staging, d))
+        )
+        with open(journal, "w") as fh:
+            json.dump(
+                {"staging": staging, "staged_dirs": staged_dirs,
+                 "touched": [str(v) for v in touched]},
+                fh,
+            )
+        for d in staged_dirs:
+            tgt = os.path.join(path, d)
+            tmp_old = tgt + "._old"
+            if os.path.isdir(tmp_old):  # leftover from a crashed swap
+                shutil.rmtree(tmp_old)
+            if os.path.isdir(tgt):
+                os.rename(tgt, tmp_old)
+            os.rename(os.path.join(staging, d), tgt)
+            if os.path.isdir(tmp_old):
+                shutil.rmtree(tmp_old)
+        # fully-deleted partitions: touched but produced no staged output
+        for v in touched:
+            names = _partition_dir_names(spark, part_col, v)
+            if any(n in staged_dirs for n in names):
+                continue
+            for name in names:
+                d = os.path.join(path, name)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+        os.remove(journal)
     finally:
-        merged.unpersist()
-    for v in touched:
-        if v not in survivors:
-            d = os.path.join(path, f"{part_col}={v}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+        shutil.rmtree(staging, ignore_errors=True)
     return touched

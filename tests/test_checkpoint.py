@@ -411,6 +411,106 @@ def test_merge_upsert_partitioned_touches_only_churned_partitions(spark, tmp_pat
     assert after.count() == 76
 
 
+def test_merge_upsert_partitioned_rejects_partition_moves(spark, tmp_path):
+    """check_moves=True (round-2 verdict item 7): an update whose key
+    already lives in a DIFFERENT touched partition raises instead of
+    silently leaving a stale duplicate behind."""
+    import pytest as _pytest
+
+    from gis_shapefile_spark.plans.merge import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptab")
+    base = spark.createDataFrame(
+        [(k, k % 4, f"v{k}") for k in range(40)], "k long, p long, v string"
+    )
+    base.repartition(F.col("p")).write.partitionBy("p").parquet(path)
+
+    # k=5 lives in p=1; this batch re-addresses it to p=2 (a move) while
+    # also touching p=1 (so both partitions are in the pruned scan)
+    upd = spark.createDataFrame(
+        [(5, 2, "moved", False), (1, 1, "ok", False)],
+        "k long, p long, v string, _del boolean",
+    )
+    with _pytest.raises(ValueError, match="partition moves"):
+        merge_upsert_partitioned(
+            spark, path, upd, ["k"], "p", delete_col="_del", check_moves=True
+        )
+    # table untouched after the refused merge
+    assert spark.read.parquet(path).count() == 40
+
+    # the legal encoding of the same move passes the check
+    legal = spark.createDataFrame(
+        [(5, 1, "x", True), (5, 2, "moved", False)],
+        "k long, p long, v string, _del boolean",
+    )
+    merge_upsert_partitioned(
+        spark, path, legal, ["k"], "p", delete_col="_del", check_moves=True
+    )
+    got = {(r.k, r.p): r.v for r in spark.read.parquet(path).collect()}
+    assert got[(5, 2)] == "moved" and (5, 1) not in got
+
+
+def test_merge_upsert_partitioned_staging_is_cleaned(spark, tmp_path):
+    """The stage-and-swap commit leaves no staging dir, no journal, and
+    no ._old partition dirs behind; re-running the same batch is
+    idempotent (the documented crash recovery)."""
+    import os
+
+    from gis_shapefile_spark.plans.merge import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptab")
+    spark.createDataFrame(
+        [(k, k % 2, k) for k in range(20)], "k long, p long, v long"
+    ).repartition(F.col("p")).write.partitionBy("p").parquet(path)
+
+    upd = spark.createDataFrame(
+        [(3, 1, 333, False), (100, 0, 100, False)],
+        "k long, p long, v long, _del boolean",
+    )
+    for _ in range(2):  # second run = crash-recovery rerun, same result
+        merge_upsert_partitioned(
+            spark, path, upd, ["k"], "p", delete_col="_del"
+        )
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got[3] == 333 and got[100] == 100 and len(got) == 21
+    parent = os.path.dirname(path)
+    leftovers = [
+        n for n in os.listdir(parent)
+        if "._staging-" in n or n.endswith("._merge_commit.json")
+    ]
+    assert leftovers == []
+    assert not any("._old" in n for n in os.listdir(path))
+
+
+def test_merge_upsert_partitioned_escaped_partition_values(spark, tmp_path):
+    """String partition values Hive-escape on disk (p=a%2Fb); the swap
+    uses staged directory names so merges work, and a full-delete of an
+    escaped partition removes the right directory."""
+    from gis_shapefile_spark.plans.merge import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptab")
+    spark.createDataFrame(
+        [(1, "a/b", 10), (2, "a/b", 20), (3, "plain", 30)],
+        "k long, p string, v long",
+    ).repartition(F.col("p")).write.partitionBy("p").parquet(path)
+
+    upd = spark.createDataFrame(
+        [(1, "a/b", 11, False)], "k long, p string, v long, _del boolean"
+    )
+    merge_upsert_partitioned(spark, path, upd, ["k"], "p", delete_col="_del")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 11, 2: 20, 3: 30}
+
+    # delete every row of the escaped partition -> its dir must vanish
+    kill = spark.createDataFrame(
+        [(1, "a/b", 0, True), (2, "a/b", 0, True)],
+        "k long, p string, v long, _del boolean",
+    )
+    merge_upsert_partitioned(spark, path, kill, ["k"], "p", delete_col="_del")
+    left = spark.read.parquet(path)
+    assert {r.k for r in left.collect()} == {3}
+
+
 def test_merge_upsert_randomized_vs_dict_oracle(spark):
     """Sequential randomized MERGE batches vs a plain dict oracle: after
     every batch the Spark table equals the dict (upserts and tombstones

@@ -164,3 +164,27 @@ def test_ring_measures_agree_across_engines(spark):
     for i in range(len(rings)):
         for k in exprs:
             assert sp[i][k] == int(du.loc[i, k]), (k, i)
+
+
+def test_all_oracles_dtype_and_hash_at_sf0001(spark):
+    """Round-2 verdict item 8: every oracle's OUTPUT FRAME round-trips
+    both engines' pandas conversions with compatible dtype classes and
+    equal canonical hashes. This is the exact layer the round-2
+    ``running_windows`` red row slipped through (DuckDB HUGEINT ->
+    float64 rendering identically under %.9g), run over all 68 oracle
+    surfaces at sf0.001 via the same code path as the local gate
+    (tools/check_correctness.check_queries, which the driver's gate
+    mirrors)."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools import check_correctness as CC
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    CC.register_views(con, sf_dir)
+    failures = CC.check_queries(spark, con, sf_dir, verbose=False)
+    assert failures == []

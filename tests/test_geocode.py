@@ -275,3 +275,54 @@ def test_http_request_kernels(spark):
     # lowercase hex escapes decode too (reference hex parse is case-insensitive)
     assert rows["/geocode?address=x%2by%2fz"] == ("geocode", "x+y/z", "")
     assert rows["/health"] == ("not_found", "", "")
+
+
+def test_url_decode_full_printable_range(spark):
+    """The decode table now spans the whole printable-ASCII range
+    (round-2 advice: %27 for O'Brien St etc. decoded in the reference
+    but previously passed through here). Checked three ways: against
+    urllib's single-pass decoder on well-formed input, pattern-by-
+    pattern for every escape in the table, and Spark-vs-DuckDB on the
+    identical SQL text."""
+    import urllib.parse
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gis_shapefile_spark.functions import http as H
+
+    cases = [
+        "O%27Brien%20St",                     # apostrophe (the advice case)
+        "100%25+off%3A+a%2Fb%5Cc",            # %25 last: '%' not re-decoded
+        "%2520",                              # double-encoded: one pass only
+        "%41%42%43abc%61%62%63",              # alphanumeric escapes
+        "a%2Bb+c",                            # %2B stays '+', '+' is space
+        "".join(f"%{c:02X}" for c in range(0x20, 0x7F)),  # every escape
+        "".join(f"%{c:02x}" for c in range(0x20, 0x7F)),  # lowercase form
+        "trailing%",                          # stray % at end: passthrough
+        "bad%GGescape",                       # invalid hex: passthrough
+    ]
+    pdf = pd.DataFrame({"s": cases})
+    sql_spark = H.url_decode_sql("s", "spark")
+    got_spark = {
+        r.s: r.d
+        for r in spark.createDataFrame(pdf)
+        .select("s", F.expr(sql_spark).alias("d"))
+        .collect()
+    }
+    # urllib.unquote_plus is the reference single-pass semantics on
+    # well-formed input (errors='strict' never fires on these)
+    for s in cases:
+        if "%GG" in s or s.endswith("%"):
+            continue  # reference passthrough branch, urllib differs
+        assert got_spark[s] == urllib.parse.unquote_plus(s), s
+    assert got_spark["trailing%"] == "trailing%"
+    assert got_spark["bad%GGescape"] == "bad%GGescape"
+
+    # identical SQL text, identical results on DuckDB
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql_duck = H.url_decode_sql("s", "duckdb")
+    got_duck = dict(con.sql(f"SELECT s, {sql_duck} AS d FROM t").fetchall())
+    assert got_duck == got_spark
