@@ -90,4 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     merged = {**EQ.ORACLES, **EQP.ORACLES}
+    orphans = [k for k in merged if k not in _PRIORITY]
+    if orphans:
+        # a typo'd oracle key would otherwise silently drop its query
+        # from the value-hash gate (it would run as a weaker rows-only
+        # check) — fail loudly instead
+        raise RuntimeError(f"oracle registry drift: {orphans}")
     return {k: merged[k] for k in _PRIORITY if k in merged}

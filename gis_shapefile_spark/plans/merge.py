@@ -128,20 +128,88 @@ def _partition_dir_names(spark, part_col: str, value) -> list[str]:
     """Candidate on-disk directory names for one partition value.
 
     Spark Hive-escapes special characters in partition paths
-    (``p=a%2Fb``). Where possible, ask Spark's own escaping util so the
-    computed name matches what the writer produced; the plain
-    ``col=value`` form is kept as a fallback candidate for simple values
-    (ints, clean strings) and for when the internal class moves.
+    (``p=a%2Fb``) and renders values with its own formatting (booleans
+    lowercase, NULL as ``__HIVE_DEFAULT_PARTITION__``). Where possible,
+    ask Spark's own escaping util so the computed name matches what the
+    writer produced; rendering-variant fallbacks cover the internal
+    class moving.
     """
-    names = [f"{part_col}={value}"]
+    if value is None:
+        renders = ["__HIVE_DEFAULT_PARTITION__"]
+    elif isinstance(value, bool):
+        renders = [str(value).lower(), str(value)]
+    else:
+        renders = [str(value)]
+    names = [f"{part_col}={r}" for r in renders]
     try:
         util = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        escaped = util.getPartitionPathString(part_col, str(value))
+        escaped = util.getPartitionPathString(part_col, renders[0])
         if escaped not in names:
             names.insert(0, escaped)
     except Exception:  # pragma: no cover - internal API moved
         pass
     return names
+
+
+def _apply_merge_swap(path: str, staging: str, staged_dirs: list[str],
+                      deleted_dirs: list[str], old_area: str) -> None:
+    """Idempotent per-partition swap: safe to re-run from any crash point
+    (``recover_merge`` does exactly that). For each staged partition dir,
+    the current target dir (if any) moves into ``old_area`` (INSIDE the
+    staging sibling — never a ``._old`` dir inside the table, which
+    would corrupt partition discovery for concurrent readers), then the
+    staged dir renames into place; a staged dir that no longer exists
+    was already swapped by a previous attempt. Fully-deleted partition
+    dirs move into ``old_area`` too, so nothing is destroyed until the
+    journal is cleared."""
+    import os
+    import shutil
+
+    for d in staged_dirs:
+        tgt = os.path.join(path, d)
+        staged = os.path.join(staging, d)
+        if not os.path.isdir(staged):
+            continue  # already swapped (recovery re-run)
+        if os.path.isdir(tgt):
+            moved_old = os.path.join(old_area, d)
+            if os.path.isdir(moved_old):  # defensive: partial prior attempt
+                shutil.rmtree(moved_old)
+            os.rename(tgt, moved_old)
+        os.rename(staged, tgt)
+    for d in deleted_dirs:
+        p = os.path.join(path, d)
+        if os.path.isdir(p):
+            os.rename(p, os.path.join(old_area, "deleted." + d))
+
+
+def recover_merge(path: str) -> bool:
+    """Complete (or clear) a partitioned-MERGE commit that crashed
+    mid-swap. Returns True when a pending commit journal was found.
+
+    The journal (``<path>._merge_commit.json``) is written after the
+    merged output is DURABLY staged and before any target directory is
+    touched, so re-applying the recorded swap plan is always safe: every
+    partition ends fully new, old copies stay in the staging area until
+    the journal is cleared. ``merge_upsert_partitioned`` calls this
+    automatically before starting a new batch (single-writer layer)."""
+    import json
+    import os
+    import shutil
+
+    journal = f"{path.rstrip('/')}._merge_commit.json"
+    if not os.path.exists(journal):
+        return False
+    with open(journal) as fh:
+        j = json.load(fh)
+    staging = j["staging"]
+    if os.path.isdir(staging):
+        old_area = os.path.join(staging, "_old")
+        os.makedirs(old_area, exist_ok=True)
+        _apply_merge_swap(path, staging, j["staged_dirs"],
+                          j.get("deleted_dirs", []), old_area)
+        shutil.rmtree(staging, ignore_errors=True)
+    os.remove(journal)
+    return True
 
 
 def merge_upsert_partitioned(
@@ -181,15 +249,19 @@ def merge_upsert_partitioned(
     output is staged to a fresh sibling directory first — DURABLE before
     any target file is disturbed, so a lost executor or evicted cache
     block can only ever recompute from still-intact source files — then
-    an intent journal (``<path>._merge_commit.json``) is written and
-    each touched partition directory is swapped in via ``os.rename``
-    (atomic per partition on POSIX). A crash mid-swap leaves every
-    partition either fully old or fully new plus the journal + staging
-    dir for inspection; re-running the SAME batch is idempotent (upserts
-    re-apply, tombstones re-delete), which is the recovery procedure.
-    Partition directory names are taken from the staged output itself
-    (identical Hive escaping by construction); only fully-deleted
-    partitions need a computed name (see ``_partition_dir_names``).
+    an intent journal (``<path>._merge_commit.json``) records the full
+    swap plan and each touched partition directory is swapped in via
+    ``os.rename`` (atomic per dir on POSIX; displaced old copies move
+    into the staging area, NEVER to a ``._old`` dir inside the table,
+    which would corrupt partition discovery). A crash anywhere mid-swap
+    is completed by ``recover_merge(path)`` — invoked automatically at
+    the start of the next batch — by re-applying the journaled plan
+    (the swap is idempotent); nothing old is destroyed until the
+    journal clears. A failed staged WRITE leaves the target untouched
+    and cleans its partial staging dir. Partition directory names are
+    taken from the staged output itself (identical Hive escaping by
+    construction); only fully-deleted partitions need a computed name
+    (see ``_partition_dir_names``).
 
     Plan shape: touched partition values are collected driver-side
     (bounded by churn locality, metadata scale) and pushed as an IN
@@ -209,6 +281,7 @@ def merge_upsert_partitioned(
     import shutil
     import uuid
 
+    recover_merge(path)  # complete any crashed prior commit first
     touched = sorted(
         r[0] for r in updates.select(part_col).distinct().collect()
     )
@@ -254,39 +327,40 @@ def merge_upsert_partitioned(
     base = path.rstrip("/")
     staging = f"{base}._staging-{uuid.uuid4().hex[:12]}"
     journal = f"{base}._merge_commit.json"
-    out.write.mode("overwrite").partitionBy(part_col).parquet(staging)
     try:
-        staged_dirs = sorted(
-            d for d in os.listdir(staging)
-            if d.startswith(f"{part_col}=")
-            and os.path.isdir(os.path.join(staging, d))
-        )
-        with open(journal, "w") as fh:
-            json.dump(
-                {"staging": staging, "staged_dirs": staged_dirs,
-                 "touched": [str(v) for v in touched]},
-                fh,
-            )
-        for d in staged_dirs:
-            tgt = os.path.join(path, d)
-            tmp_old = tgt + "._old"
-            if os.path.isdir(tmp_old):  # leftover from a crashed swap
-                shutil.rmtree(tmp_old)
-            if os.path.isdir(tgt):
-                os.rename(tgt, tmp_old)
-            os.rename(os.path.join(staging, d), tgt)
-            if os.path.isdir(tmp_old):
-                shutil.rmtree(tmp_old)
-        # fully-deleted partitions: touched but produced no staged output
-        for v in touched:
-            names = _partition_dir_names(spark, part_col, v)
-            if any(n in staged_dirs for n in names):
-                continue
-            for name in names:
-                d = os.path.join(path, name)
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-        os.remove(journal)
-    finally:
+        out.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    except Exception:
+        # partial staged write; the target is untouched — clean and rethrow
         shutil.rmtree(staging, ignore_errors=True)
+        raise
+    staged_dirs = sorted(
+        d for d in os.listdir(staging)
+        if d.startswith(f"{part_col}=")
+        and os.path.isdir(os.path.join(staging, d))
+    )
+    # fully-deleted partitions (touched but no staged output), resolved
+    # to on-disk names BEFORE any swap
+    deleted_dirs = []
+    for v in touched:
+        names = _partition_dir_names(spark, part_col, v)
+        if any(n in staged_dirs for n in names):
+            continue
+        deleted_dirs.extend(
+            n for n in names if os.path.isdir(os.path.join(path, n))
+        )
+    old_area = os.path.join(staging, "_old")
+    os.makedirs(old_area, exist_ok=True)
+    with open(journal, "w") as fh:
+        json.dump(
+            {"staging": staging, "staged_dirs": staged_dirs,
+             "deleted_dirs": deleted_dirs,
+             "touched": [str(v) for v in touched]},
+            fh,
+        )
+    # from here on, any crash/exception is completed by recover_merge()
+    # (invoked automatically at the start of the next batch): the journal
+    # + staging dir stay on disk for it — deliberately NO finally-cleanup
+    _apply_merge_swap(path, staging, staged_dirs, deleted_dirs, old_area)
+    os.remove(journal)
+    shutil.rmtree(staging, ignore_errors=True)
     return touched

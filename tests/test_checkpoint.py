@@ -511,6 +511,60 @@ def test_merge_upsert_partitioned_escaped_partition_values(spark, tmp_path):
     assert {r.k for r in left.collect()} == {3}
 
 
+def test_merge_recover_completes_mid_swap_crash(spark, tmp_path):
+    """A crash between 'move old dir aside' and 'rename staged dir in'
+    leaves the partition directory missing, the old copy preserved in
+    the staging area, and the journal on disk. recover_merge (invoked
+    automatically by the next merge batch) must complete the swap from
+    the journal — no ._old dirs ever appear inside the table, and no
+    pre-existing rows are lost."""
+    import json
+    import os
+    import shutil
+
+    from gis_shapefile_spark.plans.merge import (
+        merge_upsert_partitioned,
+        recover_merge,
+    )
+
+    path = str(tmp_path / "ptab")
+    spark.createDataFrame(
+        [(k, k % 2, k) for k in range(20)], "k long, p long, v long"
+    ).repartition(F.col("p")).write.partitionBy("p").parquet(path)
+
+    # build a real staged output for an update batch by running the merge
+    # against a COPY, then transplant its staging shape to simulate the
+    # crash against the original
+    shadow = str(tmp_path / "shadow")
+    shutil.copytree(path, shadow)
+    upd = spark.createDataFrame(
+        [(3, 1, 333, False), (100, 0, 100, False)],
+        "k long, p long, v long, _del boolean",
+    )
+    merge_upsert_partitioned(spark, shadow, upd, ["k"], "p", delete_col="_del")
+
+    # simulate: staged output durable, journal written, crash after p=1's
+    # old dir moved aside but BEFORE the staged dir renamed in
+    staging = path + "._staging-deadbeef"
+    old_area = os.path.join(staging, "_old")
+    os.makedirs(old_area)
+    for d in ("p=0", "p=1"):
+        shutil.copytree(os.path.join(shadow, d), os.path.join(staging, d))
+    os.rename(os.path.join(path, "p=1"), os.path.join(old_area, "p=1"))
+    with open(path + "._merge_commit.json", "w") as fh:
+        json.dump({"staging": staging, "staged_dirs": ["p=0", "p=1"],
+                   "deleted_dirs": [], "touched": ["0", "1"]}, fh)
+
+    assert recover_merge(path) is True
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[3] == 333 and got[100] == 100 and len(got) == 21
+    assert not os.path.exists(path + "._merge_commit.json")
+    assert not os.path.isdir(staging)
+    assert not any("._old" in n or "_old" == n for n in os.listdir(path))
+    # idempotent: nothing pending now
+    assert recover_merge(path) is False
+
+
 def test_merge_upsert_randomized_vs_dict_oracle(spark):
     """Sequential randomized MERGE batches vs a plain dict oracle: after
     every batch the Spark table equals the dict (upserts and tombstones
