@@ -112,6 +112,162 @@ def tile_pyramid(
     return out
 
 
+_PYR_KEYS = ["res", "cell"]
+
+
+def _pyr_aggs() -> list:
+    # built lazily: Column construction needs an active SparkContext,
+    # which must not be a requirement for merely importing this module
+    return [
+        F.sum("n_points").alias("n_points"),
+        F.min("minx").alias("minx"),
+        F.max("maxx").alias("maxx"),
+        F.min("miny").alias("miny"),
+        F.max("maxy").alias("maxy"),
+    ]
+
+
+def tile_pyramid_delta(
+    pyramid: DataFrame,
+    new_points: DataFrame,
+    resolutions: list[int],
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Incremental APPEND-ONLY pyramid maintenance: fold a new point
+    batch into an existing ``tile_pyramid`` output without rescanning
+    the corpus — at 10^12 images a crawl batch touches ~0.01% of tiles
+    and must cost O(batch), not O(corpus).
+
+    count/min/max are all associative, so the delta pyramid of just the
+    new points combines row-wise with the stored rows of the SAME keys:
+    the stored pyramid is only read via a left-semi join on the delta's
+    (res, cell) keys (churn-bounded; partition-pruned when the pyramid
+    is stored cell-partitioned, `plans/layout.py`). Returns ONLY the
+    rows that changed or appeared — apply them with
+    ``plans.merge.merge_upsert(stored, out, ["res", "cell"])``.
+    """
+    delta = tile_pyramid(new_points, resolutions, lng_col, lat_col)
+    touched = pyramid.join(
+        delta.select(*_PYR_KEYS).distinct(), _PYR_KEYS, "left_semi"
+    )
+    return (
+        touched.unionByName(delta)
+        .groupBy(*_PYR_KEYS)
+        .agg(*_pyr_aggs())
+    )
+
+
+def tile_pyramid_update(
+    points: DataFrame,
+    pyramid: DataFrame,
+    touched_cells: list[int],
+    resolutions: list[int],
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Exact pyramid REPAIR after arbitrary churn (removals included):
+    given the post-MERGE point table and the base-resolution cells the
+    batch touched (churn-bounded, metadata scale — the same driver-side
+    list the partitioned MERGE already collects), recompute those base
+    tiles from a cell-pruned point scan, then repair each coarser level
+    by re-folding ONLY the affected parents from their stored child
+    rows with the repaired children substituted. min/max are not
+    reversible under deletion, so "subtract the removed points" is not
+    an option; re-folding the bounded child sets is — every level's
+    input is |touched parents| x 4 stored rows plus the repairs, never
+    a point rescan.
+
+    Returns one row per (res, cell) to upsert, with ``deleted = true``
+    (and null stats) for tiles that lost their last point — apply with
+    ``merge_upsert(stored, out, ["res","cell"], delete_col="deleted")``.
+
+    With the pyramid stored cell-partitioned by a coarse parent
+    (`plans/layout.py`), the child-row semi-joins prune at the source;
+    with the POINT table cell-partitioned, the base rescan prunes too.
+    """
+    rs = sorted(set(resolutions), reverse=True)
+    base_res = rs[0]
+    if not touched_cells:
+        raise ValueError("touched_cells must be non-empty (metadata-scale list)")
+
+    spark = points.sparkSession
+    touched_df = spark.createDataFrame(
+        [(int(c),) for c in touched_cells], "cell long"
+    )
+
+    # exact base-tile repair from the cell-pruned point scan
+    pts = assign_cells(points, base_res, lng_col, lat_col).join(
+        F.broadcast(touched_df), "cell", "left_semi"
+    )
+    repaired = tile_stats(pts, base_res, lng_col, lat_col)
+
+    out_levels = []
+    child_updates = repaired  # rows that now exist at the child level
+    child_touched = touched_df  # keys whose child rows changed (or vanished)
+    child_res = base_res
+    # deletion rows: touched keys that produced no repaired row
+    gone = child_touched.join(repaired, "cell", "left_anti")
+    out_levels.append(
+        repaired.select(F.lit(base_res).alias("res"), "*",
+                        F.lit(False).alias("deleted"))
+        .unionByName(
+            gone.select(
+                F.lit(base_res).alias("res"), "cell",
+                F.lit(None).cast("long").alias("n_points"),
+                *[F.lit(None).cast("double").alias(c)
+                  for c in ("minx", "maxx", "miny", "maxy")],
+                F.lit(True).alias("deleted"),
+            )
+        )
+    )
+    for r in rs[1:]:
+        parents = (
+            child_touched.select(
+                C.parent_col(F.col("cell"), child_res, r).alias("cell")
+            ).distinct()
+        )
+        # stored children of the affected parents, minus the keys we
+        # replaced, plus the replacements — the exact new child set
+        stored_children = (
+            pyramid.where(F.col("res") == child_res)
+            .withColumn("_p", C.parent_col(F.col("cell"), child_res, r))
+            .join(F.broadcast(parents.withColumnRenamed("cell", "_p")),
+                  "_p", "left_semi")
+            .drop("_p")
+            .join(F.broadcast(child_touched), "cell", "left_anti")
+            .select("cell", "n_points", "minx", "maxx", "miny", "maxy")
+        )
+        children = stored_children.unionByName(
+            child_updates.select("cell", "n_points", "minx", "maxx",
+                                 "miny", "maxy")
+        )
+        folded = (
+            children.groupBy(
+                C.parent_col(F.col("cell"), child_res, r).alias("cell")
+            ).agg(*_pyr_aggs())
+        )
+        gone_parents = parents.join(folded, "cell", "left_anti")
+        out_levels.append(
+            folded.select(F.lit(r).alias("res"), "*",
+                          F.lit(False).alias("deleted"))
+            .unionByName(
+                gone_parents.select(
+                    F.lit(r).alias("res"), "cell",
+                    F.lit(None).cast("long").alias("n_points"),
+                    *[F.lit(None).cast("double").alias(c)
+                      for c in ("minx", "maxx", "miny", "maxy")],
+                    F.lit(True).alias("deleted"),
+                )
+            )
+        )
+        child_updates, child_touched, child_res = folded, parents, r
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def rasterize_points(
     points: DataFrame,
     res: int,

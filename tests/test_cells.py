@@ -210,3 +210,83 @@ def test_ring_measures_known_square_with_hole(spark):
         F.expr(G.ring_perim_sql("xs", "ys", "spark")).alias("pu"),
     ).collect()
     assert all(r.a2 == 0 and r.pu == 0 for r in degen)
+
+
+def _pyr_dict(rows):
+    return {
+        (r.res, r.cell): (r.n_points, r.minx, r.maxx, r.miny, r.maxy)
+        for r in rows
+    }
+
+
+def test_tile_pyramid_delta_append_equals_full_rebuild(spark):
+    """Incremental append maintenance: stored pyramid + delta batch,
+    applied via merge_upsert, equals the pyramid rebuilt from scratch on
+    the full point set — and the delta output is churn-bounded (only
+    keys the batch touches)."""
+    from pyspark.sql import functions as F
+
+    from gis_shapefile_spark.operators import tiling as TI
+    from gis_shapefile_spark.plans.merge import merge_upsert
+
+    def mkpts(lo, n):
+        return spark.range(lo, lo + n).select(
+            (F.lit(-120.0) + ((F.col("id") * 7919) % 40000) / 1000.0).alias("lng"),
+            (F.lit(25.0) + ((F.col("id") * 104729) % 20000) / 1000.0).alias("lat"),
+        )
+
+    old, new = mkpts(0, 4000), mkpts(4000, 300)
+    stored = TI.tile_pyramid(old, [8, 5]).localCheckpoint()
+    out = TI.tile_pyramid_delta(stored, new, [8, 5]).localCheckpoint()
+    # churn-bounded: no more rows than the batch's touched keys
+    delta_keys = {
+        (r.res, r.cell) for r in TI.tile_pyramid(new, [8, 5]).collect()
+    }
+    assert {(r.res, r.cell) for r in out.collect()} == delta_keys
+
+    applied = merge_upsert(stored, out, ["res", "cell"])
+    full = TI.tile_pyramid(old.unionByName(new), [8, 5])
+    assert _pyr_dict(applied.collect()) == _pyr_dict(full.collect())
+
+
+def test_tile_pyramid_update_repairs_removals(spark):
+    """Exact repair after arbitrary churn: remove points (emptying some
+    tiles entirely) and add others, repair only the touched base cells,
+    apply with tombstones — result equals a from-scratch rebuild on the
+    surviving point set, including the disappearance of emptied tiles
+    and their emptied ancestors."""
+    from pyspark.sql import functions as F
+
+    from gis_shapefile_spark.functions import cells as C
+    from gis_shapefile_spark.operators import tiling as TI
+    from gis_shapefile_spark.plans.merge import merge_upsert
+
+    pts = spark.range(4000).select(
+        F.col("id"),
+        (F.lit(-120.0) + ((F.col("id") * 7919) % 40000) / 1000.0).alias("lng"),
+        (F.lit(25.0) + ((F.col("id") * 104729) % 20000) / 1000.0).alias("lat"),
+    ).localCheckpoint()
+    stored = TI.tile_pyramid(pts, [8, 5]).localCheckpoint()
+
+    # churn: drop every id % 7 == 0 AND nuke one whole base cell
+    base = TI.assign_cells(pts, 8)
+    nuke_cell = base.groupBy("cell").count().orderBy("count", "cell").first().cell
+    survivors = base.where(
+        (F.col("id") % 7 != 0) & (F.col("cell") != nuke_cell)
+    ).drop("cell").localCheckpoint()
+
+    touched = sorted(
+        r.cell
+        for r in base.where((F.col("id") % 7 == 0) | (F.col("cell") == nuke_cell))
+        .select("cell").distinct().collect()
+    )
+    out = TI.tile_pyramid_update(survivors, stored, touched, [8, 5])
+    applied = merge_upsert(stored, out, ["res", "cell"], delete_col="deleted")
+    full = TI.tile_pyramid(survivors, [8, 5])
+    assert _pyr_dict(applied.collect()) == _pyr_dict(full.collect())
+    # the nuked tile is tombstoned, not zeroed
+    assert {(8, nuke_cell)} <= {
+        (r.res, r.cell) for r in out.where("deleted").collect()
+    }
+    # update output is churn-bounded: at most touched x levels + parents
+    assert out.count() <= 2 * len(touched) + 2
