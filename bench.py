@@ -218,6 +218,8 @@ ENTRY_PLAN = [
     ("dedup_components_star", 2, 3.0, 2),
     ("image_neardup", 2, 8.0, 2),
     ("pricing_summary", 2, 0.3, 3),
+    ("pyramid_full", 2, 2.0, 2),
+    ("pyramid_delta", 2, 0.5, 2),
 ]
 
 # best-window est for ONE interleaved scaling pair (N + 4N jobs, each
@@ -470,6 +472,29 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
 
     # relational leg on the driver-provided parquet
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # incremental-pyramid payoff: maintaining the tile pyramid for a 1%
+    # crawl batch must cost O(batch), not O(corpus) — full rebuild vs
+    # churn-bounded delta over identical state in the same window. The
+    # batch is the hot-cluster 1% slice (a crawl batch is spatially
+    # LOCALIZED — new imagery of one city, a handful of tiles), written
+    # to its own parquet once so the delta reads a batch table, not a
+    # filter over the corpus.
+    if {"pyramid_full", "pyramid_delta"} & admitted and fits("pyramid_full"):
+        from gis_shapefile_spark.operators import tiling as TI
+
+        pyr_levels = [10, 7, 4]
+        bpath = os.path.join(FX.FIXTURE_DIR, f"bench_pyr_batch_n{n_points}")
+        if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+            pts.where(F.col("point_id") % 100 == 0).coalesce(8) \
+                .write.mode("overwrite").parquet(bpath)
+        batch = spark.read.parquet(bpath)
+        stored_pyr = TI.tile_pyramid(
+            pts.where(F.col("point_id") % 100 != 0), pyr_levels
+        ).localCheckpoint()
+        timed("pyramid_full", lambda: TI.tile_pyramid(pts, pyr_levels))
+        timed("pyramid_delta", lambda: TI.tile_pyramid_delta(
+            stored_pyr, batch, pyr_levels))
+
     timed("pricing_summary", lambda: (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -501,6 +526,8 @@ DOC_RANGES = {
     "image_tiling": [1.1, 42.0],
     "image_neardup": [6.0, 45.0],
     "sessionize": [0.5, 2.0],
+    "pyramid_full": [2.0, 25.0],
+    "pyramid_delta": [0.1, 3.0],
 }
 
 

@@ -147,7 +147,10 @@ def tile_pyramid_delta(
     rows that changed or appeared — apply them with
     ``plans.merge.merge_upsert(stored, out, ["res", "cell"])``.
     """
-    delta = tile_pyramid(new_points, resolutions, lng_col, lat_col)
+    # the batch pyramid is referenced twice (key probe + combine) and is
+    # batch-scale tiny — materialize it once instead of re-deriving the
+    # whole batch scan per reference (same pattern as near_duplicate_pairs)
+    delta = tile_pyramid(new_points, resolutions, lng_col, lat_col).localCheckpoint()
     touched = pyramid.join(
         delta.select(*_PYR_KEYS).distinct(), _PYR_KEYS, "left_semi"
     )
@@ -200,7 +203,10 @@ def tile_pyramid_update(
     pts = assign_cells(points, base_res, lng_col, lat_col).join(
         F.broadcast(touched_df), "cell", "left_semi"
     )
-    repaired = tile_stats(pts, base_res, lng_col, lat_col)
+    # churn-bounded and referenced three times (output union, gone-probe,
+    # next level's children): materialize once so the pruned point scan
+    # runs once, and each level's plan doesn't re-derive all finer levels
+    repaired = tile_stats(pts, base_res, lng_col, lat_col).localCheckpoint()
 
     out_levels = []
     child_updates = repaired  # rows that now exist at the child level
@@ -246,7 +252,7 @@ def tile_pyramid_update(
             children.groupBy(
                 C.parent_col(F.col("cell"), child_res, r).alias("cell")
             ).agg(*_pyr_aggs())
-        )
+        ).localCheckpoint()  # parents-scale; cuts cross-level re-derivation
         gone_parents = parents.join(folded, "cell", "left_anti")
         out_levels.append(
             folded.select(F.lit(r).alias("res"), "*",
