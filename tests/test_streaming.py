@@ -155,3 +155,52 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir, tmp_path):
     batch = EV.attribution_join_stream(bc, bp)  # same expr on static frames
     exp = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_streaming_pyramid_sink_matches_batch_pyramid(spark, tmp_path):
+    """Continuous pyramid maintenance: three stream runs over a growing
+    point feed — after each, the committed pyramid stage equals a
+    from-scratch tile_pyramid over every point seen so far, and a
+    no-new-files rerun commits nothing (manifest-fingerprint
+    exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from gis_shapefile_spark.operators import tiling as TI
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+    from gis_shapefile_spark.streaming import tiles_stream as TS
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    table = CheckpointTable(spark, str(tmp_path / "tbl"))
+    levels = [8, 5]
+
+    def mkpts(lo, n):
+        return spark.range(lo, lo + n).select(
+            (F.lit(-110.0) + ((F.col("id") * 7919) % 30000) / 1000.0).alias("lng"),
+            (F.lit(28.0) + ((F.col("id") * 104729) % 15000) / 1000.0).alias("lat"),
+        )
+
+    def run():
+        stream = spark.readStream.schema("lng double, lat double").parquet(feed)
+        TS.streaming_pyramid_sink(
+            spark, stream, table, "pyr", levels, ckpt
+        )
+
+    seen = 0
+    for n in (1500, 400, 250):
+        mkpts(seen, n).coalesce(1).write.mode("append").parquet(feed)
+        seen += n
+        run()
+        got = {
+            (r.res, r.cell): (r.n_points, r.minx, r.maxx, r.miny, r.maxy)
+            for r in table.read_stage("pyr").collect()
+        }
+        want = {
+            (r.res, r.cell): (r.n_points, r.minx, r.maxx, r.miny, r.maxy)
+            for r in TI.tile_pyramid(mkpts(0, seen), levels).collect()
+        }
+        assert got == want, f"diverged after {seen} points"
+
+    v = table.manifest()["version"]
+    run()  # no new files -> no new manifest version
+    assert table.manifest()["version"] == v
