@@ -418,11 +418,25 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
         )
     ).repartition(CPUS)
 
+    def shed(names, why):
+        """Dynamic shed with bookkeeping: an entry dropped by a setup-cost
+        gate must land in ``skipped`` or the artifact reports it as
+        neither timed nor shed (budget accounting would silently lie)."""
+        dropped = [n for n in names if n in admitted]
+        for n in dropped:
+            admitted.discard(n)
+            skipped.append(n)
+        if dropped:
+            _dbg(f"SKIP {dropped} ({why})")
+
     # the pairs localCheckpoint is EAGER (~10 s best window) — don't pay
-    # it when the components entries are about to be dynamically shed
-    if {"dedup_components", "dedup_components_star"} & admitted and fits(
-        "dedup_components"
-    ):
+    # it when the components entries are about to be dynamically shed.
+    # Gate on an entry actually ADMITTED (entry_est KeyErrors otherwise).
+    comp = [n for n in ("dedup_components", "dedup_components_star")
+            if n in admitted]
+    if comp and not fits(comp[0]):
+        shed(comp, "dynamic: components setup gate won't fit")
+    elif comp:
         pairs = DD.near_duplicate_pairs(corpus, threshold=0.5).localCheckpoint()
         timed("dedup_components", lambda: DD.connected_components(
             corpus.select("doc_id"), pairs))
@@ -479,21 +493,28 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
     # LOCALIZED — new imagery of one city, a handful of tiles), written
     # to its own parquet once so the delta reads a batch table, not a
     # filter over the corpus.
-    if {"pyramid_full", "pyramid_delta"} & admitted and fits("pyramid_full"):
+    pyr = [n for n in ("pyramid_full", "pyramid_delta") if n in admitted]
+    if pyr and not fits(pyr[0]):
+        shed(pyr, "dynamic: pyramid gate won't fit")
+    elif pyr:
         from gis_shapefile_spark.operators import tiling as TI
 
         pyr_levels = [10, 7, 4]
-        bpath = os.path.join(FX.FIXTURE_DIR, f"bench_pyr_batch_n{n_points}")
-        if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
-            pts.where(F.col("point_id") % 100 == 0).coalesce(8) \
-                .write.mode("overwrite").parquet(bpath)
-        batch = spark.read.parquet(bpath)
-        stored_pyr = TI.tile_pyramid(
-            pts.where(F.col("point_id") % 100 != 0), pyr_levels
-        ).localCheckpoint()
         timed("pyramid_full", lambda: TI.tile_pyramid(pts, pyr_levels))
-        timed("pyramid_delta", lambda: TI.tile_pyramid_delta(
-            stored_pyr, batch, pyr_levels))
+        # the batch fixture + stored-pyramid localCheckpoint (an untimed
+        # near-full-rebuild cost) exist only for the delta leg — never pay
+        # them when only pyramid_full runs
+        if "pyramid_delta" in admitted:
+            bpath = os.path.join(FX.FIXTURE_DIR, f"bench_pyr_batch_n{n_points}")
+            if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+                pts.where(F.col("point_id") % 100 == 0).coalesce(8) \
+                    .write.mode("overwrite").parquet(bpath)
+            batch = spark.read.parquet(bpath)
+            stored_pyr = TI.tile_pyramid(
+                pts.where(F.col("point_id") % 100 != 0), pyr_levels
+            ).localCheckpoint()
+            timed("pyramid_delta", lambda: TI.tile_pyramid_delta(
+                stored_pyr, batch, pyr_levels))
 
     timed("pricing_summary", lambda: (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))

@@ -781,7 +781,18 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import tiling as TI
 
     pts = _points_df(spark, sf_dir)
-    out = TI.tile_pyramid(pts, [8, 6, 4])
+    return _pyr_integerized(TI.tile_pyramid(pts, [8, 6, 4]))
+
+
+def q_tile_pyramid_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+
+    # the oracle recomputes each level from the points (associativity makes
+    # child-fold == direct grouping); engine folds from the child level
+    return _pyr_oracle_levels(_points_oracle_cte())
+
+
+def _pyr_integerized(out: DataFrame) -> DataFrame:
     return out.select(
         F.col("res").cast("long").alias("res"),
         "cell",
@@ -793,12 +804,9 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tile_pyramid_oracle() -> str:
-    from .entry_queries import _points_oracle_cte
+def _pyr_oracle_levels(cte: str, resolutions=(8, 6, 4)) -> str:
     from .functions import cells as C
 
-    # the oracle recomputes each level from the points (associativity makes
-    # child-fold == direct grouping); engine folds from the child level
     levels = " UNION ALL ".join(
         f"""SELECT {r} AS res, {C.cell_sql('lng', 'lat', r, 'duckdb')} AS cell,
                count(*) AS n_points,
@@ -807,12 +815,74 @@ def q_tile_pyramid_oracle() -> str:
                CAST(floor(min(lat) * 1000000) AS BIGINT) AS miny_u,
                CAST(floor(max(lat) * 1000000) AS BIGINT) AS maxy_u
         FROM pts GROUP BY 1, 2"""
-        for r in (8, 6, 4)
+        for r in resolutions
     )
-    return f"""
-        WITH pts AS ({_points_oracle_cte()})
-        {levels}
-    """
+    return f"WITH pts AS ({cte}) {levels}"
+
+
+def q_pyramid_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pyramid maintenance, value-checked end to end: the
+    stored pyramid (98% of points) plus a ``tile_pyramid_delta`` fold of
+    the remaining 2% batch, applied via keyed MERGE, must equal the
+    from-scratch pyramid over all points — which is exactly what the
+    oracle computes."""
+    from .entry_queries import _points_df
+    from .operators import tiling as TI
+    from .plans.merge import merge_upsert
+
+    pts = _points_df(spark, sf_dir)
+    stored = TI.tile_pyramid(
+        pts.where(F.col("point_id") % 50 != 0), [8, 6, 4]
+    )
+    delta = TI.tile_pyramid_delta(
+        stored, pts.where(F.col("point_id") % 50 == 0), [8, 6, 4]
+    )
+    return _pyr_integerized(
+        merge_upsert(stored, delta, ["res", "cell"])
+    )
+
+
+def q_pyramid_delta_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+
+    return _pyr_oracle_levels(_points_oracle_cte())
+
+
+def q_pyramid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pyramid repair after churn with removals: build the pyramid
+    over ALL points, delete the 2% slice, repair via
+    ``tile_pyramid_update`` (cell-pruned base rescan + child re-fold +
+    tombstones), apply with tombstone-aware MERGE — must equal the
+    from-scratch pyramid over the remaining 98% (the oracle)."""
+    from .entry_queries import _points_df
+    from .functions import cells as C
+    from .operators import tiling as TI
+    from .plans.merge import merge_upsert
+
+    pts = _points_df(spark, sf_dir)
+    removed = pts.where(F.col("point_id") % 50 == 0)
+    remaining = pts.where(F.col("point_id") % 50 != 0)
+    stored = TI.tile_pyramid(pts, [8, 6, 4]).localCheckpoint()
+    # churn-bounded metadata list — same driver-side collection contract
+    # as merge_upsert_partitioned's touched-partition values
+    touched = [
+        r[0]
+        for r in removed.select(
+            F.expr(C.cell_sql("lng", "lat", 8, "spark")).alias("cell")
+        ).distinct().collect()
+    ]
+    repairs = TI.tile_pyramid_update(remaining, stored, touched, [8, 6, 4])
+    return _pyr_integerized(
+        merge_upsert(stored, repairs, ["res", "cell"], delete_col="deleted")
+    )
+
+
+def q_pyramid_update_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+
+    return _pyr_oracle_levels(
+        f"SELECT * FROM ({_points_oracle_cte()}) WHERE point_id % 50 <> 0"
+    )
 
 
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1616,6 +1686,8 @@ QUERIES = {
     "reverse_geocode": q_reverse_geocode,
     "tile_bounds": q_tile_bounds,
     "tile_pyramid": q_tile_pyramid,
+    "pyramid_delta": q_pyramid_delta,
+    "pyramid_update": q_pyramid_update,
     "corpus_curation": q_corpus_curation,
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
@@ -1659,6 +1731,8 @@ ORACLES = {
     "reverse_geocode": q_reverse_geocode_oracle(),
     "tile_bounds": q_tile_bounds_oracle(),
     "tile_pyramid": q_tile_pyramid_oracle(),
+    "pyramid_delta": q_pyramid_delta_oracle(),
+    "pyramid_update": q_pyramid_update_oracle(),
     "corpus_curation": q_corpus_curation_oracle(),
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),

@@ -97,13 +97,7 @@ def tile_pyramid(
         child_res = rs[len(levels) - 1]
         cur = (
             cur.groupBy(C.parent_col(F.col("cell"), child_res, r).alias("cell"))
-            .agg(
-                F.sum("n_points").alias("n_points"),
-                F.min("minx").alias("minx"),
-                F.max("maxx").alias("maxx"),
-                F.min("miny").alias("miny"),
-                F.max("maxy").alias("maxy"),
-            )
+            .agg(*_pyr_aggs())
         )
         levels.append(cur.select(F.lit(r).alias("res"), "*"))
     out = levels[0]

@@ -283,11 +283,23 @@ def merge_upsert_partitioned(
 
     recover_merge(path)  # complete any crashed prior commit first
     touched = sorted(
-        r[0] for r in updates.select(part_col).distinct().collect()
+        (r[0] for r in updates.select(part_col).distinct().collect()),
+        # None sorts first; str() breaks ties across mixed types without
+        # ever comparing None to a value (TypeError on bare sorted())
+        key=lambda v: (v is not None, str(v)),
     )
     if not touched:
         return []
-    target = spark.read.parquet(path).where(F.col(part_col).isin(touched))
+    # isin() never matches NULL (SQL three-valued logic), so a NULL
+    # partition value in the batch needs an explicit isNull arm — without
+    # it the NULL partition's pre-existing rows are EXCLUDED from the
+    # merge and the swap would replace the whole
+    # __HIVE_DEFAULT_PARTITION__ dir with only the batch's rows
+    non_null = [v for v in touched if v is not None]
+    pred = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        pred = pred | F.col(part_col).isNull()
+    target = spark.read.parquet(path).where(pred)
     if check_moves:
         # a target row is safely addressed iff the batch carries SOME row
         # (update or tombstone) for its key IN ITS partition; a key whose
@@ -350,13 +362,21 @@ def merge_upsert_partitioned(
         )
     old_area = os.path.join(staging, "_old")
     os.makedirs(old_area, exist_ok=True)
-    with open(journal, "w") as fh:
+    # journal commit must be atomic: write-to-temp + fsync + rename, same
+    # discipline as the checkpoint layer's manifest commit — an in-place
+    # open(journal, "w") truncates first, so a crash mid-dump would leave
+    # a 0-byte journal that bricks every later recover_merge()
+    journal_tmp = f"{journal}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(journal_tmp, "w") as fh:
         json.dump(
             {"staging": staging, "staged_dirs": staged_dirs,
              "deleted_dirs": deleted_dirs,
              "touched": [str(v) for v in touched]},
             fh,
         )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(journal_tmp, journal)
     # from here on, any crash/exception is completed by recover_merge()
     # (invoked automatically at the start of the next batch): the journal
     # + staging dir stay on disk for it — deliberately NO finally-cleanup

@@ -411,6 +411,82 @@ def test_merge_upsert_partitioned_touches_only_churned_partitions(spark, tmp_pat
     assert after.count() == 76
 
 
+def test_merge_upsert_partitioned_null_partition(spark, tmp_path):
+    """NULL partition values: isin() never matches NULL, so the NULL
+    partition's bystander rows need the explicit isNull arm — without it
+    they'd be silently destroyed by the swap. Also covers mixed
+    None/value sorting of the touched list."""
+    import os
+
+    from gis_shapefile_spark.plans.merge import merge_upsert_partitioned
+
+    path = str(tmp_path / "ntab")
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, 7, "c"), (4, 8, "d")],
+        "k long, p long, v string",
+    )
+    base.coalesce(1).write.partitionBy("p").parquet(path)
+    assert os.path.isdir(f"{path}/p=__HIVE_DEFAULT_PARTITION__")
+
+    # batch upserts k=1 in the NULL partition AND k=3 in p=7 (mixed
+    # None/non-None touched values — bare sorted() would TypeError)
+    upd = spark.createDataFrame(
+        [(1, None, "A"), (3, 7, "C")], "k long, p long, v string"
+    )
+    touched = merge_upsert_partitioned(spark, path, upd, ["k"], "p")
+    assert touched == [None, 7]
+
+    got = {r.k: (r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert got[1] == (None, "A")  # updated
+    assert got[2] == (None, "b")  # NULL-partition bystander SURVIVES
+    assert got[3] == (7, "C")
+    assert got[4] == (8, "d")
+    assert len(got) == 4
+
+
+def test_merge_commit_journal_is_atomic(spark, tmp_path):
+    """The intent journal must never exist in a truncated state: it is
+    written to a temp file, fsynced, then renamed — and recover_merge on
+    a valid journal completes the swap."""
+    import json
+    import os
+
+    from gis_shapefile_spark.plans import merge as M
+
+    path = str(tmp_path / "jtab")
+    spark.createDataFrame(
+        [(1, 0, "a")], "k long, p long, v string"
+    ).coalesce(1).write.partitionBy("p").parquet(path)
+
+    # intercept: no .tmp- file may remain after a merge, and the journal
+    # observed mid-protocol (simulated crash before swap) must parse
+    upd = spark.createDataFrame([(2, 0, "b")], "k long, p long, v string")
+    orig_swap = M._apply_merge_swap
+    seen = {}
+
+    def crash_swap(*a, **kw):
+        journal = f"{path}._merge_commit.json"
+        with open(journal) as fh:
+            seen["journal"] = json.load(fh)  # parses => complete JSON
+        raise RuntimeError("crash before swap")
+
+    M._apply_merge_swap = crash_swap
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash before swap"):
+            M.merge_upsert_partitioned(spark, path, upd, ["k"], "p")
+    finally:
+        M._apply_merge_swap = orig_swap
+    assert seen["journal"]["staged_dirs"] == ["p=0"]
+    assert not [f for f in os.listdir(str(tmp_path)) if ".tmp-" in f]
+    # next batch auto-recovers the crashed commit
+    assert M.recover_merge(path) is True
+    got = {r.k for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2}
+    assert not os.path.exists(f"{path}._merge_commit.json")
+
+
 def test_merge_upsert_partitioned_rejects_partition_moves(spark, tmp_path):
     """check_moves=True (round-2 verdict item 7): an update whose key
     already lives in a DIFFERENT touched partition raises instead of
