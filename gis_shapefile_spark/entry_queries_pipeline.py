@@ -885,6 +885,57 @@ def q_pyramid_update_oracle() -> str:
     )
 
 
+def q_wm_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator XYZ map tiles (slippy-map scheme): points bucketed
+    into z=8 tiles with their Bing quadkey and z=5 ancestor — the tile
+    addressing a map-serving image pipeline shards and caches by. Packed
+    ids share the cells.py layout, so the pyramid/layout machinery folds
+    map tiles unchanged (tested in test_webmercator.py)."""
+    from .entry_queries import _points_df
+    from .functions import cells as C
+    from .functions import webmercator as WM
+
+    pts = _points_df(spark, sf_dir)
+    cell = WM.wm_cell_sql("lng", "lat", 8, "spark")
+    return (
+        pts.select(
+            F.expr(cell).alias("cell"),
+            F.expr(WM.tile_x_sql("lng", 8, "spark")).alias("tx"),
+            F.expr(WM.tile_y_sql("lat", 8, "spark")).alias("ty"),
+        )
+        .groupBy("cell", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "cell",
+            F.expr(WM.quadkey_sql("cell", 8, "spark")).alias("quadkey"),
+            "tx", "ty", "n_points",
+            F.expr(C.parent_sql("cell", 8, 5, "spark")).alias("parent_z5"),
+        )
+    )
+
+
+def q_wm_tiles_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+    from .functions import cells as C
+    from .functions import webmercator as WM
+
+    cell = WM.wm_cell_sql("lng", "lat", 8, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        tiles AS (
+            SELECT {cell} AS cell,
+                   {WM.tile_x_sql('lng', 8, 'duckdb')} AS tx,
+                   {WM.tile_y_sql('lat', 8, 'duckdb')} AS ty,
+                   count(*) AS n_points
+            FROM pts GROUP BY 1, 2, 3
+        )
+        SELECT cell, {WM.quadkey_sql('cell', 8, 'duckdb')} AS quadkey,
+               tx, ty, n_points,
+               {C.parent_sql('cell', 8, 5, 'duckdb')} AS parent_z5
+        FROM tiles
+    """
+
+
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions per embedding row: integerized L2 norm
     (aggregate/zip_with), positive-component count (filter), max abs
@@ -1688,6 +1739,7 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
     "pyramid_delta": q_pyramid_delta,
     "pyramid_update": q_pyramid_update,
+    "wm_tiles": q_wm_tiles,
     "corpus_curation": q_corpus_curation,
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
@@ -1733,6 +1785,7 @@ ORACLES = {
     "tile_pyramid": q_tile_pyramid_oracle(),
     "pyramid_delta": q_pyramid_delta_oracle(),
     "pyramid_update": q_pyramid_update_oracle(),
+    "wm_tiles": q_wm_tiles_oracle(),
     "corpus_curation": q_corpus_curation_oracle(),
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
