@@ -40,12 +40,12 @@ _PRIORITY = [
     # spatial core (SURVEY J/P/A rows with no other oracle)
     "pip_grid_join", "pip_first_hit", "within_distance", "knn3",
     "bbox_join", "reverse_geocode", "tile_bounds", "tile_pyramid",
-    "pyramid_delta", "pyramid_update", "wm_tiles", "vectorize_raster",
-    "cell_skew",
-    # geocoder / text functions (F rows); top1_per_group moved past the
-    # cap in r3 (driver-green in r1+r2; W1's argmax top-1 stays in-cap
-    # via geocode_forward)
-    "normalize", "state_confidence", "geocode_forward", "http_requests",
+    "pyramid_delta", "pyramid_update", "wm_tiles", "render_tiles",
+    "vectorize_raster", "cell_skew",
+    # geocoder / text functions (F rows); top1_per_group + normalize
+    # moved past the cap in r3 (driver-green in r1+r2; W1's argmax and
+    # the F1/F2 normalize+tokenize path stay in-cap via geocode_forward)
+    "state_confidence", "geocode_forward", "http_requests",
     # storage layer
     "merge_upsert", "snapshot_diff",
     # text analysis / quality (token_count + quality_score moved past the
@@ -70,6 +70,7 @@ _PRIORITY = [
     # --- position 51+ from here: every entry below already has a
     # driver-green row in CORRECTNESS_r01 and/or r02 (see COVERAGE.md) ---
     "vector_stats", "token_count", "quality_score", "top1_per_group",
+    "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",
     "polygon_stats", "pricing_summary", "top_revenue_orders",
     "regional_volume", "priority_rollup", "priority_cube",

@@ -936,6 +936,65 @@ def q_wm_tiles_oracle() -> str:
     """
 
 
+def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile render pipeline value-checked END TO END: points ->
+    codegen pixel assignment (z=6 XYZ tiles, 16px) -> PNG encode
+    (applyInPandas over pixel-count rows) -> PNG decode -> pixel facts.
+    The oracle recomputes every fact (point totals, occupied pixels,
+    post-scaling lit pixels, brightest-pixel coordinates/value) from the
+    identical fine-grid SQL — a regression anywhere in the raster or the
+    PNG codec breaks the hash."""
+    from .entry_queries import _points_df
+    from .operators import render as RD
+
+    pts = _points_df(spark, sf_dir)
+    pix = RD.density_pixels(pts, z=6, px_log2=4)
+    return RD.decode_tile_stats(RD.render_png_tiles(pix, 16))
+
+
+def q_render_tiles_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+    from .operators import render as RD
+
+    txf, tyf, d = RD.pixel_sql_parts("lng", "lat", 6, 4, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        fine AS (SELECT {txf} AS _txf, {tyf} AS _tyf FROM pts),
+        pix AS (
+            SELECT {d['tx']} AS tx, {d['ty']} AS ty,
+                   {d['px']} AS px, {d['py']} AS py, count(*) AS n
+            FROM fine GROUP BY 1, 2, 3, 4
+        ),
+        tile AS (
+            SELECT tx, ty, CAST(sum(n) AS BIGINT) AS n_points,
+                   CAST(count(*) AS BIGINT) AS nonzero_px,
+                   max(n) AS maxn
+            FROM pix GROUP BY 1, 2
+        ),
+        val AS (
+            SELECT p.tx, p.ty, p.px, p.py,
+                   CAST((p.n * 255) // t.maxn AS BIGINT) AS val
+            FROM pix p JOIN tile t USING (tx, ty)
+        ),
+        ranked AS (
+            SELECT tx, ty, px, py, val,
+                   row_number() OVER (
+                       PARTITION BY tx, ty ORDER BY val DESC, py, px
+                   ) AS rn
+            FROM val
+        )
+        SELECT t.tx, t.ty, t.n_points, t.nonzero_px, l.lit_px,
+               r.px AS top_px, r.py AS top_py, r.val AS top_val
+        FROM tile t
+        JOIN (
+            SELECT tx, ty,
+                   CAST(count(*) FILTER (WHERE val > 0) AS BIGINT) AS lit_px
+            FROM val GROUP BY 1, 2
+        ) l USING (tx, ty)
+        JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (tx, ty)
+    """
+
+
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions per embedding row: integerized L2 norm
     (aggregate/zip_with), positive-component count (filter), max abs
@@ -1740,6 +1799,7 @@ QUERIES = {
     "pyramid_delta": q_pyramid_delta,
     "pyramid_update": q_pyramid_update,
     "wm_tiles": q_wm_tiles,
+    "render_tiles": q_render_tiles,
     "corpus_curation": q_corpus_curation,
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
@@ -1786,6 +1846,7 @@ ORACLES = {
     "pyramid_delta": q_pyramid_delta_oracle(),
     "pyramid_update": q_pyramid_update_oracle(),
     "wm_tiles": q_wm_tiles_oracle(),
+    "render_tiles": q_render_tiles_oracle(),
     "corpus_curation": q_corpus_curation_oracle(),
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),

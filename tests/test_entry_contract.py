@@ -32,9 +32,10 @@ PRIOR_GREEN = {
     "priority_cube", "quiet_customers", "promo_revenue",
     "above_avg_orders", "median_balances", "distinct_users", "json_props",
     # displaced in round 3 to make room for pyramid_delta/pyramid_update/
-    # wm_tiles: driver-green in BOTH r1+r2; token/quality SQL builders
-    # stay in-cap via caption_curation, W1 argmax via geocode_forward
-    "token_count", "quality_score", "top1_per_group",
+    # wm_tiles/render_tiles: driver-green in BOTH r1+r2; token/quality SQL
+    # builders stay in-cap via caption_curation, W1 argmax and the F1/F2
+    # normalize+tokenize path via geocode_forward
+    "token_count", "quality_score", "top1_per_group", "normalize",
 }
 
 # Never driver-verified before round 3 (round 2's overflow) + the round-2
@@ -45,8 +46,9 @@ MUST_BE_IN_CAP = {
     "train_val_split", "image_tiling", "image_neardup", "caption_curation",
     "decontaminate", "boilerplate", "mixture_sample", "epoch_mix",
     "crossmodal_align", "source_cap", "running_windows",
-    # new in round 3: incremental pyramid maintenance + web-mercator tiles
-    "pyramid_delta", "pyramid_update", "wm_tiles",
+    # new in round 3: incremental pyramid maintenance, web-mercator
+    # tiles, PNG tile rendering
+    "pyramid_delta", "pyramid_update", "wm_tiles", "render_tiles",
 }
 
 
