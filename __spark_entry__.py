@@ -67,8 +67,11 @@ _PRIORITY = [
     # data mixing / splits
     "train_val_split", "stratified_sample", "quality_deciles",
     "mixture_sample", "epoch_mix", "source_cap", "vocab_topk",
-    # --- position 51+ from here: every entry below already has a
-    # driver-green row in CORRECTNESS_r01 and/or r02 (see COVERAGE.md) ---
+    # --- position 51+ from here: every entry below either already has a
+    # driver-green row in CORRECTNESS_r01 and/or r02 (see COVERAGE.md) or
+    # is a round-3 late addition (marked NEW-r3) that is local-gate green
+    # and rotates into the cap next round ---
+    "nearest_road",  # NEW-r3: point-to-polyline nearest-segment join
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

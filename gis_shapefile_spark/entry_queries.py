@@ -240,6 +240,60 @@ def q_knn3_oracle() -> str:
     """
 
 
+def _road_segment_values_sql() -> str:
+    """The exploded road-segment table as a VALUES literal (oracle side).
+    Coordinates go through repr() (shortest round-trip decimal) + CAST to
+    DOUBLE, the proven bit-identical serialization (_grid_values_sql)."""
+    from .operators import lines as LN
+
+    segs = LN.polyline_segments(FX.make_road_features())
+    vals = ", ".join(
+        f"({int(s.road_id)}, {int(s.seg_id)}, CAST({s.ax!r} AS DOUBLE), "
+        f"CAST({s.ay!r} AS DOUBLE), CAST({s.bx!r} AS DOUBLE), "
+        f"CAST({s.by!r} AS DOUBLE))"
+        for _, s in segs.iterrows()
+    )
+    return f"(VALUES {vals}) AS s(road_id, seg_id, ax, ay, bx, by)"
+
+
+NEAREST_ROAD_RADIUS = 1.5
+
+
+def q_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest road segment within 1.5° per point (engine addition: the
+    reference decodes polylines but never queries them). Cell-cover
+    broadcast equi-join + one dual-dialect dsq expression + integerized
+    argmin — see operators/lines.py for the candidate guarantee."""
+    from .operators import lines as LN
+
+    pts = _points_df(spark, sf_dir)
+    return LN.nearest_segment_join(
+        spark, pts, FX.make_road_features(), radius=NEAREST_ROAD_RADIUS,
+        point_id_col="point_id",
+    )
+
+
+def q_nearest_road_oracle() -> str:
+    from .operators import lines as LN
+
+    dsq_u = LN.dsq_u_sql("p.lng", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    r2u = LN.radius2_u(NEAREST_ROAD_RADIUS)
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        scored AS (
+          SELECT p.point_id, s.road_id, s.seg_id, {dsq_u} AS dsq_u
+          FROM pts p CROSS JOIN {_road_segment_values_sql()}
+        )
+        SELECT point_id,
+               row_number() OVER (PARTITION BY point_id
+                                  ORDER BY dsq_u, road_id, seg_id)::BIGINT AS nn_rank,
+               road_id::BIGINT AS road_id, seg_id::BIGINT AS seg_id, dsq_u
+        FROM scored
+        WHERE dsq_u <= {r2u}
+        QUALIFY nn_rank <= 1
+    """
+
+
 def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: query boxes (from orders keys) x grid rects whose bboxes intersect."""
     from .operators import spatial_join as SJ
@@ -1343,6 +1397,7 @@ QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "median_balances": q_median_balances,
     "vectorize_raster": q_vectorize_raster,
+    "nearest_road": q_nearest_road,
     "polygon_stats": q_polygon_stats,
     "cell_skew": q_cell_skew,
     "merge_upsert": q_merge_upsert,
@@ -1374,6 +1429,7 @@ ORACLES = {
     "above_avg_orders": q_above_avg_orders_oracle(),
     "median_balances": q_median_balances_oracle(),
     "vectorize_raster": q_vectorize_raster_oracle(),
+    "nearest_road": q_nearest_road_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),
     "cell_skew": q_cell_skew_oracle(),
     "merge_upsert": q_merge_upsert_oracle(),

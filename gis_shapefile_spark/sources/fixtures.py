@@ -380,6 +380,57 @@ def make_grid_features() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_road_features(n_roads: int = 40, n_pts: int = 12) -> pd.DataFrame:
+    """Deterministic polyline "road network" for point-to-line operators.
+
+    The reference decodes polylines (shapefile_reader.cpp PolyLine branch,
+    shape_type 3) but never queries them; the engine adds nearest-segment
+    joins, so it needs a line table the DuckDB oracle can reproduce as a
+    VALUES literal. Coordinates are exact 1e-6-degree rationals built from
+    the same Knuth-style integer hashes as the synthetic points (see
+    entry_queries.POINT_LNG_SQL), so ``repr()`` round-trips bit-identically
+    into SQL. Roads drift west→east across the CONUS canvas with hashed
+    latitude wander (clamped to the canvas); every 4th road is two-part
+    (a gap mid-line) to exercise part handling in segment explode.
+    """
+    cx0, cy0, cx1, cy1 = CANVAS
+    y_lo, y_hi = int(cy0 * 1e6), int(cy1 * 1e6)
+    rows = []
+    for i in range(1, n_roads + 1):
+        # Knuth-style multipliers must be LARGE relative to the index
+        # range (i <= n_roads, j <= n_pts) or the modulo never wraps and
+        # the "hash" degenerates to a linear ramp (all roads hugging one
+        # canvas edge) — the point formulas get this for free from the
+        # big custkey domain.
+        sx = int(cx0 * 1e6) + (i * 2654435761) % 18_000_000
+        sy = y_lo + (i * 2246822519) % 26_000_000
+        xs_u, ys_u = [sx], [sy]
+        for j in range(1, n_pts):
+            dx = 2_000_000 + ((i * 2654435761 + j * 40503196) % 4_000_000)
+            dy = ((i * 3266489917 + j * 668265263) % 9_000_000) - 4_500_000
+            x = xs_u[-1] + dx
+            y = min(max(ys_u[-1] + dy, y_lo), y_hi)
+            xs_u.append(x)
+            ys_u.append(y)
+        xs = [u / 1e6 for u in xs_u]
+        ys = [u / 1e6 for u in ys_u]
+        part_sizes = [n_pts]
+        if i % 4 == 0:  # two parts: vertices [0, h) and [h, n)
+            h = n_pts // 2
+            part_sizes = [h, n_pts - h]
+        rows.append(
+            dict(
+                road_id=i,
+                shape_type=3,
+                xs=xs,
+                ys=ys,
+                part_sizes=part_sizes,
+                minx=min(xs), miny=min(ys), maxx=max(xs), maxy=max(ys),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
 def features_parquet_path() -> str:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     path = os.path.join(FIXTURE_DIR, "features_states.parquet")
