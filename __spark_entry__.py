@@ -72,6 +72,7 @@ _PRIORITY = [
     # is a round-3 late addition (marked NEW-r3) that is local-gate green
     # and rotates into the cap next round ---
     "nearest_road",  # NEW-r3: point-to-polyline nearest-segment join
+    "vector_outline",  # NEW-r3: zoom-laddered one-pass VW simplification
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

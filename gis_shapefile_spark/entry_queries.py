@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import cells as C
+from .functions.litsql import double_literal as dlit
 from .sources import fixtures as FX
 
 # ---------------------------------------------------------------------------
@@ -96,9 +97,9 @@ def _grid_values_sql() -> str:
     # the 17-digit reprs as exact DECIMALs and compute (x0+x1)/2 etc. in
     # decimal arithmetic, diverging from the engine's IEEE doubles
     vals = ", ".join(
-        f"({int(r.record_number)}, CAST({r.minx!r} AS DOUBLE), "
-        f"CAST({r.miny!r} AS DOUBLE), CAST({r.maxx!r} AS DOUBLE), "
-        f"CAST({r.maxy!r} AS DOUBLE))"
+        f"({int(r.record_number)}, {dlit(r.minx)}, "
+        f"{dlit(r.miny)}, {dlit(r.maxx)}, "
+        f"{dlit(r.maxy)})"
         for _, r in grid.iterrows()
     )
     return f"(VALUES {vals}) AS g(record_number, x0, y0, x1, y1)"
@@ -248,9 +249,9 @@ def _road_segment_values_sql() -> str:
 
     segs = LN.polyline_segments(FX.make_road_features())
     vals = ", ".join(
-        f"({int(s.road_id)}, {int(s.seg_id)}, CAST({s.ax!r} AS DOUBLE), "
-        f"CAST({s.ay!r} AS DOUBLE), CAST({s.bx!r} AS DOUBLE), "
-        f"CAST({s.by!r} AS DOUBLE))"
+        f"({int(s.road_id)}, {int(s.seg_id)}, {dlit(s.ax)}, "
+        f"{dlit(s.ay)}, {dlit(s.bx)}, "
+        f"{dlit(s.by)})"
         for _, s in segs.iterrows()
     )
     return f"(VALUES {vals}) AS s(road_id, seg_id, ax, ay, bx, by)"
@@ -975,8 +976,8 @@ def q_pip_first_hit_oracle() -> str:
     dim = RP.first_hit_dimension(FX.make_grid_features())
     vals = ", ".join(
         f"({int(t.record_number)}, {int(t.dfs_rank)}, "
-        f"CAST({t.minx!r} AS DOUBLE), CAST({t.miny!r} AS DOUBLE), "
-        f"CAST({t.maxx!r} AS DOUBLE), CAST({t.maxy!r} AS DOUBLE))"
+        f"{dlit(t.minx)}, {dlit(t.miny)}, "
+        f"{dlit(t.maxx)}, {dlit(t.maxy)})"
         for t in dim.itertuples(index=False)
     )
     return f"""
@@ -1104,8 +1105,8 @@ def _ring_values_sql() -> str:
     whole list is CAST to DOUBLE[], so DuckDB materializes bit-identical
     doubles to the Arrow values Spark gets from createDataFrame."""
     vals = ", ".join(
-        f"({rn}, {ri}, CAST([{', '.join(repr(v) for v in xs)}] AS DOUBLE[]), "
-        f"CAST([{', '.join(repr(v) for v in ys)}] AS DOUBLE[]))"
+        f"({rn}, {ri}, CAST([{', '.join(dlit(v) for v in xs)}] AS DOUBLE[]), "
+        f"CAST([{', '.join(dlit(v) for v in ys)}] AS DOUBLE[]))"
         for rn, ri, xs, ys in _ring_rows()
     )
     return f"(VALUES {vals}) AS r(record_number, ring_idx, xs, ys)"
@@ -1166,6 +1167,91 @@ def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cy_u"),
         )
     )
+
+
+VECTOR_OUTLINE_ZOOMS = [4, 6, 8]
+
+
+def q_vector_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-dependent vector-tile outlines: one-pass Visvalingam
+    effective-area filter (operators/simplify.py) over the long vertex
+    table of the jittered+holed state polygons, at the one-pixel-square
+    tolerance of web-mercator zooms 4/6/8. Window SQL only — the shape
+    that thins billions of stored footprints before tile encode."""
+    from .operators import simplify as SIM
+
+    rings = spark.createDataFrame(
+        _ring_rows(),
+        "record_number long, ring_idx int, xs array<double>, ys array<double>",
+    )
+    verts = rings.select(
+        "record_number",
+        "ring_idx",
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("pos", "v"),
+    ).select(
+        "record_number",
+        "ring_idx",
+        (F.col("pos") + 1).alias("idx"),
+        F.col("v.xs").alias("x"),
+        F.col("v.ys").alias("y"),
+    )
+    zooms = spark.createDataFrame(
+        SIM.zoom_tolerances(VECTOR_OUTLINE_ZOOMS), "z int, tol2_u long"
+    )
+    out = SIM.simplify_vw(
+        verts.crossJoin(F.broadcast(zooms)),
+        tol2_u=None,
+        group_cols=("z", "record_number", "ring_idx"),
+        tol_col="tol2_u",
+    )
+    iu = "CAST(1000000 AS DOUBLE)"
+    return out.select(
+        F.col("z").cast("long").alias("z"),
+        "record_number",
+        F.col("ring_idx").cast("long").alias("ring_idx"),
+        "pt_idx",
+        F.expr(f"CAST(floor(x * {iu}) AS BIGINT)").alias("x_u"),
+        F.expr(f"CAST(floor(y * {iu}) AS BIGINT)").alias("y_u"),
+    )
+
+
+def q_vector_outline_oracle() -> str:
+    from .operators import simplify as SIM
+
+    zvals = ", ".join(
+        f"({z}, {tol})" for z, tol in SIM.zoom_tolerances(VECTOR_OUTLINE_ZOOMS)
+    )
+    area = SIM.eff_area2_u_term("xp", "yp", "x", "y", "xn", "yn")
+    iu = "CAST(1000000 AS DOUBLE)"
+    return f"""
+        WITH verts AS (
+          SELECT record_number, ring_idx,
+                 generate_subscripts(xs, 1) AS idx,
+                 unnest(xs) AS x, unnest(ys) AS y
+          FROM {_ring_values_sql()}
+        ),
+        vz AS (
+          SELECT v.*, z.z, z.tol2_u
+          FROM verts v CROSS JOIN (VALUES {zvals}) z(z, tol2_u)
+        ),
+        nb AS (
+          SELECT *, lag(x) OVER w AS xp, lag(y) OVER w AS yp,
+                 lead(x) OVER w AS xn, lead(y) OVER w AS yn
+          FROM vz
+          WINDOW w AS (PARTITION BY z, record_number, ring_idx ORDER BY idx)
+        ),
+        kept AS (
+          SELECT * FROM nb
+          WHERE xp IS NULL OR xn IS NULL OR {area} >= tol2_u
+        )
+        SELECT z::BIGINT AS z, record_number::BIGINT AS record_number,
+               ring_idx::BIGINT AS ring_idx,
+               row_number() OVER (PARTITION BY z, record_number, ring_idx
+                                  ORDER BY idx)::BIGINT AS pt_idx,
+               CAST(floor(x * {iu}) AS BIGINT) AS x_u,
+               CAST(floor(y * {iu}) AS BIGINT) AS y_u
+        FROM kept
+    """
 
 
 def q_polygon_stats_oracle() -> str:
@@ -1398,6 +1484,7 @@ QUERIES = {
     "median_balances": q_median_balances,
     "vectorize_raster": q_vectorize_raster,
     "nearest_road": q_nearest_road,
+    "vector_outline": q_vector_outline,
     "polygon_stats": q_polygon_stats,
     "cell_skew": q_cell_skew,
     "merge_upsert": q_merge_upsert,
@@ -1430,6 +1517,7 @@ ORACLES = {
     "median_balances": q_median_balances_oracle(),
     "vectorize_raster": q_vectorize_raster_oracle(),
     "nearest_road": q_nearest_road_oracle(),
+    "vector_outline": q_vector_outline_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),
     "cell_skew": q_cell_skew_oracle(),
     "merge_upsert": q_merge_upsert_oracle(),

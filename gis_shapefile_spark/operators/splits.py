@@ -137,8 +137,12 @@ def percentile_bins(
             f"percentile_bins: no non-null values in column {col!r}"
         )
     bounds = list(row["bs"])
-    # explicit DOUBLE: Spark parses bare decimal literals as DECIMAL
-    arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds)
+    # exponent-marked literals parse directly as DOUBLE (a bare decimal
+    # goes through DECIMAL whose >2^53 mantissa can cast 1 ulp off the
+    # collected boundary — see functions/litsql.py)
+    from ..functions.litsql import double_literal
+
+    arr = ", ".join(double_literal(b) for b in bounds)
     return df.withColumn(
         out_col,
         F.expr(

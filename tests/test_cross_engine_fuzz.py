@@ -188,3 +188,54 @@ def test_all_oracles_dtype_and_hash_at_sf0001(spark):
     CC.register_views(con, sf_dir)
     failures = CC.check_queries(spark, con, sf_dir, verbose=False)
     assert failures == []
+
+
+def test_double_literal_roundtrips_exactly_in_both_engines(spark):
+    """The round-3 vector_outline red-hash root cause, as a property:
+    bare 17-digit decimal literals parse via DECIMAL whose >2^53 mantissa
+    casts to DOUBLE 1 ulp off (measured in DuckDB); exponent-marked
+    literals (functions/litsql.py) parse with strtod semantics and
+    round-trip repr() bit-exactly in BOTH engines."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from gis_shapefile_spark.functions.litsql import double_literal
+
+    rng = np.random.default_rng(13)
+    vals = [
+        -104.94000000000001,  # the measured offender (grid corner x0)
+        -125.0, 24.0, 0.1, -0.1, 1e-05, 123456789.123456789,
+        59.0 / 9.0, 26.0 / 6.0, 2.0 ** -30, 1.5e300, -7e-200,
+    ]
+    vals += list(rng.uniform(-180, 180, 30))
+    vals += list(rng.standard_normal(10) * 1e15)
+
+    # documented bug reproduction: the bare-decimal form really is lossy
+    con = duckdb.connect()
+    bad = con.sql(
+        "SELECT CAST(-104.94000000000001 AS DOUBLE) AS x"
+    ).df().x[0]
+    assert struct.pack("<d", bad) != struct.pack("<d", -104.94000000000001)
+
+    lits = [double_literal(v) for v in vals]
+    got_duck = con.sql(
+        "SELECT " + ", ".join(f"{l} AS c{i}" for i, l in enumerate(lits))
+    ).df().iloc[0]
+    row = spark.range(1).selectExpr(
+        *[f"{l} AS c{i}" for i, l in enumerate(lits)]
+    ).collect()[0]
+    for i, v in enumerate(vals):
+        assert struct.pack("<d", got_duck[f"c{i}"]) == struct.pack("<d", v), (
+            "duckdb", i, v,
+        )
+        assert struct.pack("<d", row[f"c{i}"]) == struct.pack("<d", v), (
+            "spark", i, v,
+        )
+    for bad_v in (math.nan, math.inf):
+        try:
+            double_literal(bad_v)
+            raise AssertionError("non-finite literal must raise")
+        except ValueError:
+            pass
