@@ -73,6 +73,7 @@ _PRIORITY = [
     # and rotates into the cap next round ---
     "nearest_road",  # NEW-r3: point-to-polyline nearest-segment join
     "vector_outline",  # NEW-r3: zoom-laddered one-pass VW simplification
+    "trajectory",  # NEW-r3: GPS-jump cleaning over geotagged events
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

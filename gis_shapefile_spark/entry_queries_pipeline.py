@@ -503,6 +503,76 @@ def q_sessionize_oracle() -> str:
     """
 
 
+# geotagged trajectories: deterministic per-event position = device base
+# (user hash) + small jitter (event hash, ±0.1°) + occasional teleport
+# (every 19th/23rd event id, up to 12°/10°) — integer µdeg arithmetic,
+# ONE division at the end, text shared verbatim with the oracle
+TRAJ_LNG_SQL = (
+    "(CAST(-125000000 + (user_id * 2654435761) % 44000000"
+    " + (event_id * 40503196) % 200000 - 100000"
+    " + CASE WHEN event_id % 19 = 0"
+    " THEN (event_id * 48271) % 12000000 ELSE 0 END"
+    " AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+)
+TRAJ_LAT_SQL = (
+    "(CAST(24000000 + (user_id * 2246822519) % 20000000"
+    " + (event_id * 69621196) % 200000 - 100000"
+    " + CASE WHEN event_id % 23 = 0"
+    " THEN (event_id * 16807) % 10000000 ELSE 0 END"
+    " AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+)
+TRAJ_V_MAX = 100  # µdeg per second
+
+
+def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-jump cleaning over geotagged events: per device, hop distances
+    ordered by time, implied-speed flags (multiply, never divide), and
+    the jump-cleaned travel distance (operators/trajectory.py)."""
+    from .operators import trajectory as TJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return TJ.trajectory_stats(ev, v_max_udeg_per_s=TRAJ_V_MAX)
+
+
+def q_trajectory_oracle() -> str:
+    from .operators import trajectory as TJ
+
+    dist = TJ.hop_dist_u_sql("xp", "yp", "lng", "lat")
+    return f"""
+        WITH pos AS (
+          SELECT user_id, event_id, ts,
+                 {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat
+          FROM events
+        ),
+        lagged AS (
+          SELECT user_id, lng, lat,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 lag(lng) OVER w AS xp, lag(lat) OVER w AS yp,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS epp
+          FROM pos
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hops AS (
+          SELECT user_id, {dist} AS dist_u,
+                 CASE WHEN {dist} > {TRAJ_V_MAX} * (ep - epp)
+                      THEN 1 ELSE 0 END AS is_jump
+          FROM lagged
+        )
+        SELECT user_id, count(*) AS n_events, count(dist_u) AS n_hops,
+               CAST(coalesce(sum(is_jump), 0) AS BIGINT) AS n_jumps,
+               CAST(coalesce(sum(CASE WHEN is_jump = 0 THEN dist_u
+                                      ELSE 0 END), 0) AS BIGINT)
+                   AS clean_dist_u
+        FROM hops GROUP BY user_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # reverse geocode (J1 exact-PIP hits + J6 nearest-centroid fallback)
 # ---------------------------------------------------------------------------
@@ -1783,6 +1853,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "trajectory": q_trajectory,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "distinct_users": q_distinct_users,
@@ -1830,6 +1901,7 @@ ORACLES = {
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),
+    "trajectory": q_trajectory_oracle(),
     "asof_join": q_asof_join_oracle(),
     "interval_join": q_interval_join_oracle(),
     "distinct_users": q_distinct_users_oracle(),

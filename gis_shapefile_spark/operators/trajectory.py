@@ -1,0 +1,82 @@
+"""Trajectory operators over geotagged event streams.
+
+A web-scale image crawl carries (device, timestamp, lng, lat) with every
+upload; GPS glitches (cold fixes, tower snaps) inject teleport hops that
+poison any location-derived training signal. ``trajectory_stats`` is the
+standard cleaning pass: per device, order by time, measure each hop, and
+flag hops whose implied speed exceeds ``v_max`` — reported alongside the
+jump-cleaned travel distance.
+
+All window SQL (one shuffle on the device key, linear in events), no
+UDFs, and every reported number is integerized so the DuckDB oracle
+matches bit-for-bit:
+
+* hop distance: ``floor(sqrt(dx^2+dy^2) * 1e6)`` (µdeg, planar like the
+  reference's distance kernel — geocoder.cpp:463-468 "not geodesic");
+* time delta: ``unix_timestamp`` (Spark) == ``floor(epoch(ts))``
+  (DuckDB) — the repo's epoch rule;
+* the jump predicate multiplies instead of dividing
+  (``dist_u > v_max_u * dt_s``): pure BIGINT arithmetic, no IEEE
+  division to disagree on, and a zero dt (same-second fixes) flags any
+  nonzero hop instead of dividing by zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE6 = "CAST(1000000 AS DOUBLE)"
+
+
+def hop_dist_u_sql(xp: str, yp: str, x: str, y: str) -> str:
+    """Integerized planar hop distance — ONE ANSI text, both dialects."""
+    dsq = f"(({x}-{xp})*({x}-{xp}) + ({y}-{yp})*({y}-{yp}))"
+    return f"CAST(floor(sqrt({dsq}) * {_SCALE6}) AS BIGINT)"
+
+
+def trajectory_stats(
+    events: DataFrame,
+    v_max_udeg_per_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-device trajectory profile with GPS-jump flagging.
+
+    Output: user_id, n_events, n_hops, n_jumps, clean_dist_u (sum of
+    non-jump hop distances, µdeg). First fix of a device is not a hop.
+    One window shuffle + one partial-agg shuffle.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lagged = (
+        events.withColumn("__ep", F.unix_timestamp(F.col(ts_col)))
+        .withColumn("__xp", F.lag(lng_col).over(w))
+        .withColumn("__yp", F.lag(lat_col).over(w))
+        .withColumn("__epp", F.lag("__ep").over(w))
+    )
+    dist = F.expr(hop_dist_u_sql("__xp", "__yp", lng_col, lat_col))
+    hops = lagged.withColumn("__dist_u", dist).withColumn(
+        "__is_jump",
+        (
+            F.col("__dist_u")
+            > F.lit(int(v_max_udeg_per_s)) * (F.col("__ep") - F.col("__epp"))
+        ).cast("int"),
+    )
+    return hops.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__dist_u").alias("n_hops"),
+        F.coalesce(F.sum("__is_jump"), F.lit(0)).cast("long").alias("n_jumps"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__is_jump") == 0, F.col("__dist_u")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("clean_dist_u"),
+    )

@@ -1,0 +1,80 @@
+"""GPS-jump trajectory stats vs a hand-computed micro-oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from gis_shapefile_spark.operators import trajectory as TJ
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        seconds=s
+    )
+
+
+def test_trajectory_stats_micro(spark):
+    # device 1: three fixes 100 s apart; hop1 = 0.005° (clean at
+    # v_max=100 µdeg/s: 5000 < 100*100), hop2 = 1° (jump: 1e6 > 1e4).
+    # device 2: a single fix (no hops). device 3: two fixes in the SAME
+    # second with a nonzero hop -> dt=0 flags it.
+    rows = [
+        (1, 1, _ts(0), 10.0, 20.0),
+        (1, 2, _ts(100), 10.005, 20.0),
+        (1, 3, _ts(200), 11.005, 20.0),
+        (2, 4, _ts(0), 0.0, 0.0),
+        (3, 5, _ts(50), 5.0, 5.0),
+        (3, 6, _ts(50), 5.001, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "lng", "lat"]
+        )
+    )
+    out = (
+        TJ.trajectory_stats(ev, v_max_udeg_per_s=100)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "n_hops"] == 2
+    assert out.loc[1, "n_jumps"] == 1
+    assert out.loc[1, "clean_dist_u"] == int(np.floor(0.005 * 1e6))
+    assert out.loc[2, "n_events"] == 1
+    assert out.loc[2, "n_hops"] == 0
+    assert out.loc[2, "n_jumps"] == 0
+    assert out.loc[2, "clean_dist_u"] == 0
+    # same-second fixes: dt=0 -> any nonzero hop is a jump (multiply
+    # formulation; a divide would have crashed or NaN'd)
+    assert out.loc[3, "n_hops"] == 1
+    assert out.loc[3, "n_jumps"] == 1
+    assert out.loc[3, "clean_dist_u"] == 0
+
+
+def test_trajectory_ties_break_on_event_id(spark):
+    # two fixes at the identical timestamp: order by event_id decides
+    # which is "first"; the hop is attributed deterministically
+    rows = [
+        (7, 12, _ts(0), 1.0, 1.0),
+        (7, 11, _ts(0), 0.0, 0.0),
+        (7, 13, _ts(1000), 1.0, 1.0),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "lng", "lat"]
+        )
+    )
+    out = TJ.trajectory_stats(ev, v_max_udeg_per_s=10**9).toPandas()
+    # order: 11 -> 12 -> 13. Hop 11->12 has dt=0 and dist sqrt(2)° -> a
+    # jump at ANY v_max; hop 12->13 has dist 0 -> clean. Were the tie
+    # broken the other way (12 -> 11 -> 13), the second hop would be
+    # 11->13 = sqrt(2)° over 1000 s (clean at huge v_max) and
+    # clean_dist_u would be 1414213, not 0 — so these values prove the
+    # (ts, event_id) order.
+    assert out.n_hops[0] == 2
+    assert out.n_jumps[0] == 1
+    assert out.clean_dist_u[0] == 0
