@@ -72,6 +72,7 @@ _PRIORITY = [
     # is a round-3 late addition (marked NEW-r3) that is local-gate green
     # and rotates into the cap next round ---
     "nearest_road",  # NEW-r3: point-to-polyline nearest-segment join
+    "nearest_road_big",  # NEW-r3: its planet-scale shuffled formulation
     "vector_outline",  # NEW-r3: zoom-laddered one-pass VW simplification
     "trajectory",  # NEW-r3: GPS-jump cleaning over geotagged events
     "vector_stats", "token_count", "quality_score", "top1_per_group",

@@ -274,6 +274,26 @@ def q_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_road_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planet-scale-road-table formulation: covering cells enumerated
+    IN the plan (sequence-explode + integer pack), shuffled cell join —
+    no driver-side segment work. Row-identical to nearest_road; both are
+    value-checked against the same oracle SQL."""
+    from .operators import lines as LN
+
+    pts = _points_df(spark, sf_dir)
+    segs = spark.createDataFrame(
+        LN.polyline_segments(FX.make_road_features())
+    )
+    res = C.resolution_for_bbox(
+        2 * NEAREST_ROAD_RADIUS, 2 * NEAREST_ROAD_RADIUS, max_cells=64
+    )
+    return LN.nearest_segment_join_big(
+        pts, segs, radius=NEAREST_ROAD_RADIUS, res=res,
+        point_id_col="point_id",
+    )
+
+
 def q_nearest_road_oracle() -> str:
     from .operators import lines as LN
 
@@ -1484,6 +1504,7 @@ QUERIES = {
     "median_balances": q_median_balances,
     "vectorize_raster": q_vectorize_raster,
     "nearest_road": q_nearest_road,
+    "nearest_road_big": q_nearest_road_big,
     "vector_outline": q_vector_outline,
     "polygon_stats": q_polygon_stats,
     "cell_skew": q_cell_skew,
@@ -1517,6 +1538,7 @@ ORACLES = {
     "median_balances": q_median_balances_oracle(),
     "vectorize_raster": q_vectorize_raster_oracle(),
     "nearest_road": q_nearest_road_oracle(),
+    "nearest_road_big": q_nearest_road_oracle(),
     "vector_outline": q_vector_outline_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),
     "cell_skew": q_cell_skew_oracle(),

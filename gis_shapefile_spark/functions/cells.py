@@ -84,6 +84,15 @@ def axis_index_sql(coord: str, offset: float, extent: float, res: int, dialect: 
     )
 
 
+def pack_xy_sql(xi: str, yi: str, res: int, dialect: str = "spark") -> str:
+    """SQL packing of pre-quantized axis indices (the ``pack_xy`` twin);
+    lets distributed operators enumerate covering cells IN the plan
+    (sequence-explode over xi/yi ranges) instead of on the driver."""
+    sx = _spread_sql(f"({xi})", dialect)
+    sy = _spread_sql(f"({yi})", dialect)
+    return f"({res << RES_SHIFT} | {sx} | {_shl(sy, 1, dialect)})"
+
+
 def cell_sql(lng: str, lat: str, res: int, dialect: str = "spark") -> str:
     """SQL for the packed cell id of (lng, lat) at ``res``.
 
@@ -94,9 +103,7 @@ def cell_sql(lng: str, lat: str, res: int, dialect: str = "spark") -> str:
         raise ValueError(f"res must be in [0, {MAX_RES}]")
     xi = axis_index_sql(lng, 180.0, 360.0, res, dialect)
     yi = axis_index_sql(lat, 90.0, 180.0, res, dialect)
-    sx = _spread_sql(f"({xi})", dialect)
-    sy = _spread_sql(f"({yi})", dialect)
-    return f"({res << RES_SHIFT} | {sx} | {_shl(sy, 1, dialect)})"
+    return pack_xy_sql(xi, yi, res, dialect)
 
 
 def parent_sql(cell: str, res: int, parent_res: int, dialect: str = "spark") -> str:

@@ -138,38 +138,20 @@ def segment_cell_cover(
     )
 
 
-def nearest_segment_join(
-    spark: SparkSession,
-    points: DataFrame,
-    roads_pdf: pd.DataFrame,
+def _score_and_topk(
+    joined: DataFrame,
     radius: float,
-    res: int | None = None,
-    k: int = 1,
-    lng_col: str = "lng",
-    lat_col: str = "lat",
-    point_id_col: str = "point_id",
+    k: int,
+    lng_col: str,
+    lat_col: str,
+    point_id_col: str,
 ) -> DataFrame:
-    """k nearest road segments within ``radius`` of each point.
-
-    Output: point_id, nn_rank (1..k), road_id, seg_id, dsq_u. Points with
-    no segment within ``radius`` produce no rows (the reference's
-    spatial-index miss semantics — callers wanting a fallback union the
-    anti-join side).
-    """
-    segs = polyline_segments(roads_pdf)
-    if res is None:
-        res = C.resolution_for_bbox(2 * radius, 2 * radius, max_cells=64)
-    dim = spark.createDataFrame(segment_cell_cover(segs, radius, res))
-    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
-    scored = (
-        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
-        .drop("cell", "__cell")
-        .withColumn(
-            "dsq_u",
-            F.expr(dsq_u_sql(lng_col, lat_col, "ax", "ay", "bx", "by")),
-        )
-        .where(F.col("dsq_u") <= F.lit(radius2_u(radius)))
-    )
+    """Shared tail of both join variants: integerized dsq + radius filter
+    + windowed top-k (map-side WindowGroupLimit before the one exchange)."""
+    scored = joined.withColumn(
+        "dsq_u",
+        F.expr(dsq_u_sql(lng_col, lat_col, "ax", "ay", "bx", "by")),
+    ).where(F.col("dsq_u") <= F.lit(radius2_u(radius)))
     w = Window.partitionBy(point_id_col).orderBy("dsq_u", "road_id", "seg_id")
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
@@ -182,3 +164,93 @@ def nearest_segment_join(
             "dsq_u",
         )
     )
+
+
+def nearest_segment_join(
+    spark: SparkSession,
+    points: DataFrame,
+    roads_pdf: pd.DataFrame,
+    radius: float,
+    res: int | None = None,
+    k: int = 1,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "point_id",
+) -> DataFrame:
+    """k nearest road segments within ``radius`` of each point —
+    DIMENSION-SCALE road sets (city/state networks, <= millions of
+    covering rows): segments explode on the driver and broadcast.
+
+    Output: point_id, nn_rank (1..k), road_id, seg_id, dsq_u. Points with
+    no segment within ``radius`` produce no rows (the reference's
+    spatial-index miss semantics — callers wanting a fallback union the
+    anti-join side). For planet-scale road tables use
+    ``nearest_segment_join_big`` (identical output, no driver work).
+    """
+    segs = polyline_segments(roads_pdf)
+    if res is None:
+        res = C.resolution_for_bbox(2 * radius, 2 * radius, max_cells=64)
+    dim = spark.createDataFrame(segment_cell_cover(segs, radius, res))
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    joined = pts.join(
+        F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
+    ).drop("cell", "__cell")
+    return _score_and_topk(joined, radius, k, lng_col, lat_col, point_id_col)
+
+
+def segment_cover_df(
+    segments: DataFrame, radius: float, res: int
+) -> DataFrame:
+    """Distributed twin of ``segment_cell_cover``: covering cells of each
+    segment's radius-padded bbox enumerated IN the plan — two
+    sequence-explodes over the clamped axis-index ranges, then the
+    integer pack (``cells.pack_xy_sql``). Pure codegen; cover fan-out is
+    the caller's res policy, exactly like the numpy path (value-parity
+    tested)."""
+    from ..functions.litsql import double_literal
+
+    r = double_literal(radius)
+    x0 = f"(least(ax, bx) - {r})"
+    x1 = f"(greatest(ax, bx) + {r})"
+    y0 = f"(least(ay, by) - {r})"
+    y1 = f"(greatest(ay, by) + {r})"
+    xi0 = C.axis_index_sql(x0, 180.0, 360.0, res, "spark")
+    xi1 = C.axis_index_sql(x1, 180.0, 360.0, res, "spark")
+    yi0 = C.axis_index_sql(y0, 90.0, 180.0, res, "spark")
+    yi1 = C.axis_index_sql(y1, 90.0, 180.0, res, "spark")
+    return (
+        segments.withColumn("__xi", F.explode(F.expr(f"sequence({xi0}, {xi1})")))
+        .withColumn("__yi", F.explode(F.expr(f"sequence({yi0}, {yi1})")))
+        .withColumn("cell", F.expr(C.pack_xy_sql("__xi", "__yi", res, "spark")))
+        .drop("__xi", "__yi")
+    )
+
+
+def nearest_segment_join_big(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    res: int,
+    k: int = 1,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "point_id",
+) -> DataFrame:
+    """k nearest segments within ``radius`` — PLANET-SCALE road tables
+    (OSM: ~10^8 segments), where a driver-side explode/broadcast is the
+    scale-killer. The covering-cell table is built in the plan
+    (``segment_cover_df``) and the point↔cover join shuffles on the cell
+    key (AQE picks broadcast anyway when the road side is small, so this
+    variant strictly dominates except for the res-policy default).
+    Output is row-identical to ``nearest_segment_join`` (both oracle-
+    checked against the same SQL)."""
+    cov = segment_cover_df(
+        segments.select("road_id", "seg_id", "ax", "ay", "bx", "by"),
+        radius,
+        res,
+    )
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    joined = pts.join(cov, pts["__cell"] == cov["cell"], "inner").drop(
+        "cell", "__cell"
+    )
+    return _score_and_topk(joined, radius, k, lng_col, lat_col, point_id_col)

@@ -171,7 +171,7 @@ def test_all_oracles_dtype_and_hash_at_sf0001(spark):
     both engines' pandas conversions with compatible dtype classes and
     equal canonical hashes. This is the exact layer the round-2
     ``running_windows`` red row slipped through (DuckDB HUGEINT ->
-    float64 rendering identically under %.9g), run over all 68 oracle
+    float64 rendering identically under %.9g), run over every oracle
     surfaces at sf0.001 via the same code path as the local gate
     (tools/check_correctness.check_queries, which the driver's gate
     mirrors)."""

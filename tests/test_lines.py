@@ -144,3 +144,62 @@ def test_nearest_segment_join_k3_ranks(spark):
             for _, r in sub.iterrows()
         ]
         assert gotk == keys
+
+
+def test_segment_cover_df_matches_numpy(spark):
+    roads = FX.make_road_features(n_roads=10, n_pts=5)
+    segs = LN.polyline_segments(roads)
+    res, radius = 6, 1.25
+    got = (
+        LN.segment_cover_df(spark.createDataFrame(segs), radius, res)
+        .select("road_id", "seg_id", "cell")
+        .toPandas()
+    )
+    want = LN.segment_cell_cover(segs, radius, res)[
+        ["road_id", "seg_id", "cell"]
+    ]
+    gset = set(map(tuple, got.itertuples(index=False)))
+    wset = set(map(tuple, want.itertuples(index=False)))
+    assert gset == wset
+    assert len(got) == len(want)  # no duplicate cover rows either
+
+
+def test_nearest_segment_join_big_equals_broadcast(spark):
+    import pandas as pd
+
+    from gis_shapefile_spark.functions import cells as C
+
+    roads = FX.make_road_features(n_roads=12, n_pts=6)
+    rng = np.random.default_rng(17)
+    n = 250
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                point_id=np.arange(n),
+                lng=rng.uniform(-125, -66, n),
+                lat=rng.uniform(24, 50, n),
+            )
+        )
+    )
+    radius, k = 2.0, 2
+    res = C.resolution_for_bbox(2 * radius, 2 * radius, max_cells=64)
+    a = (
+        LN.nearest_segment_join(spark, pts, roads, radius=radius, k=k)
+        .toPandas()
+        .sort_values(["point_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        LN.nearest_segment_join_big(
+            pts,
+            spark.createDataFrame(LN.polyline_segments(roads)),
+            radius=radius,
+            res=res,
+            k=k,
+        )
+        .toPandas()
+        .sort_values(["point_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
