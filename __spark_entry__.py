@@ -75,6 +75,7 @@ _PRIORITY = [
     "nearest_road_big",  # NEW-r3: its planet-scale shuffled formulation
     "vector_outline",  # NEW-r3: zoom-laddered one-pass VW simplification
     "trajectory",  # NEW-r3: GPS-jump cleaning over geotagged events
+    "zonal_stats",  # NEW-r3: raster->vector zonal rollup (in-plan demorton)
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

@@ -144,6 +144,62 @@ def q_cell_assign_oracle() -> str:
     """
 
 
+ZONAL_RES = 8
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster → vector rollup): res-8 cell histogram →
+    cell CENTERS demorton'd in-plan (``cells.cell_center_sql``, zero
+    Python) → PIP-assigned to the grid polygons → per-zone cell/point
+    totals. The classic GIS zonal-stats shape: the expensive pass is one
+    partial-agg over the point table; the polygon join touches only the
+    (bounded) occupied-cell table."""
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    cells = pts.groupBy(
+        F.expr(C.cell_sql("lng", "lat", ZONAL_RES, "spark")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # "cell" is reserved inside the PIP join's dimension — carry the id
+    # as cell_id
+    centers = cells.select(
+        F.col("cell").alias("cell_id"),
+        "n",
+        F.expr(C.cell_center_sql("cell", "x", ZONAL_RES, "spark")).alias("lng"),
+        F.expr(C.cell_center_sql("cell", "y", ZONAL_RES, "spark")).alias("lat"),
+    )
+    hits = SJ.point_in_polygon_join(
+        spark, centers, FX.make_grid_features(), res=ZONAL_RES,
+        point_id_col="cell_id",
+    )
+    return hits.groupBy(
+        F.col("record_number").cast("long").alias("record_number")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+    )
+
+
+def q_zonal_stats_oracle() -> str:
+    cell = C.cell_sql("lng", "lat", ZONAL_RES, "duckdb")
+    cx = C.cell_center_sql("cell", "x", ZONAL_RES, "duckdb")
+    cy = C.cell_center_sql("cell", "y", ZONAL_RES, "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        cells AS (
+          SELECT {cell} AS cell, count(*) AS n FROM pts GROUP BY 1
+        ),
+        ctr AS (SELECT cell, n, {cx} AS clng, {cy} AS clat FROM cells)
+        SELECT g.record_number::BIGINT AS record_number,
+               count(*)::BIGINT AS n_cells,
+               CAST(sum(c.n) AS BIGINT) AS n_points
+        FROM ctr c JOIN {_grid_values_sql()}
+          ON c.clng >= g.x0 AND c.clng < g.x1
+         AND c.clat >= g.y0 AND c.clat < g.y1
+        GROUP BY 1
+    """
+
+
 def q_cell_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile histogram: points per res-6 cell (raster side of tiling)."""
     return (
@@ -1505,6 +1561,7 @@ QUERIES = {
     "vectorize_raster": q_vectorize_raster,
     "nearest_road": q_nearest_road,
     "nearest_road_big": q_nearest_road_big,
+    "zonal_stats": q_zonal_stats,
     "vector_outline": q_vector_outline,
     "polygon_stats": q_polygon_stats,
     "cell_skew": q_cell_skew,
@@ -1539,6 +1596,7 @@ ORACLES = {
     "vectorize_raster": q_vectorize_raster_oracle(),
     "nearest_road": q_nearest_road_oracle(),
     "nearest_road_big": q_nearest_road_oracle(),
+    "zonal_stats": q_zonal_stats_oracle(),
     "vector_outline": q_vector_outline_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),
     "cell_skew": q_cell_skew_oracle(),

@@ -106,6 +106,45 @@ def cell_sql(lng: str, lat: str, res: int, dialect: str = "spark") -> str:
     return pack_xy_sql(xi, yi, res, dialect)
 
 
+def _compact_sql(v: str, dialect: str) -> str:
+    """Inverse of ``_spread_sql``: gather the even bits of a 52-bit morton
+    back into a dense 26-bit integer (the SQL twin of ``_compact_np``)."""
+    e = f"({v} & {_M1})"
+    for shift, mask in ((1, _M2), (2, _M4), (4, _M8), (8, _M16),
+                        (16, (1 << 26) - 1)):
+        e = f"(({e} | {_shr(e, shift, dialect)}) & {mask})"
+    return e
+
+
+def cell_axis_sql(cell: str, axis: str, dialect: str = "spark") -> str:
+    """SQL for the x (lng) or y (lat) integer index of a packed cell —
+    the demorton that lets a DISTRIBUTED plan go from cell ids back to
+    grid coordinates (centers, bounds) with zero Python."""
+    morton = f"(({cell}) & {MORTON_MASK})"
+    if axis == "x":
+        return _compact_sql(morton, dialect)
+    if axis == "y":
+        return _compact_sql(_shr(morton, 1, dialect), dialect)
+    raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
+
+
+def cell_center_sql(cell: str, axis: str, res: int, dialect: str = "spark") -> str:
+    """SQL for the center lng (axis='x') / lat (axis='y') of a packed
+    cell KNOWN to be at ``res`` — identical arithmetic text in both
+    dialects, so the IEEE doubles match bit-for-bit (litsql rules)."""
+    idx = cell_axis_sql(cell, axis, dialect)
+    n = 1 << res
+    if axis == "x":
+        off, ext = "-180", "360"
+    else:
+        off, ext = "-90", "180"
+    return (
+        f"(CAST({off} AS DOUBLE) + (CAST({idx} AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) * CAST({ext} AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE))"
+    )
+
+
 def parent_sql(cell: str, res: int, parent_res: int, dialect: str = "spark") -> str:
     """SQL for the ancestor of ``cell`` (known to be at ``res``) at ``parent_res``."""
     if parent_res > res:

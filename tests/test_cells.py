@@ -290,3 +290,54 @@ def test_tile_pyramid_update_repairs_removals(spark):
     }
     # update output is churn-bounded: at most touched x levels + parents
     assert out.count() <= 2 * len(touched) + 2
+
+
+@pytest.mark.parametrize("res", [0, 1, 5, 8, 12, 26])
+def test_demorton_roundtrip_three_way(spark, res):
+    """cell_axis_sql / cell_center_sql invert cell_sql identically in
+    Spark, DuckDB, and the numpy twin (cell_xy / cell_bounds)."""
+    rng = np.random.default_rng(res + 3)
+    lng = np.concatenate([rng.uniform(-180, 180, 40), [-180.0, 179.999999]])
+    lat = np.concatenate([rng.uniform(-90, 90, 40), [-90.0, 89.999999]])
+    cells = C.cell_of_numpy(lng, lat, res)
+    _, xi, yi = C.cell_xy(cells)
+    minx, miny, maxx, maxy = C.cell_bounds(cells)
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+
+    pdf = pd.DataFrame({"i": range(len(cells)), "cell": cells})
+    exprs = {
+        "xi": C.cell_axis_sql("cell", "x", "spark"),
+        "yi": C.cell_axis_sql("cell", "y", "spark"),
+        "cx": C.cell_center_sql("cell", "x", res, "spark"),
+        "cy": C.cell_center_sql("cell", "y", res, "spark"),
+    }
+    sp = (
+        spark.createDataFrame(pdf)
+        .selectExpr("i", *[f"{e} AS {k}" for k, e in exprs.items()])
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dexprs = {
+        "xi": C.cell_axis_sql("cell", "x", "duckdb"),
+        "yi": C.cell_axis_sql("cell", "y", "duckdb"),
+        "cx": C.cell_center_sql("cell", "x", res, "duckdb"),
+        "cy": C.cell_center_sql("cell", "y", res, "duckdb"),
+    }
+    du = con.sql(
+        "SELECT i, " + ", ".join(f"{e} AS {k}" for k, e in dexprs.items())
+        + " FROM t"
+    ).df().set_index("i").sort_index()
+    assert (sp.xi.to_numpy() == xi).all() and (du.xi.to_numpy() == xi).all()
+    assert (sp.yi.to_numpy() == yi).all() and (du.yi.to_numpy() == yi).all()
+    # centers: bit-identical across engines, and equal to the numpy
+    # bounds midpoint (same (idx + 0.5) * ext / n arithmetic)
+    assert (sp.cx.to_numpy() == du.cx.to_numpy()).all()
+    assert (sp.cy.to_numpy() == du.cy.to_numpy()).all()
+    np.testing.assert_allclose(sp.cx.to_numpy(), cx, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(sp.cy.to_numpy(), cy, rtol=0, atol=1e-12)
+    # centers fall inside their own cell
+    assert ((sp.cx.to_numpy() >= minx) & (sp.cx.to_numpy() < maxx)).all()
+    assert ((sp.cy.to_numpy() >= miny) & (sp.cy.to_numpy() < maxy)).all()
