@@ -168,6 +168,13 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(C.cell_center_sql("cell", "x", ZONAL_RES, "spark")).alias("lng"),
         F.expr(C.cell_center_sql("cell", "y", ZONAL_RES, "spark")).alias("lat"),
     )
+    # Materialize before the join: Catalyst collapses projections, so the
+    # join's cell_sql(lng, lat) would INLINE the demorton center
+    # expressions ~32x each into the spread chain — a multiplicative
+    # codegen blowup (measured 54 s of planning/codegen for 1,600 rows).
+    # The occupied-cell table is bounded (<= 4^res), so the cut is cheap —
+    # same pattern as dedup_minhash's candidate materialization.
+    centers = centers.localCheckpoint(eager=True)
     hits = SJ.point_in_polygon_join(
         spark, centers, FX.make_grid_features(), res=ZONAL_RES,
         point_id_col="cell_id",
