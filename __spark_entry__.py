@@ -76,6 +76,7 @@ _PRIORITY = [
     "vector_outline",  # NEW-r3: zoom-laddered one-pass VW simplification
     "trajectory",  # NEW-r3: GPS-jump cleaning over geotagged events
     "zonal_stats",  # NEW-r3: raster->vector zonal rollup (in-plan demorton)
+    "map_match",  # NEW-r3: ping->nearest-road snap + per-(device,road) rollup
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

@@ -573,6 +573,64 @@ def q_trajectory_oracle() -> str:
     """
 
 
+MAP_MATCH_RADIUS = 1.0
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching (lite): every geotagged event ping snaps to its
+    nearest road segment within 1.0°, rolled up per (device, road) —
+    the composition of the trajectory and nearest-road surfaces that a
+    location-attribution pipeline actually runs. carry_cols threads the
+    device key through the top-1 window so no re-join against the event
+    table is needed."""
+    from .operators import lines as LN
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    hits = LN.nearest_segment_join(
+        spark, ev, FX.make_road_features(), radius=MAP_MATCH_RADIUS,
+        point_id_col="event_id", carry_cols=("user_id",),
+    )
+    return hits.groupBy("user_id", "road_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pings"),
+        F.sum("dsq_u").cast("long").alias("sum_dsq_u"),
+    )
+
+
+def q_map_match_oracle() -> str:
+    from .entry_queries import _road_segment_values_sql
+    from .operators import lines as LN
+
+    dsq_u = LN.dsq_u_sql("p.lng", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    r2u = LN.radius2_u(MAP_MATCH_RADIUS)
+    return f"""
+        WITH pos AS (
+          SELECT user_id, event_id,
+                 {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat
+          FROM events
+        ),
+        scored AS (
+          SELECT p.user_id, p.event_id, s.road_id, s.seg_id,
+                 {dsq_u} AS dsq_u
+          FROM pos p CROSS JOIN {_road_segment_values_sql()}
+        ),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY dsq_u, road_id, seg_id) AS rn
+          FROM scored WHERE dsq_u <= {r2u}
+        )
+        SELECT user_id, road_id::BIGINT AS road_id,
+               count(*) AS n_pings,
+               CAST(sum(dsq_u) AS BIGINT) AS sum_dsq_u
+        FROM best WHERE rn = 1
+        GROUP BY user_id, road_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # reverse geocode (J1 exact-PIP hits + J6 nearest-centroid fallback)
 # ---------------------------------------------------------------------------
@@ -1854,6 +1912,7 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "trajectory": q_trajectory,
+    "map_match": q_map_match,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "distinct_users": q_distinct_users,
@@ -1902,6 +1961,7 @@ ORACLES = {
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),
     "trajectory": q_trajectory_oracle(),
+    "map_match": q_map_match_oracle(),
     "asof_join": q_asof_join_oracle(),
     "interval_join": q_interval_join_oracle(),
     "distinct_users": q_distinct_users_oracle(),

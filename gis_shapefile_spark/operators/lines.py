@@ -145,9 +145,12 @@ def _score_and_topk(
     lng_col: str,
     lat_col: str,
     point_id_col: str,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shared tail of both join variants: integerized dsq + radius filter
-    + windowed top-k (map-side WindowGroupLimit before the one exchange)."""
+    + windowed top-k (map-side WindowGroupLimit before the one exchange).
+    ``carry_cols`` pass through from the point side (e.g. a device key
+    for map-matching rollups)."""
     scored = joined.withColumn(
         "dsq_u",
         F.expr(dsq_u_sql(lng_col, lat_col, "ax", "ay", "bx", "by")),
@@ -158,6 +161,7 @@ def _score_and_topk(
         .where(F.col("nn_rank") <= k)
         .select(
             point_id_col,
+            *carry_cols,
             F.col("nn_rank").cast("long").alias("nn_rank"),
             F.col("road_id").cast("long").alias("road_id"),
             F.col("seg_id").cast("long").alias("seg_id"),
@@ -176,6 +180,7 @@ def nearest_segment_join(
     lng_col: str = "lng",
     lat_col: str = "lat",
     point_id_col: str = "point_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """k nearest road segments within ``radius`` of each point —
     DIMENSION-SCALE road sets (city/state networks, <= millions of
@@ -195,7 +200,8 @@ def nearest_segment_join(
     joined = pts.join(
         F.broadcast(dim), pts["__cell"] == dim["cell"], "inner"
     ).drop("cell", "__cell")
-    return _score_and_topk(joined, radius, k, lng_col, lat_col, point_id_col)
+    return _score_and_topk(joined, radius, k, lng_col, lat_col,
+                           point_id_col, carry_cols)
 
 
 def segment_cover_df(
@@ -235,6 +241,7 @@ def nearest_segment_join_big(
     lng_col: str = "lng",
     lat_col: str = "lat",
     point_id_col: str = "point_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """k nearest segments within ``radius`` — PLANET-SCALE road tables
     (OSM: ~10^8 segments), where a driver-side explode/broadcast is the
@@ -253,4 +260,5 @@ def nearest_segment_join_big(
     joined = pts.join(cov, pts["__cell"] == cov["cell"], "inner").drop(
         "cell", "__cell"
     )
-    return _score_and_topk(joined, radius, k, lng_col, lat_col, point_id_col)
+    return _score_and_topk(joined, radius, k, lng_col, lat_col,
+                           point_id_col, carry_cols)

@@ -203,3 +203,23 @@ def test_nearest_segment_join_big_equals_broadcast(spark):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_carry_cols_pass_through(spark):
+    roads = FX.make_road_features(n_roads=6, n_pts=5)
+    pts = pd.DataFrame(
+        dict(
+            point_id=[1, 2, 3],
+            device=["a", "a", "b"],
+            lng=[-100.0, -99.0, -80.0],
+            lat=[35.0, 36.0, 40.0],
+        )
+    )
+    out = LN.nearest_segment_join(
+        spark, spark.createDataFrame(pts), roads, radius=30.0,
+        carry_cols=("device",),
+    ).toPandas().sort_values("point_id")
+    assert list(out.columns) == [
+        "point_id", "device", "nn_rank", "road_id", "seg_id", "dsq_u"
+    ]
+    assert list(out.device) == ["a", "a", "b"]
