@@ -77,6 +77,7 @@ _PRIORITY = [
     "trajectory",  # NEW-r3: GPS-jump cleaning over geotagged events
     "zonal_stats",  # NEW-r3: raster->vector zonal rollup (in-plan demorton)
     "map_match",  # NEW-r3: ping->nearest-road snap + per-(device,road) rollup
+    "road_buffer",  # NEW-r3: line-buffer membership (curation predicate)
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

@@ -337,6 +337,39 @@ def q_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROAD_BUFFER_RADIUS = 0.25
+
+
+def q_road_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-buffer membership (curation predicate: images within 0.25° of
+    any road): per point, in-range segment count + min integerized dsq.
+    No window — partial agg + one exchange."""
+    from .operators import lines as LN
+
+    pts = _points_df(spark, sf_dir)
+    return LN.within_distance_of_segments(
+        spark, pts, FX.make_road_features(), radius=ROAD_BUFFER_RADIUS,
+        point_id_col="point_id",
+    )
+
+
+def q_road_buffer_oracle() -> str:
+    from .operators import lines as LN
+
+    dsq_u = LN.dsq_u_sql("p.lng", "p.lat", "s.ax", "s.ay", "s.bx", "s.by")
+    r2u = LN.radius2_u(ROAD_BUFFER_RADIUS)
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        scored AS (
+          SELECT p.point_id, {dsq_u} AS dsq_u
+          FROM pts p CROSS JOIN {_road_segment_values_sql()}
+        )
+        SELECT point_id, count(*) AS n_segments, min(dsq_u) AS min_dsq_u
+        FROM scored WHERE dsq_u <= {r2u}
+        GROUP BY point_id
+    """
+
+
 def q_nearest_road_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The planet-scale-road-table formulation: covering cells enumerated
     IN the plan (sequence-explode + integer pack), shuffled cell join —
@@ -1568,6 +1601,7 @@ QUERIES = {
     "vectorize_raster": q_vectorize_raster,
     "nearest_road": q_nearest_road,
     "nearest_road_big": q_nearest_road_big,
+    "road_buffer": q_road_buffer,
     "zonal_stats": q_zonal_stats,
     "vector_outline": q_vector_outline,
     "polygon_stats": q_polygon_stats,
@@ -1603,6 +1637,7 @@ ORACLES = {
     "vectorize_raster": q_vectorize_raster_oracle(),
     "nearest_road": q_nearest_road_oracle(),
     "nearest_road_big": q_nearest_road_oracle(),
+    "road_buffer": q_road_buffer_oracle(),
     "zonal_stats": q_zonal_stats_oracle(),
     "vector_outline": q_vector_outline_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),

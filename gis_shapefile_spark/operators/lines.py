@@ -170,6 +170,44 @@ def _score_and_topk(
     )
 
 
+def within_distance_of_segments(
+    spark: SparkSession,
+    points: DataFrame,
+    roads_pdf: pd.DataFrame,
+    radius: float,
+    res: int | None = None,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "point_id",
+) -> DataFrame:
+    """Line-buffer membership: one row per point with ANY segment within
+    ``radius`` (the curation predicate "keep/drop images near a road"),
+    with the count of in-range segments and the min integerized dsq.
+
+    Same broadcast cell-cover candidates as ``nearest_segment_join`` but
+    NO window — a partial-aggregable groupBy, so the plan is scan →
+    broadcast join → filter → partial agg → one exchange.
+    """
+    segs = polyline_segments(roads_pdf)
+    if res is None:
+        res = C.resolution_for_bbox(2 * radius, 2 * radius, max_cells=64)
+    dim = spark.createDataFrame(segment_cell_cover(segs, radius, res))
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    scored = (
+        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        .drop("cell", "__cell")
+        .withColumn(
+            "dsq_u",
+            F.expr(dsq_u_sql(lng_col, lat_col, "ax", "ay", "bx", "by")),
+        )
+        .where(F.col("dsq_u") <= F.lit(radius2_u(radius)))
+    )
+    return scored.groupBy(point_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.min("dsq_u").alias("min_dsq_u"),
+    )
+
+
 def nearest_segment_join(
     spark: SparkSession,
     points: DataFrame,

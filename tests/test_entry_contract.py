@@ -45,7 +45,7 @@ PRIOR_GREEN = {
 # turns the current in-cap set green.
 NEW_R3_LOCAL_GREEN = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
-    "zonal_stats", "map_match",
+    "zonal_stats", "map_match", "road_buffer",
 }
 
 # Never driver-verified before round 3 (round 2's overflow) + the round-2

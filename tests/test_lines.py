@@ -223,3 +223,41 @@ def test_carry_cols_pass_through(spark):
         "point_id", "device", "nn_rank", "road_id", "seg_id", "dsq_u"
     ]
     assert list(out.device) == ["a", "a", "b"]
+
+
+def test_within_distance_of_segments_matches_bruteforce(spark):
+    roads = FX.make_road_features(n_roads=10, n_pts=5)
+    segs = LN.polyline_segments(roads)
+    rng = np.random.default_rng(23)
+    n = 200
+    pts = pd.DataFrame(
+        dict(
+            point_id=np.arange(n),
+            lng=rng.uniform(-125, -66, n),
+            lat=rng.uniform(24, 50, n),
+        )
+    )
+    radius = 1.5
+    got = (
+        LN.within_distance_of_segments(
+            spark, spark.createDataFrame(pts), roads, radius=radius
+        )
+        .toPandas()
+        .set_index("point_id")
+        .sort_index()
+    )
+    r2u = LN.radius2_u(radius)
+    expected = {}
+    for _, p in pts.iterrows():
+        dsqs = [
+            int(np.floor(float(LN.point_segment_dsq_np(
+                p.lng, p.lat, s.ax, s.ay, s.bx, s.by)) * 1e12))
+            for _, s in segs.iterrows()
+        ]
+        hits = [d for d in dsqs if d <= r2u]
+        if hits:
+            expected[int(p.point_id)] = (len(hits), min(hits))
+    assert set(got.index) == set(expected)
+    for pid, (n_seg, mn) in expected.items():
+        assert (int(got.loc[pid].n_segments), int(got.loc[pid].min_dsq_u)) \
+            == (n_seg, mn), pid
