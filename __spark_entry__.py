@@ -29,19 +29,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate enumerates only the FIRST 50 queries()
 # entries. Order is therefore load-bearing: the first 50 slots hold every
 # SURVEY-mapped / LLM-pipeline flagship query plus everything that has
-# never had a driver-green artifact row (round 2's 18-entry overflow).
-# The entries past the cap are relational-surface demos and redundant
-# variants that are already driver-green in CORRECTNESS_r01/r02 (each
-# names the artifact round in COVERAGE.md); their oracles remain runnable
-# via tools/check_correctness.py.
+# never had a driver-green artifact row. Round 4 rotates the 7 round-3
+# late additions (never driver-verified) INTO the cap, displacing 7
+# queries that turned green in CORRECTNESS_r03.json and whose operator
+# families stay driver-exercised by in-cap siblings (ledger in
+# COVERAGE.md). Entries past the cap are driver-green in a named prior
+# round; their oracles remain runnable via tools/check_correctness.py.
 DRIVER_CAP = 50
 
 _PRIORITY = [
     # spatial core (SURVEY J/P/A rows with no other oracle)
     "pip_grid_join", "pip_first_hit", "within_distance", "knn3",
     "bbox_join", "reverse_geocode", "tile_bounds", "tile_pyramid",
-    "pyramid_delta", "pyramid_update", "wm_tiles", "render_tiles",
-    "vectorize_raster", "cell_skew",
+    "render_tiles", "vectorize_raster",
+    # road-network / trajectory family (round-3 late additions, rotated
+    # in-cap for round 4 — never driver-verified before)
+    "nearest_road", "nearest_road_big", "road_buffer", "map_match",
+    "trajectory", "vector_outline", "zonal_stats",
     # geocoder / text functions (F rows); top1_per_group + normalize
     # moved past the cap in r3 (driver-green in r1+r2; W1's argmax and
     # the F1/F2 normalize+tokenize path stay in-cap via geocode_forward)
@@ -61,23 +65,21 @@ _PRIORITY = [
     "crossmodal_align",
     # multimodal flagships + composite pipeline
     "image_tiling", "caption_curation", "corpus_curation",
-    # events / temporal
+    # events / temporal (hourly_gapfill rotated out: r3-green; the
+    # gapfill dtype mirror stays pytest-covered)
     "running_windows", "events_window", "sessionize", "asof_join",
-    "interval_join", "hourly_gapfill",
-    # data mixing / splits
+    "interval_join",
+    # data mixing / splits (epoch_mix + source_cap rotated out:
+    # r3-green; the splits SQL-builder family stays in-cap 4 ways)
     "train_val_split", "stratified_sample", "quality_deciles",
-    "mixture_sample", "epoch_mix", "source_cap", "vocab_topk",
-    # --- position 51+ from here: every entry below either already has a
-    # driver-green row in CORRECTNESS_r01 and/or r02 (see COVERAGE.md) or
-    # is a round-3 late addition (marked NEW-r3) that is local-gate green
-    # and rotates into the cap next round ---
-    "nearest_road",  # NEW-r3: point-to-polyline nearest-segment join
-    "nearest_road_big",  # NEW-r3: its planet-scale shuffled formulation
-    "vector_outline",  # NEW-r3: zoom-laddered one-pass VW simplification
-    "trajectory",  # NEW-r3: GPS-jump cleaning over geotagged events
-    "zonal_stats",  # NEW-r3: raster->vector zonal rollup (in-plan demorton)
-    "map_match",  # NEW-r3: ping->nearest-road snap + per-(device,road) rollup
-    "road_buffer",  # NEW-r3: line-buffer membership (curation predicate)
+    "mixture_sample", "vocab_topk",
+    # --- position 51+ from here: every entry below has a driver-green
+    # row in a named prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
+    # COVERAGE.md) ---
+    # rotated out in round 4 (driver-green in r03):
+    "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
+    "hourly_gapfill", "epoch_mix", "source_cap",
+    # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",
     "cell_assign", "cell_hist", "knn3_ring", "set_ops", "dedup_simhash",

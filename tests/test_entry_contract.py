@@ -38,27 +38,24 @@ PRIOR_GREEN = {
     "token_count", "quality_score", "top1_per_group", "normalize",
 }
 
-# Round-3 LATE additions: new operators added AFTER the cap was already
-# full of never-driver-verified flagships. Local-gate green (rows +
-# schema + value hash vs DuckDB at sf0.01, tools/check_correctness.py);
-# they rotate INTO the cap next round once this round's driver run
-# turns the current in-cap set green.
-NEW_R3_LOCAL_GREEN = {
-    "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
-    "zonal_stats", "map_match", "road_buffer",
+# Rotated out in round 4: all seven have a green row in
+# CORRECTNESS_r03.json (rows + schema + value hash). Their operator
+# families stay driver-exercised in-cap: the pyramid delta/MERGE path via
+# tile_pyramid + merge_upsert, web-mercator via render_tiles, the skew
+# heavy-hitter profile via tile_bounds (+ bench skew evidence), gapfill's
+# temporal family via sessionize/asof_join/interval_join/running_windows,
+# and the splits SQL-builder family via mixture_sample/train_val_split/
+# stratified_sample/quality_deciles/vocab_topk.
+R3_GREEN = {
+    "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
+    "hourly_gapfill", "epoch_mix", "source_cap",
 }
 
-# Never driver-verified before round 3 (round 2's overflow) + the round-2
-# red row: these MUST be driver-checked this round.
+# Never driver-verified before round 4 (the round-3 late additions):
+# these MUST be driver-checked this round.
 MUST_BE_IN_CAP = {
-    "vocab_topk", "stratified_sample", "hourly_gapfill", "quality_deciles",
-    "reverse_geocode", "tile_bounds", "tile_pyramid", "corpus_curation",
-    "train_val_split", "image_tiling", "image_neardup", "caption_curation",
-    "decontaminate", "boilerplate", "mixture_sample", "epoch_mix",
-    "crossmodal_align", "source_cap", "running_windows",
-    # new in round 3: incremental pyramid maintenance, web-mercator
-    # tiles, PNG tile rendering
-    "pyramid_delta", "pyramid_update", "wm_tiles", "render_tiles",
+    "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
+    "zonal_stats", "map_match", "road_buffer",
 }
 
 
@@ -83,10 +80,10 @@ def test_flagships_inside_driver_cap():
 def test_overflow_only_prior_green():
     names = list(E.queries())
     overflow = set(names[E.DRIVER_CAP:])
-    unvouched = overflow - PRIOR_GREEN - NEW_R3_LOCAL_GREEN
+    unvouched = overflow - PRIOR_GREEN - R3_GREEN
     assert not unvouched, (
-        f"queries past the driver cap without a prior driver-green row "
-        f"(or a documented local-green late-addition entry): {unvouched}"
+        f"queries past the driver cap without a prior driver-green row: "
+        f"{unvouched}"
     )
 
 
