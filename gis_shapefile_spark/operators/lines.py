@@ -150,7 +150,19 @@ def _score_and_topk(
     """Shared tail of both join variants: integerized dsq + radius filter
     + windowed top-k (map-side WindowGroupLimit before the one exchange).
     ``carry_cols`` pass through from the point side (e.g. a device key
-    for map-matching rollups)."""
+    for map-matching rollups); names that collide with the output or
+    internal columns are rejected up front (an ambiguous-reference
+    analysis error — or a silently wrong selection — otherwise)."""
+    reserved = {
+        point_id_col, "road_id", "seg_id", "dsq_u", "nn_rank", "cell",
+        "ax", "ay", "bx", "by",
+    }
+    clash = [c for c in carry_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with reserved output/internal "
+            f"columns {sorted(reserved)}; alias them on the point side first"
+        )
     scored = joined.withColumn(
         "dsq_u",
         F.expr(dsq_u_sql(lng_col, lat_col, "ax", "ay", "bx", "by")),

@@ -512,20 +512,31 @@ def _probe_table_pdf(
     import pandas as pd
 
     cent = np.asarray(centroids, np.float64)
+    collected = queries.select(query_id_col, vec_col).collect()
     rows = []
-    for r in queries.select(query_id_col, vec_col).collect():
-        v = np.asarray(r[vec_col], np.float64)
-        dists = []
-        for c in cent:
-            d = 0.0
-            for j in range(len(v)):  # left-to-right, same IEEE order as SQL
-                t = v[j] - c[j]
-                d = d + t * t
-            dists.append(d)
-        order = sorted(range(len(cent)), key=lambda i: (dists[i], i))[:nprobe]
-        qn = int(np.floor(v * v * float(SCALE_DOT)).astype(np.int64).sum())
-        for b in order:
-            rows.append((r[query_id_col], int(b), list(v), qn))
+    if collected:
+        vmat = np.stack([np.asarray(r[vec_col], np.float64) for r in collected])
+        # Vectorized over (Q, C) but accumulated LEFT-TO-RIGHT over the
+        # dimension axis: dmat += t*t is elementwise, so each (q, c) cell
+        # sees the exact scalar sequence d = d + t*t the SQL text
+        # evaluates — numpy's own sum/einsum use pairwise summation and
+        # would drift by ulps from the codegen'd expression (parity
+        # pinned by test_ivf_indexed_matches_expression).
+        dmat = np.zeros((vmat.shape[0], len(cent)), np.float64)
+        for j in range(vmat.shape[1]):
+            t = vmat[:, j, None] - cent[None, :, j]
+            dmat += t * t
+        qns = (
+            np.floor(vmat * vmat * float(SCALE_DOT)).astype(np.int64).sum(axis=1)
+        )
+        # probe ranking ties to the lower bucket index (stable argsort on
+        # the (dist, bucket) key — bucket order IS numpy's tie order here)
+        order_all = np.argsort(dmat, axis=1, kind="stable")[:, :nprobe]
+        for qi, r in enumerate(collected):
+            v = list(vmat[qi])
+            qn = int(qns[qi])
+            for b in order_all[qi]:
+                rows.append((r[query_id_col], int(b), v, qn))
     return pd.DataFrame(rows, columns=[query_id_col, "bucket", "_qvec", "_qn"])
 
 

@@ -81,6 +81,11 @@ def simplify_vw(
     (original ``idx_col`` order). One shuffle (the group window); the
     area term is whole-stage codegen.
     """
+    if tol2_u is None and tol_col is None:
+        raise ValueError(
+            "simplify_vw: provide tol2_u (a single integerized tolerance) "
+            "or tol_col (a per-row tolerance column) — both are None"
+        )
     w = Window.partitionBy(*group_cols).orderBy(idx_col)
     nb = (
         vertices.withColumn("__xp", F.lag(x_col).over(w))

@@ -271,40 +271,54 @@ class ShapefileDataset:
         out = pd.DataFrame(recs)
 
         if self.has_dbf:
-            with open(self.base + ".dbf", "rb") as f:
-                f.seek(self.dbf_header_len + start * self.dbf_record_len)
-                raw = f.read((stop - start) * self.dbf_record_len)
-            mat = np.frombuffer(raw, dtype="S1").reshape(
-                stop - start, self.dbf_record_len
-            )
-            deleted = mat[:, 0] == b"*"
-            out["deleted"] = deleted
-            pos = 1
-            for name, tchar, length, _dec in self.fields:
-                col_bytes = mat[:, pos: pos + length]
-                pos += length
-                svals = (
-                    np.ascontiguousarray(col_bytes)
-                    .view(f"S{length}")
-                    .ravel()
-                    .astype(str)
-                )
-                trimmed = pd.Series(svals).str.strip(" \t")
-                if tchar in ("N", "F"):
-                    # stod with 0.0 fallback (shapefile_reader.cpp:341-351)
-                    vals = pd.to_numeric(trimmed, errors="coerce").fillna(0.0)
-                    vals[deleted] = 0.0
-                    out[name] = vals.astype(float).values
-                elif tchar == "L":
-                    # true iff in {T,t,Y,y} (shapefile_reader.cpp:353-354)
-                    vals = trimmed.isin(["T", "t", "Y", "y"])
-                    vals[deleted] = False
-                    out[name] = vals.values
-                else:  # C, D, unknown -> trimmed string (332-334, 356-358)
-                    trimmed[deleted] = ""
-                    out[name] = trimmed.values
+            attrs = self.decode_dbf_batch(start, stop)
+            for name in attrs.columns:
+                out[name] = attrs[name].values
         else:
             out["deleted"] = False
+        return out
+
+    def decode_dbf_batch(self, start: int, stop: int) -> pd.DataFrame:
+        """Decode DBF records [start, stop) only — no .shp required.
+
+        The attribute half of ``decode_batch`` (same reference coercions:
+        shapefile_reader.cpp:320-358), callable standalone so real-world
+        shapefile sets whose .shp payload is absent or stripped (e.g. the
+        reference's gadm41_USA_* fixtures) still yield their attribute
+        table. Column order: ``deleted`` then the DBF schema order.
+        """
+        with open(self.base + ".dbf", "rb") as f:
+            f.seek(self.dbf_header_len + start * self.dbf_record_len)
+            raw = f.read((stop - start) * self.dbf_record_len)
+        mat = np.frombuffer(raw, dtype="S1").reshape(
+            stop - start, self.dbf_record_len
+        )
+        deleted = mat[:, 0] == b"*"
+        out = pd.DataFrame({"deleted": deleted})
+        pos = 1
+        for name, tchar, length, _dec in self.fields:
+            col_bytes = mat[:, pos: pos + length]
+            pos += length
+            svals = (
+                np.ascontiguousarray(col_bytes)
+                .view(f"S{length}")
+                .ravel()
+                .astype(str)
+            )
+            trimmed = pd.Series(svals).str.strip(" \t")
+            if tchar in ("N", "F"):
+                # stod with 0.0 fallback (shapefile_reader.cpp:341-351)
+                vals = pd.to_numeric(trimmed, errors="coerce").fillna(0.0)
+                vals[deleted] = 0.0
+                out[name] = vals.astype(float).values
+            elif tchar == "L":
+                # true iff in {T,t,Y,y} (shapefile_reader.cpp:353-354)
+                vals = trimmed.isin(["T", "t", "Y", "y"])
+                vals[deleted] = False
+                out[name] = vals.values
+            else:  # C, D, unknown -> trimmed string (332-334, 356-358)
+                trimmed[deleted] = ""
+                out[name] = trimmed.values
         return out
 
     def read_all(self) -> pd.DataFrame:

@@ -87,6 +87,40 @@ def test_overflow_only_prior_green():
     )
 
 
+def test_docs_match_registry():
+    """Doc-drift guard (round-3 verdict item 8): every oracle-query name
+    COVERAGE.md cites must exist in ``queries()``, and the query counts
+    README.md / COVERAGE.md advertise must equal the real registry size."""
+    import re
+
+    qs = set(E.queries())
+    root = Path(__file__).resolve().parents[1]
+    coverage = (root / "COVERAGE.md").read_text()
+    readme = (root / "README.md").read_text()
+
+    cited = set()
+    for group in re.findall(r"oracles? ((?:`[a-z0-9_]+`(?:, ?)?)+)", coverage):
+        cited.update(re.findall(r"`([a-z0-9_]+)`", group))
+    assert cited, "COVERAGE.md oracle-name extraction regressed to empty"
+    ghost = cited - qs
+    assert not ghost, f"COVERAGE.md cites oracle queries not in queries(): {ghost}"
+
+    n = len(qs)
+    for doc, pattern in (
+        ("COVERAGE.md", r"With (\d+) oracle-checked queries"),
+        ("COVERAGE.md", r"All (\d+) remain runnable"),
+        ("README.md", r"queries\(\)` \((\d+)"),
+        ("README.md", r"ALL (\d+) with DuckDB value-hash oracles"),
+    ):
+        text = coverage if doc == "COVERAGE.md" else readme
+        counts = re.findall(pattern, text)
+        assert counts, f"{doc}: count pattern {pattern!r} no longer matches"
+        for c in counts:
+            assert int(c) == n, (
+                f"{doc} claims {c} oracle queries; registry has {n}"
+            )
+
+
 def test_canon_catches_int_float_split():
     """The local mirror must fail on the round-2 running_windows class:
     identical rendered values but int64 on one engine, float64 on the
