@@ -1,0 +1,73 @@
+"""Unit tests for bench.py's admission planner and reserve math.
+
+Pure-Python (no SparkSession): the round-3 verdict's bench defects were
+all planner-level (unenforced reserve, non-atomic ratio pairs, missing
+cost coverage), so the planner invariants get their own fast guard.
+"""
+
+import bench
+
+
+ALL_NAMES = [n for n, _, _, _ in bench.ENTRY_PLAN]
+PRIO = {n: p for n, p, _, _ in bench.ENTRY_PLAN}
+
+
+def test_entry_plan_is_well_formed():
+    assert len(set(ALL_NAMES)) == len(ALL_NAMES), "duplicate entry names"
+    for name, prio, est, reps in bench.ENTRY_PLAN:
+        assert prio in (0, 1, 2), name
+        assert est > 0, name
+        assert reps >= 1, name
+    # every planned entry has a documented best-worst range so the
+    # artifact can annotate within_calibrated_range for it
+    missing = [n for n in ALL_NAMES if n not in bench.DOC_RANGES]
+    assert not missing, f"DOC_RANGES missing: {missing}"
+    for n, (lo, hi) in bench.DOC_RANGES.items():
+        assert 0 < lo < hi, n
+
+
+def test_bundles_reference_planned_entries():
+    for a, b in bench.BUNDLES:
+        assert a in ALL_NAMES and b in ALL_NAMES, (a, b)
+        # the first leg must come earlier so its admission decides both
+        assert ALL_NAMES.index(a) < ALL_NAMES.index(b), (a, b)
+
+
+def test_priority0_always_admitted_even_when_degraded():
+    admitted, reps_of = bench.plan_entries(degradation=50.0, scaling_pairs=2)
+    for n in ALL_NAMES:
+        if PRIO[n] == 0:
+            assert n in admitted, n
+            assert reps_of[n] >= 1
+    # a 50x window must shed the sheddable tail
+    assert any(PRIO[n] == 2 and n not in admitted for n in ALL_NAMES)
+
+
+def test_bundles_admit_all_or_nothing():
+    # sweep degradation so the budget boundary crosses every bundle's
+    # cost at some point; the pair must never split
+    for d in (1.0, 1.3, 1.7, 2.1, 2.6, 3.2, 4.5, 8.0, 20.0, 50.0):
+        admitted, reps_of = bench.plan_entries(degradation=d, scaling_pairs=2)
+        for a, b in bench.BUNDLES:
+            assert (a in admitted) == (b in admitted), (d, a, b)
+            if a in admitted:
+                assert a in reps_of and b in reps_of
+        # reps bookkeeping matches admission exactly
+        assert set(reps_of) == admitted
+
+
+def test_clean_window_admits_everything():
+    admitted, _ = bench.plan_entries(degradation=1.0, scaling_pairs=2)
+    assert admitted == set(ALL_NAMES)
+
+
+def test_scaling_reserve_capped_at_half_budget():
+    assert bench.scaling_reserve(1.0, 0) == 0.0
+    r = bench.scaling_reserve(1.0, 3)
+    assert 0 < r <= 0.5 * bench.BENCH_BUDGET
+    # a degraded window cannot reserve the whole budget away
+    assert bench.scaling_reserve(10.0, 3) <= 0.5 * bench.BENCH_BUDGET
+
+
+def test_prio01_suite_est_monotone_in_degradation():
+    assert bench.prio01_suite_est(2.0) >= bench.prio01_suite_est(1.0) > 0
