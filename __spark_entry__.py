@@ -60,9 +60,11 @@ _PRIORITY = [
     # dedup family
     "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
     "dedup_components", "image_neardup",
-    # embeddings / ANN
-    "ann_topk", "ann_ivf", "embedding_neardup", "embedding_quantize",
-    "crossmodal_align",
+    # embeddings / ANN (ann_ivf_delta added round 4 — the O(batch)
+    # incremental index-maintenance proof, never driver-verified, so it
+    # takes the cap slot vocab_topk vacates)
+    "ann_topk", "ann_ivf", "ann_ivf_delta", "embedding_neardup",
+    "embedding_quantize", "crossmodal_align",
     # multimodal flagships + composite pipeline
     "image_tiling", "caption_curation", "corpus_curation",
     # events / temporal (hourly_gapfill rotated out: r3-green; the
@@ -72,11 +74,15 @@ _PRIORITY = [
     # data mixing / splits (epoch_mix + source_cap rotated out:
     # r3-green; the splits SQL-builder family stays in-cap 4 ways)
     "train_val_split", "stratified_sample", "quality_deciles",
-    "mixture_sample", "vocab_topk",
+    "mixture_sample",
     # --- position 51+ from here: every entry below has a driver-green
     # row in a named prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
     # COVERAGE.md) ---
-    # rotated out in round 4 (driver-green in r03):
+    # rotated out in round 4 (driver-green in r03; vocab_topk vacated
+    # its slot for ann_ivf_delta — the splits SQL-builder family stays
+    # in-cap via train_val_split/stratified_sample/quality_deciles/
+    # mixture_sample):
+    "vocab_topk",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

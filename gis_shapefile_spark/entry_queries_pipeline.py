@@ -1565,6 +1565,53 @@ def q_ann_ivf_oracle() -> str:
     """
 
 
+def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance, proven equivalent to monolithic:
+    the corpus splits into a base (vec_id % 17 != 0, ~94%) indexed with the
+    one-time ``ivf_write_index`` build and a crawl batch (vec_id % 17 == 0)
+    folded in with the O(batch) ``ivf_index_append`` — only the batch is
+    assigned/shuffled/written, touched bucket dirs gain files, nothing
+    scales with the already-indexed corpus (the index twin of
+    ``pyramid_delta``'s churn-bounded maintenance). The probe-pruned
+    indexed query over the merged index must equal the full-corpus IVF, so
+    the oracle is the SAME full-corpus SQL as ``ann_ivf``: base ∪ batch =
+    embeddings and the append is exactly the rows the full build would
+    have placed in those buckets."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 17 != 0)
+    batch = emb.where(F.col("vec_id") % 17 == 0)
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    # per-sf fixture path; base rebuilt with mode=overwrite then the batch
+    # appended once, so re-invocations are deterministic (a production
+    # pipeline guards the append with the plans.checkpoint journal marker
+    # instead of rebuilding — see ivf_index_append's docstring)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(FX.FIXTURE_DIR, f"ivf_delta_index_{tag}")
+    SIM.ivf_write_index(base, cents, path)
+    SIM.ivf_index_append(spark, path, batch, cents)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk_indexed(
+        spark, path, queries, k=5, centroids=cents, nprobe=IVF_NPROBE
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_u",
+    )
+
+
+def q_ann_ivf_delta_oracle() -> str:
+    # the merged index must answer EXACTLY like the monolithic full-corpus
+    # IVF — same centroids, same nprobe, same re-rank — so the oracle is
+    # ann_ivf's full-corpus SQL verbatim
+    return q_ann_ivf_oracle()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1908,6 +1955,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_delta": q_ann_ivf_delta,
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -1957,6 +2005,7 @@ ORACLES = {
     "dedup_components": q_dedup_components_oracle(),
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),
+    "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),

@@ -489,6 +489,48 @@ def ivf_write_index(
     ).parquet(path)
 
 
+def ivf_index_append(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) incremental maintenance of a bucket-partitioned IVF index.
+
+    A crawl batch of new vectors is assigned to its nearest centroids
+    (the same Arrow-batched ``ivf_assign_batch`` pipeline the full build
+    uses) and APPENDED to the partitioned layout: only the touched
+    bucket directories gain files, every existing file is untouched, and
+    nothing in the job is proportional to the corpus already indexed —
+    the index twin of ``tiling.tile_pyramid_delta``'s churn-bounded
+    maintenance. At 10^12 rows the alternative (rebuild via
+    ``ivf_write_index``) re-assigns and re-writes the whole corpus for a
+    1% batch.
+
+    The coarse quantizer (``centroids``) must be the one the index was
+    built with — appending under a different quantizer silently corrupts
+    probe pruning, so callers version centroids WITH the index (the
+    bench writes them next to the parquet). Centroid drift is handled
+    the way IVF systems do: periodic re-train + full rebuild, not
+    per-batch re-centering.
+
+    Replays are the caller's concern: an append is not idempotent, so a
+    resumable pipeline guards it with the journal-marker pattern
+    (``plans.checkpoint``) exactly like any other sink."""
+    assigned = ivf_assign_batch(
+        _with_norm(batch.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn"),
+        centroids,
+        vec_col,
+    )
+    # batch-scale shuffle on bucket (<= C partitions of output files);
+    # append touches only the bucket dirs present in the batch
+    assigned.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(index_path)
+
+
 def _probe_table_pdf(
     queries: DataFrame,
     centroids: np.ndarray,

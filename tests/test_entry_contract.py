@@ -49,13 +49,17 @@ PRIOR_GREEN = {
 R3_GREEN = {
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
+    # vacated its cap slot mid-round-4 for ann_ivf_delta; green in r03
+    # and its splits SQL-builder family stays in-cap 4 ways
+    "vocab_topk",
 }
 
-# Never driver-verified before round 4 (the round-3 late additions):
-# these MUST be driver-checked this round.
+# Never driver-verified before round 4 (the round-3 late additions plus
+# the round-4 incremental-IVF addition): these MUST be driver-checked
+# this round.
 MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
-    "zonal_stats", "map_match", "road_buffer",
+    "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
 }
 
 

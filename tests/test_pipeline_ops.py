@@ -453,6 +453,69 @@ def test_ivf_indexed_matches_inline(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_ivf_index_append_parity_and_churn(spark, tmp_path):
+    """ivf_index_append: (a) the merged base+batch index answers queries
+    exactly like a monolithic full-corpus build (same centroids/nprobe);
+    (b) the append is churn-bounded — every pre-existing index file is
+    byte-untouched and only bucket dirs present in the batch's
+    assignment gain files."""
+    import os
+
+    pdf = _vecs(120)
+    df = spark.createDataFrame(pdf)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=4
+    )
+    base = df.where(F.col("vec_id") % 7 != 0)
+    batch = df.where(F.col("vec_id") % 7 == 0)
+
+    idx = str(tmp_path / "ivf_delta_idx")
+    SIM.ivf_write_index(base, cents, idx)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    before = snapshot(idx)
+    SIM.ivf_index_append(spark, idx, batch, cents)
+    after = snapshot(idx)
+
+    # churn-bounded: no pre-existing file rewritten or removed
+    assert set(before) <= set(after)
+    assert all(after[p] == sz for p, sz in before.items())
+    # new files land only in buckets the batch actually touches
+    batch_buckets = {
+        f"bucket={r.bucket}"
+        for r in SIM.ivf_assign_batch(batch, cents).select("bucket").collect()
+    }
+    new_files = set(after) - set(before)
+    assert new_files  # the batch is non-empty, so something was appended
+    assert {p.split(os.sep)[0] for p in new_files} <= batch_buckets
+
+    # parity: merged index == monolithic full-corpus index
+    mono = str(tmp_path / "ivf_mono_idx")
+    SIM.ivf_write_index(df, cents, mono)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+    )
+    merged = SIM.ivf_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, nprobe=2
+    )
+    monolithic = SIM.ivf_topk_indexed(
+        spark, mono, queries, k=5, centroids=cents, nprobe=2
+    )
+    assert key(merged.collect()) == key(monolithic.collect())
+
+
 def test_ivf_assign_batch_matches_expression(spark):
     """Arrow-batch assignment (index build) agrees with the dual-dialect
     expression assignment on well-separated vectors."""
