@@ -157,6 +157,87 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_ivf_sink_matches_monolithic(spark, tmp_path):
+    """Continuous ANN-index maintenance: three stream runs over a growing
+    embedding feed — after each, probe-pruned top-k over the streaming
+    index equals the inline IVF over every vector seen so far; a
+    no-new-files rerun commits no new batch directory; and a replayed
+    batch id short-circuits instead of double-inserting (atomic-rename
+    exactly-once)."""
+    import os
+
+    import pandas as pd
+
+    from gis_shapefile_spark.operators import similarity as SIM
+    from gis_shapefile_spark.streaming import index_stream as IS
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "ivf_stream_idx")
+    dim = 16
+    cents = SIM.make_centroids(dim, n_centroids=4)
+
+    def mkvecs(lo, n):
+        rng = np.random.RandomState(7 + lo)
+        v = rng.standard_normal((n, dim)).astype(np.float32)
+        return pd.DataFrame(
+            {"vec_id": range(lo, lo + n), "embedding": [r.tolist() for r in v]}
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<double>"
+        ).parquet(feed)
+        IS.streaming_ivf_sink(spark, stream, root, cents, ckpt)
+
+    def batch_dirs():
+        return sorted(d for d in os.listdir(root) if d.startswith("batch="))
+
+    seen = 0
+    frames = []
+    for n in (80, 30, 25):
+        pdf = mkvecs(seen, n)
+        frames.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+        seen += n
+        run()
+        all_pdf = pd.concat(frames, ignore_index=True)
+        corpus = spark.createDataFrame(all_pdf)
+        queries = corpus.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        merged = SIM.ivf_topk_indexed(
+            spark, root, queries, k=5, centroids=cents, nprobe=2
+        )
+        inline = SIM.ivf_topk(corpus, queries, k=5, centroids=cents, nprobe=2)
+        key = lambda rows: sorted(
+            (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+        )
+        assert key(merged.collect()) == key(inline.collect()), (
+            f"diverged after {seen} vectors"
+        )
+        # the probe set's bucket filter must prune the two-level
+        # batch=/bucket= layout at the scan
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+    dirs = batch_dirs()
+    run()  # no new files -> no new batch directory
+    assert batch_dirs() == dirs
+
+    # checkpoint-recovery replay: a fresh stream checkpoint over the same
+    # feed re-delivers already-seen files under already-committed batch
+    # ids — the existing batch directories must short-circuit, so nothing
+    # is double-inserted
+    n_before = spark.read.parquet(root).count()
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(feed)
+    IS.streaming_ivf_sink(spark, stream, root, cents, ckpt2)
+    assert spark.read.parquet(root).count() == n_before
+
+
 def test_streaming_pyramid_sink_matches_batch_pyramid(spark, tmp_path):
     """Continuous pyramid maintenance: three stream runs over a growing
     point feed — after each, the committed pyramid stage equals a
