@@ -531,6 +531,164 @@ def ivf_index_append(
     ).parquet(index_path)
 
 
+def _compact_move(src: str, dst: str) -> None:
+    """One journaled file move (seam for crash-injection tests)."""
+    import os
+
+    os.replace(src, dst)
+
+
+def recover_ivf_compact(index_root: str) -> bool:
+    """Complete a crashed ``ivf_compact_index`` commit by re-applying its
+    intent journal. Idempotent: moves whose staged file is gone were
+    already applied; deletes of already-removed files are skipped.
+    Invoked automatically at the start of the next compaction. Returns
+    True when a journal was found and cleared."""
+    import json
+    import os
+    import shutil
+
+    journal = os.path.join(index_root, "._compact_commit.json")
+    if not os.path.exists(journal):
+        return False
+    with open(journal) as fh:
+        plan = json.load(fh)
+    for src, dst in plan["moves"]:
+        if os.path.exists(src):
+            _compact_move(src, dst)
+    for src in plan["deletes"]:
+        if os.path.exists(src):
+            os.remove(src)
+    shutil.rmtree(plan["staging"], ignore_errors=True)
+    os.remove(journal)
+    return True
+
+
+def ivf_compact_index(
+    spark,
+    index_root: str,
+    max_files_per_bucket: int = 4,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact fragmented IVF index buckets (the small-files maintenance
+    pass for the append paths).
+
+    ``ivf_index_append`` and ``streaming_ivf_sink`` each land a few files
+    per touched bucket per batch; after thousands of crawl batches a hot
+    bucket is thousands of small files and every probe pays their open
+    cost. This pass rewrites only buckets holding more than
+    ``max_files_per_bucket`` data files into ``ceil(bytes/target_bytes)``
+    scan-sized files — bucket-bounded work, untouched buckets are never
+    read (the compaction twin of ``CheckpointTable.compact``).
+
+    Works on both index layouts: the flat build (``bucket=<b>/``) and
+    the streaming two-level layout (``batch=<id>/bucket=<b>/``), where
+    compacted output lands under a NEGATIVE synthetic batch id (stream
+    batch ids are non-negative, so the ``batch`` partition column stays
+    an integer and future appends can never collide) and the drained
+    batch directories are kept as empty replay markers — the streaming
+    sink's exactly-once check is ``batch=<id>`` existence, which must
+    survive compaction.
+
+    Commit protocol (crash-safe, same shape as the partitioned MERGE):
+    compacted files are staged DURABLY first, then an intent journal
+    records every (staged -> destination) move and every source-file
+    delete, then the plan is applied. A crash mid-apply is completed by
+    ``recover_ivf_compact`` — re-invoked automatically at the start of
+    the next compaction — so no committed row is ever lost and transient
+    duplicates exist only inside a crashed window that recovery clears.
+    Single-writer/quiescent, like every maintenance op in this layer.
+
+    Returns ``{bucket: {"files_before": n, "files_after": m}}`` for the
+    buckets rewritten."""
+    import json
+    import math
+    import os
+    import uuid
+
+    recover_ivf_compact(index_root)
+
+    by_bucket: dict[int, list[str]] = {}
+    for dirpath, _dirs, files in os.walk(index_root):
+        base = os.path.basename(dirpath)
+        if not base.startswith("bucket="):
+            continue
+        b = int(base.split("=", 1)[1])
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                by_bucket.setdefault(b, []).append(os.path.join(dirpath, f))
+    todo = {
+        b: sorted(fs)
+        for b, fs in by_bucket.items()
+        if len(fs) > max_files_per_bucket
+    }
+    if not todo:
+        return {}
+
+    layered = any(
+        d.startswith("batch=") for d in os.listdir(index_root)
+        if os.path.isdir(os.path.join(index_root, d))
+    )
+    if layered:
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(index_root)
+            if d.startswith("batch=")
+        ]
+        compact_batch = min(0, min(existing, default=0)) - 1
+        dest_root = os.path.join(index_root, f"batch={compact_batch}")
+    else:
+        dest_root = index_root
+
+    staging = os.path.join(index_root, f".compact-staging-{uuid.uuid4().hex}")
+    moves: list[tuple[str, str]] = []
+    deletes: list[str] = []
+    stats = {}
+    for b, fs in todo.items():
+        total = sum(os.path.getsize(f) for f in fs)
+        n_out = max(1, math.ceil(total / target_bytes))
+        stage_dir = os.path.join(staging, f"bucket={b}")
+        # data files carry only the data columns (bucket/batch are
+        # directory-encoded), so a direct multi-file read rewrites them
+        # without re-deriving anything
+        spark.read.parquet(*fs).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        dest_dir = os.path.join(dest_root, f"bucket={b}")
+        os.makedirs(dest_dir, exist_ok=True)
+        staged = sorted(
+            f for f in os.listdir(stage_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for f in staged:
+            moves.append(
+                (
+                    os.path.join(stage_dir, f),
+                    os.path.join(dest_dir, f"compact-{uuid.uuid4().hex[:8]}-{f}"),
+                )
+            )
+        deletes.extend(fs)
+        stats[b] = {"files_before": len(fs), "files_after": len(staged)}
+
+    journal = os.path.join(index_root, "._compact_commit.json")
+    tmp = journal + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"staging": staging, "moves": moves, "deletes": deletes}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, journal)
+
+    for src, dst in moves:
+        _compact_move(src, dst)
+    for src in deletes:
+        os.remove(src)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(journal)
+    return stats
+
+
 def _probe_table_pdf(
     queries: DataFrame,
     centroids: np.ndarray,

@@ -516,6 +516,115 @@ def test_ivf_index_append_parity_and_churn(spark, tmp_path):
     assert key(merged.collect()) == key(monolithic.collect())
 
 
+def test_ivf_compact_index_parity_and_crash_recovery(spark, tmp_path, monkeypatch):
+    """ivf_compact_index: fragmented buckets shrink to few files while
+    row counts, query answers, and the streaming replay markers
+    (batch=<id> dirs) survive; a crash mid-commit is completed by
+    recover_ivf_compact with no row lost or duplicated."""
+    import os
+
+    pdf = _vecs(120)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=4
+    )
+    root = str(tmp_path / "ivf_frag_idx")
+
+    def land_batch(i, lo, n):
+        chunk = spark.createDataFrame(pdf.iloc[lo : lo + n])
+        assigned = SIM.ivf_assign_batch(
+            SIM._with_norm(chunk, "embedding", "_cn"), cents
+        )
+        assigned.write.partitionBy("bucket").parquet(
+            os.path.join(root, f"batch={i}")
+        )
+
+    # 6 small batches -> every bucket holds many tiny files
+    for i in range(6):
+        land_batch(i, i * 20, 20)
+
+    def files_per_bucket():
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            base = os.path.basename(dirpath)
+            if base.startswith("bucket="):
+                b = int(base.split("=")[1])
+                out[b] = out.get(b, 0) + sum(
+                    1 for f in files
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+        return out
+
+    queries = spark.createDataFrame(pdf).where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+    )
+    before_rows = spark.read.parquet(root).count()
+    before_topk = key(
+        SIM.ivf_topk_indexed(
+            spark, root, queries, k=5, centroids=cents, nprobe=2
+        ).collect()
+    )
+    frag = files_per_bucket()
+    assert max(frag.values()) > 2
+
+    stats = SIM.ivf_compact_index(spark, root, max_files_per_bucket=2)
+    assert stats  # something was fragmented enough to rewrite
+    after = files_per_bucket()
+    for b, st in stats.items():
+        assert st["files_after"] < st["files_before"]
+        assert after[b] <= 2 or after[b] == st["files_after"]
+    # replay markers survive as (possibly drained) directories
+    for i in range(6):
+        assert os.path.isdir(os.path.join(root, f"batch={i}"))
+    assert spark.read.parquet(root).count() == before_rows
+    assert key(
+        SIM.ivf_topk_indexed(
+            spark, root, queries, k=5, centroids=cents, nprobe=2
+        ).collect()
+    ) == before_topk
+
+    # -- crash mid-commit: first move lands, second raises ------------------
+    for i in range(6, 12):
+        land_batch(i, (i - 6) * 20, 20)
+    real_move = SIM._compact_move
+    calls = {"n": 0}
+
+    def crashing_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash mid-compaction-commit")
+        real_move(src, dst)
+
+    monkeypatch.setattr(SIM, "_compact_move", crashing_move)
+    try:
+        SIM.ivf_compact_index(spark, root, max_files_per_bucket=2)
+        raise AssertionError("injected crash did not fire")
+    except OSError:
+        pass
+    monkeypatch.setattr(SIM, "_compact_move", real_move)
+    assert os.path.exists(os.path.join(root, "._compact_commit.json"))
+    assert SIM.recover_ivf_compact(root)
+    assert not os.path.exists(os.path.join(root, "._compact_commit.json"))
+    assert spark.read.parquet(root).count() == before_rows * 2
+    assert key(
+        SIM.ivf_topk_indexed(
+            spark, root, queries, k=5, centroids=cents, nprobe=2
+        ).collect()
+    ) == key(
+        SIM.ivf_topk(
+            spark.createDataFrame(
+                pd.concat([pdf, pdf], ignore_index=True)
+            ).select("vec_id", "embedding"),
+            queries,
+            k=5,
+            centroids=cents,
+            nprobe=2,
+        ).collect()
+    )
+
+
 def test_ivf_assign_batch_matches_expression(spark):
     """Arrow-batch assignment (index build) agrees with the dual-dialect
     expression assignment on well-separated vectors."""
