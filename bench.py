@@ -17,9 +17,11 @@ sandbox): the same PIP join runs at local[N] and local[4N] (default
 N=2 — see BENCH/BASELINE.md "Host characterization" for why the shared
 memory bus makes 2->8 the executor-scaling proxy) on identical input
 (generated in-plan, sized by an in-window calibration so the 4N leg
-targets ~6 s — the per-job floor stays ~12% and the single host's
-parquet/page-cache bus — which a real cluster scales per-executor —
-stays out of the ratio); efficiency per pair = (T_N / T_4N) / 4,
+targets ~6 s, stretched adaptively to 10x the MEASURED per-job floor
+capped at 9 s when a degraded window inflates the floor itself — the
+floor stays ~10% of the leg and the single host's parquet/page-cache
+bus — which a real cluster scales per-executor — stays out of the
+ratio); efficiency per pair = (T_N / T_4N) / 4,
 headline = median of pairs, measured per-job floor recorded per pair.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -258,12 +260,22 @@ ENTRY_PLAN = [
     # unchanged — both legs scale with the query batch)
     ("ann1m_brute", 1, 10.0, 1),
     ("ann1m_ivf", 1, 4.0, 2),
+    # skew pair promoted to priority 1 in round 4 (it IS verdict-item
+    # evidence; a priority-2 slot lost it to the toy tail in the first
+    # validation run). It runs AFTER the ann1m bundle: round-4 window
+    # measurements show a realized-2.4x window fits the core suite plus
+    # exactly ONE evidence bundle, and the ann1m pair — the verdict's
+    # top ask, missed two rounds running — wins that conflict; clean
+    # windows fit both.
+    ("pip_skew_aqe", 1, 4.5, 2),
+    ("pip_skew_noaqe", 1, 9.5, 2),
     ("ann_topk", 2, 1.3, 2),
-    ("ann_ivf", 2, 1.8, 2),
-    ("dedup_components_star", 2, 3.0, 2),
-    ("pip_skew_aqe", 2, 4.5, 2),
-    ("pip_skew_noaqe", 2, 9.5, 1),
-    ("image_neardup", 2, 8.0, 2),
+    # reps trimmed 2 -> 1 on the three priciest priority-2 demos
+    # (round-4 validation: a D=1.28 window fit 14/18 — the ~15 s these
+    # extra reps cost is exactly the margin the evidence entries need)
+    ("ann_ivf", 2, 1.8, 1),
+    ("dedup_components_star", 2, 3.0, 1),
+    ("image_neardup", 2, 8.0, 1),
     ("pricing_summary", 2, 0.3, 3),
     ("pyramid_full", 2, 2.0, 2),
     ("pyramid_delta", 2, 0.5, 2),
@@ -399,8 +411,17 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
         # budget (measured this round: 420.3 s elapsed, pyramid_delta
         # admitted at 414.7 against est ~3 s, realized 5.6 s)
         r = overhead_ratio()
-        return (time.time() - _T0 + (entry_est(name) + extra_est) * r
-                <= BENCH_BUDGET - reserve - 8.0)
+        spent = time.time() - _T0
+        est = (entry_est(name) + extra_est) * r
+        # second clause: late-window overrun guard (round-4 validation:
+        # pyramid_full admitted at 400.9 s against a realized-overhead-
+        # scaled ~9 s estimate, realized 18 s in a degraded patch ->
+        # elapsed 425.7 vs the 420 budget). An entry only admits if even
+        # a 50% overrun of its scaled estimate stays inside the budget —
+        # in the early suite this never binds; in the last ~30 s it
+        # blocks exactly the admits whose overrun has nowhere to go.
+        return (spent + est <= BENCH_BUDGET - reserve - 8.0
+                and spent + est * 1.5 <= BENCH_BUDGET - 8.0)
 
     def timed(name, df_builder, force=False):
         """Warm once then report min of planned reps — this sandbox has
@@ -570,17 +591,6 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
             admitted.discard("ann1m_ivf")
             skipped.append("ann1m_ivf")
 
-    # --- priority 2: sheddable tail ---
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    q = emb.where(F.col("vec_id") < 32).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    timed("ann_topk", lambda: SIM.cosine_topk(emb, q, k=10))
-
-    cents = SIM.make_centroids(64, 8)
-    timed("ann_ivf", lambda: SIM.ivf_topk(emb, q, k=10, centroids=cents,
-                                          nprobe=2))
-
     # skew-handling evidence (round-3 verdict item 6): the hot-cell PIP
     # join as a SHUFFLE-hash join (salt_buckets=1 disables the broadcast
     # without replicating the dimension) over all 6M points — the
@@ -601,6 +611,15 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
     # advisory 8 MB. Timed with the split ON vs OFF, identical plan
     # otherwise; both entries count the identical result, so counts[]
     # doubles as a correctness invariant.
+    # INTERLEAVED legs (round-4 validation defect: sequential warm_on +
+    # 2x on + warm_off + 1x off recorded an INVERTED 13.9-vs-10.3
+    # contrast when the window drifted between the legs — the on-leg's
+    # runs all landed in the degraded half). One shared warm (the plans
+    # differ only in AQE's runtime split decision, so one warm heats
+    # codegen + workers for both), then rounds of both legs
+    # back-to-back with the leg ORDER alternating per round — the same
+    # symmetric min-per-leg estimator the scaling pairs use. Same total
+    # join count as the sequential form (1 warm + 2 rounds x 2 legs).
     if "pip_skew_aqe" in admitted and not fits(
         "pip_skew_aqe", extra_est=entry_est("pip_skew_noaqe")
     ):
@@ -624,6 +643,17 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
                 "spark.sql.shuffle.partitions",
             )
         }
+
+        def _skew_leg(on: bool) -> float:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled",
+                "true" if on else "false",
+            )
+            t0 = time.time()
+            n = skew_join().count()
+            counts["pip_skew_aqe" if on else "pip_skew_noaqe"] = n
+            return time.time() - t0
+
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "128")
             spark.conf.set(
@@ -634,20 +664,45 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
             )
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-            timed("pip_skew_aqe", skew_join)
-            if "pip_skew_aqe" in timings:
-                # first leg's cost is sunk; the contrast IS the evidence
-                spark.conf.set(
-                    "spark.sql.adaptive.skewJoin.enabled", "false"
-                )
-                timed("pip_skew_noaqe", skew_join, force=True)
-            else:  # keep the bundle atomic
-                shed(["pip_skew_noaqe"],
-                     "skew pair atomic: first leg skipped")
+            _dbg("warm pip_skew pair (shared)")
+            skew_join().count()  # shared warm
+            t_on, t_off = float("inf"), float("inf")
+            for rnd in range(2):
+                # round 0 always completes (both legs need a time for a
+                # ratio to exist at all); round 1 checks the clock per
+                # leg so a mid-bundle window collapse costs one round,
+                # not the budget
+                if rnd > 0 and time.time() - _T0 > BENCH_BUDGET - 8.0:
+                    _dbg("skew round 1 skipped (budget)")
+                    break
+                legs = (True, False) if rnd % 2 == 0 else (False, True)
+                for on in legs:
+                    t = _skew_leg(on)
+                    if on:
+                        t_on = min(t_on, t)
+                    else:
+                        t_off = min(t_off, t)
+            timings["pip_skew_aqe"] = round(t_on, 3)
+            timings["pip_skew_noaqe"] = round(t_off, 3)
+            est_spent["v"] += (entry_est("pip_skew_aqe")
+                               + entry_est("pip_skew_noaqe"))
+            _dbg(f"done pip_skew pair: on={t_on:.2f}s off={t_off:.2f}s "
+                 "(interleaved min-of-2 per leg)")
         finally:
             for k, v in saved.items():
                 if v is not None:
                     spark.conf.set(k, v)
+
+    # --- priority 2: sheddable tail ---
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_topk", lambda: SIM.cosine_topk(emb, q, k=10))
+
+    cents = SIM.make_centroids(64, 8)
+    timed("ann_ivf", lambda: SIM.ivf_topk(emb, q, k=10, centroids=cents,
+                                          nprobe=2))
 
     # image near-dup leg: decode + phash recompute + pigeonhole hamming
     # block join over 20k images + 2k planted perturbed copies
@@ -805,7 +860,10 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
     # drags the RAW ratio to 0.75-0.78 (floor-adjusted 0.85-0.98) even
     # when the work scales ~4x; at 6 s the floor is ~12% and the raw
     # ratio reads the engine again. 7 s (round 3) made pairs ~170 s and
-    # blew the reserve.
+    # blew the reserve. 6 is the BASE: the calibration leg measures the
+    # floor in-window and stretches the target to 10*floor (capped 9 s)
+    # when a degraded window inflates the floor itself — see the
+    # calibration branch below.
     T4N_TARGET = float(os.environ.get("SPARK_GRAFT_SCALE_T4N", "6"))
     cal = {"n_big": None}
 
@@ -871,16 +929,27 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
         floor = time.time() - t0
         if cal["n_big"] is None:
             # calibration leg (4N level — pair 0 starts there): time
-            # the suite-sized job, size n_big for the target
+            # the suite-sized job, size n_big for the target.
+            # Floor-ADAPTIVE target (round-4 validation: a D=1.28 window
+            # inflated the per-job floor itself to 0.87-1.2 s — 15-21%
+            # of a 6 s 4N leg — compressing raw pairs to 0.709-0.771
+            # while the floor-subtracted ratios read 0.82-0.89; the
+            # floor is measured right here, so size the leg to keep it
+            # ~10%: target = clamp(T4N_TARGET, 10*floor, 9). Clean
+            # windows (floor 0.3-0.6 s) are unchanged; the 9 s cap keeps
+            # a pair ~100 s so the reserve still fits >= 2 pairs.
+            eff_t4n = max(T4N_TARGET, min(9.0, 10.0 * floor))
+            cal["t4n_target"] = eff_t4n
             t0 = time.time()
             run(synth_points(s, N_POINTS))
             t_cal = time.time() - t0
             rate = max(t_cal - floor, 0.2) / N_POINTS
             cal["n_big"] = int(
-                max(N_POINTS, min(T4N_TARGET / rate, 32 * N_POINTS))
+                max(N_POINTS, min(eff_t4n / rate, 32 * N_POINTS))
             )
             _dbg(
-                f"scaling calibration: {t_cal:.1f}s @{N_POINTS} -> "
+                f"scaling calibration: {t_cal:.1f}s @{N_POINTS} "
+                f"floor={floor:.2f}s -> t4n_target={eff_t4n:.1f}s "
                 f"n_big={cal['n_big']}"
             )
         # min of 2 reps — the suite's own steady-state estimator. One
@@ -995,7 +1064,7 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
         "reserve_sec": round(deadline - pass_t0, 1),
         "pass_elapsed_sec": round(time.time() - pass_t0, 1),
         "n_points": cal["n_big"],
-        "t4n_target_sec": T4N_TARGET,
+        "t4n_target_sec": cal.get("t4n_target", T4N_TARGET),
         "floor_note": (
             "floor_*_sec = measured per-job fixed cost (LIMIT 512, "
             "identical plan); headline efficiency is the RAW ratio — "
