@@ -68,21 +68,27 @@ _PRIORITY = [
     # multimodal flagships + composite pipeline
     "image_tiling", "caption_curation", "corpus_curation",
     # events / temporal (hourly_gapfill rotated out: r3-green; the
-    # gapfill dtype mirror stays pytest-covered)
-    "running_windows", "events_window", "sessionize", "asof_join",
-    "interval_join",
+    # gapfill dtype mirror stays pytest-covered; asof_join +
+    # interval_join rotated out mid-round-4 for pii_scrub + seq_pack —
+    # both are TRIPLE-green, r1+r2+r3, and the temporal family stays
+    # in-cap via running_windows/events_window/sessionize)
+    "running_windows", "events_window", "sessionize",
     # data mixing / splits (epoch_mix + source_cap rotated out:
-    # r3-green; the splits SQL-builder family stays in-cap 4 ways)
+    # r3-green; the splits SQL-builder family stays in-cap 4 ways —
+    # seq_pack, new in round 4, is the concat-and-chunk packing member)
     "train_val_split", "stratified_sample", "quality_deciles",
-    "mixture_sample",
+    "mixture_sample", "seq_pack",
+    # curation (round-4 additions, never driver-verified)
+    "pii_scrub",
     # --- position 51+ from here: every entry below has a driver-green
     # row in a named prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
     # COVERAGE.md) ---
     # rotated out in round 4 (driver-green in r03; vocab_topk vacated
     # its slot for ann_ivf_delta — the splits SQL-builder family stays
     # in-cap via train_val_split/stratified_sample/quality_deciles/
-    # mixture_sample):
-    "vocab_topk",
+    # mixture_sample; asof_join + interval_join vacated theirs for
+    # pii_scrub + seq_pack, r1+r2+r3 green):
+    "vocab_topk", "asof_join", "interval_join",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

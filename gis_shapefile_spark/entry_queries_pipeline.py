@@ -1612,6 +1612,95 @@ def q_ann_ivf_delta_oracle() -> str:
     return q_ann_ivf_oracle()
 
 
+def _pii_augmented_sql(dialect: str) -> str:
+    """Deterministic PII-bearing corpus: 3 of every 4 documents gain a
+    synthetic email / phone / SSN+IP suffix derived from doc_id — the
+    same SQL text in both engines, so the scrubber is exercised on known
+    ground truth without external data."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    did = f"CAST(doc_id AS {cast})"
+    d4 = f"lpad(CAST(doc_id % 10000 AS {cast}), 4, '0')"
+    d3 = f"CAST(doc_id % 256 AS {cast})"
+    return (
+        "CASE WHEN doc_id % 4 = 0 THEN "
+        f"concat(text, ' contact u', {did}, '@mail.example.com now') "
+        "WHEN doc_id % 4 = 1 THEN "
+        f"concat(text, ' call +1 (555) 010-', {d4}, ' today') "
+        "WHEN doc_id % 4 = 2 THEN "
+        f"concat(text, ' ssn 123-45-', {d4}, ' from 10.1.', {d3}, '.7') "
+        "ELSE text END"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents corpus (emails, SSNs, IPv4s,
+    phones, long digit runs -> typed tags): the curation stage every
+    pre-training pipeline runs before anything trains on crawled text.
+    Plan: one projection of nested codegen'd regexp_replace kernels on
+    the scan — zero Python, zero shuffle, trivially 10^12-row safe. The
+    corpus is augmented in-plan with deterministic doc_id-derived PII
+    (no real PII exists in the synthetic table) and the full scrubbed
+    string is value-hash-checked against DuckDB, plus a `changed` flag
+    per row."""
+    aug = F.expr(_pii_augmented_sql("spark"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", aug.alias("_raw")
+    ).select(
+        "doc_id",
+        F.expr(TA.pii_scrub_sql("_raw", "spark")).alias("scrubbed"),
+        (F.expr(TA.pii_scrub_sql("_raw", "spark")) != F.col("_raw")).alias(
+            "changed"
+        ),
+    )
+
+
+def q_pii_scrub_oracle() -> str:
+    scrub = TA.pii_scrub_sql("_raw", "duckdb")
+    return f"""
+        SELECT doc_id, {scrub} AS scrubbed, ({scrub} <> _raw) AS changed
+        FROM (SELECT doc_id, {_pii_augmented_sql('duckdb')} AS _raw
+              FROM documents)
+    """
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining batches):
+    within each source shard, documents in doc_id order are packed into
+    512-token packs by an exclusive prefix-sum window — one exchange on
+    the shard key, then pure codegen; a boundary-spanning document
+    belongs to the pack where it starts (documents are never split).
+    Output is the per-pack rollup (doc count + token sum), which both
+    exercises the pack-id window and keeps the oracle result compact."""
+    from .operators import splits as SP
+
+    packed = SP.seq_pack(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        budget_tokens=512,
+    )
+    tok = F.expr(TA.token_count_sql("text", "spark"))
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok).cast("long").alias("tok_sum"),
+        )
+        .select("source", "pack_id", "n_docs", "tok_sum")
+    )
+
+
+def q_seq_pack_oracle() -> str:
+    from .operators.splits import seq_pack_sql
+
+    pack = seq_pack_sql("text", "doc_id", "source", 512, "duckdb")
+    tok = TA.token_count_sql("text", "duckdb")
+    return f"""
+        SELECT source, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM({tok}) AS BIGINT) AS tok_sum
+        FROM (SELECT source, text, {pack} AS pack_id FROM documents)
+        GROUP BY source, pack_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1956,6 +2045,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_delta": q_ann_ivf_delta,
+    "pii_scrub": q_pii_scrub,
+    "seq_pack": q_seq_pack,
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -2006,6 +2097,8 @@ ORACLES = {
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
+    "pii_scrub": q_pii_scrub_oracle(),
+    "seq_pack": q_seq_pack_oracle(),
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),

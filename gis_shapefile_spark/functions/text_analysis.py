@@ -287,6 +287,36 @@ def fingerprint_sql(text: str, n: int = 8, dialect: str = "spark") -> str:
     return minhash_sql(token_hashes_sql(sh, dialect), 0, dialect)
 
 
+# PII redaction patterns, applied in precedence order: the earlier a
+# pattern runs the more specific it is, so an SSN is tagged <SSN> before
+# the phone pattern could eat its digit runs, and an IPv4 before the
+# long-digit-run catch-all. RE2 (DuckDB) has no lookaround, so every
+# pattern here is plain classes/quantifiers — valid in Java regex
+# (Spark) and RE2 alike.
+PII_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("[0-9]{9,}", "<ID>"),
+    ("\\+?[0-9][0-9(). -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub_sql(text: str, dialect: str = "spark") -> str:
+    """Scrub PII from a text expression: emails, SSNs, IPv4s, phone
+    numbers, and long digit runs are replaced with typed redaction tags,
+    nested ``regexp_replace`` in the precedence order above. One pass of
+    codegen'd string kernels per document — the pre-training curation
+    redaction stage, zero Python on the hot path. Spark's
+    ``regexp_replace`` is replace-all; DuckDB needs the explicit ``'g'``
+    flag (same one-ulp class of dialect trap as the HUGEINT rule)."""
+    expr = text
+    g = ", 'g'" if dialect != "spark" else ""
+    for pat, tag in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{_rx(pat, dialect)}', '{tag}'{g})"
+    return expr
+
+
 # ---------------------------------------------------------------------------
 # PySpark Column wrappers (JVM-side, codegen)
 # ---------------------------------------------------------------------------
@@ -297,6 +327,10 @@ def tokens_col(text: str) -> Column:
 
 def token_count_col(text: str) -> Column:
     return F.expr(token_count_sql(text, "spark"))
+
+
+def pii_scrub_col(text: str) -> Column:
+    return F.expr(pii_scrub_sql(text, "spark"))
 
 
 def bpe_count_col(text: str) -> Column:

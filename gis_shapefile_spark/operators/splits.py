@@ -316,3 +316,52 @@ def epoch_mixture_sample(
         )
         .drop("_full", "_rem_thr")
     )
+
+
+def seq_pack_sql(
+    text_col: str,
+    order_col: str,
+    source_col: str,
+    budget_tokens: int,
+    dialect: str = "spark",
+) -> str:
+    """Pack-id assignment expression for concat-and-chunk sequence packing.
+
+    Semantics: within each ``source_col`` shard, documents in
+    ``order_col`` order are conceptually concatenated into one token
+    stream that is cut every ``budget_tokens`` tokens; a document belongs
+    to the pack where it STARTS (the GPT-style pretraining packing — a
+    boundary-spanning document overflows its pack by < its own length,
+    the price of never splitting documents here). This is one window
+    prefix-sum per shard — a single shuffle on the shard key, no
+    iteration; exact never-overflow bin packing is inherently sequential
+    per bin and is NOT what a 10^12-token pipeline runs.
+
+    Deterministic + dual-dialect: token counts come from
+    ``token_count_sql`` (integer), the prefix sum is an exclusive
+    ROWS-frame window (identical semantics both engines), so the DuckDB
+    oracle reproduces pack ids bit-for-bit.
+    """
+    tok = TA.token_count_sql(text_col, dialect)
+    prefix = (
+        f"coalesce(sum({tok}) OVER ("
+        f"PARTITION BY {source_col} ORDER BY {order_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"CAST(floor(CAST({prefix} AS DOUBLE) / {budget_tokens}) AS BIGINT)"
+
+
+def seq_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    source_col: str = "source",
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Assign every document a ``pack_id`` (concat-and-chunk packing; see
+    ``seq_pack_sql``). Plan: one exchange on ``source_col`` + one sort
+    per partition — the window's prefix sum — then pure codegen."""
+    return df.withColumn(
+        "pack_id",
+        F.expr(seq_pack_sql(text_col, order_col, source_col, budget_tokens)),
+    )

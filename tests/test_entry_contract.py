@@ -52,6 +52,10 @@ R3_GREEN = {
     # vacated its cap slot mid-round-4 for ann_ivf_delta; green in r03
     # and its splits SQL-builder family stays in-cap 4 ways
     "vocab_topk",
+    # vacated their slots mid-round-4 for pii_scrub + seq_pack: both are
+    # TRIPLE-green (r1+r2+r3) and the temporal family stays in-cap via
+    # running_windows/events_window/sessionize
+    "asof_join", "interval_join",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -60,6 +64,7 @@ R3_GREEN = {
 MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
+    "pii_scrub", "seq_pack",
 }
 
 

@@ -944,3 +944,56 @@ def test_crossmodal_alignment_planted_pairs(spark):
     assert abs(out[1] + 10**9) <= 2
     assert out[2] == 0
     assert out[3] == 0  # blank caption must not score via a phantom token
+
+
+def test_pii_scrub_redactions(spark):
+    """Every PII class gets its typed tag, clean text is untouched, and
+    precedence holds (SSN before phone, long digit runs before phone)."""
+    rows = [
+        (0, "mail a.b+c@x-y.co.uk please"),
+        (1, "ssn 123-45-6789 on file"),
+        (2, "from 10.0.255.1 today"),
+        (3, "call +1 (555) 010-3456 now"),
+        (4, "card 123456789012 on record"),
+        (5, "a perfectly clean sentence with numbers 42 and 7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", TA.pii_scrub_col("text").alias("s")
+        ).collect()
+    }
+    assert got[0] == "mail <EMAIL> please"
+    assert got[1] == "ssn <SSN> on file"
+    assert got[2] == "from <IP> today"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "card <ID> on record"
+    assert got[5] == rows[5][1]
+
+
+def test_seq_pack_boundary_semantics(spark):
+    """Concat-and-chunk packing: a document belongs to the pack where its
+    token stream STARTS; packs are per-source; a boundary-spanning doc
+    overflows its pack but never splits."""
+    from gis_shapefile_spark.operators import splits as SP
+
+    # token counts: 4, 4, 4 -> with budget 10, doc2 starts at offset 8
+    # (inside pack 0) and overflows it; doc3 starts at 12 -> pack 1
+    rows = [
+        (0, "a", "w w w w"),
+        (1, "a", "x x x x"),
+        (2, "a", "y y y y"),
+        (3, "a", "z z"),
+        (10, "b", "only doc in b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r.pack_id
+        for r in SP.seq_pack(df, budget_tokens=10).collect()
+    }
+    assert got[0] == 0          # starts at 0
+    assert got[1] == 0          # starts at 4
+    assert got[2] == 0          # starts at 8 (< 10): overflow stays in pack 0
+    assert got[3] == 1          # starts at 12
+    assert got[10] == 0         # independent per-source stream
