@@ -319,7 +319,8 @@ def scaling_reserve(degradation: float, scaling_pairs: int) -> float:
     )
 
 
-def plan_entries(degradation: float, scaling_pairs: int) -> tuple[set, dict]:
+def plan_entries(degradation: float, scaling_pairs: int,
+                 only: set | None = None) -> tuple[set, dict]:
     """Up-front admission control (round-2 verdict item 4).
 
     Reserves ONE scaling pair first (the north-rule evidence — extra
@@ -329,7 +330,11 @@ def plan_entries(degradation: float, scaling_pairs: int) -> tuple[set, dict]:
     anything runs, so a degraded window drops the cheap relational tail
     instead of whatever happened to sit late in the suite. Ratio pairs
     (BUNDLES: ann1m brute/ivf, the skew AQE on/off pair) admit
-    all-or-nothing: one leg without the other proves no ratio."""
+    all-or-nothing: one leg without the other proves no ratio.
+
+    ``only``: second-chance retry mode — consider just these names (no
+    other entry consumes budget, priority-0 auto-admission is OFF so a
+    retry never re-runs a recorded headline)."""
     d = max(1.0, degradation)
     reserve = scaling_reserve(degradation, scaling_pairs)
     left = BENCH_BUDGET - (time.time() - _T0) - reserve
@@ -348,6 +353,8 @@ def plan_entries(degradation: float, scaling_pairs: int) -> tuple[set, dict]:
     for a, b in BUNDLES:
         partner_of[a], partner_of[b] = b, a
     for name, prio, est, _ in ENTRY_PLAN:
+        if only is not None and name not in only:
+            continue
         reps = plan[name][2]
         if name in partner_of and name in admitted:
             continue  # already admitted with its bundle's first leg
@@ -356,7 +363,7 @@ def plan_entries(degradation: float, scaling_pairs: int) -> tuple[set, dict]:
         cost = costs[name]
         if any(name == a for a, _ in BUNDLES):
             cost += costs[partner_of[name]]
-        if prio == 0 or cost <= left:
+        if (prio == 0 and only is None) or cost <= left:
             admitted.add(name)
             reps_of[name] = reps
             if any(name == a for a, _ in BUNDLES):
@@ -368,13 +375,18 @@ def plan_entries(degradation: float, scaling_pairs: int) -> tuple[set, dict]:
 
 
 def run_suite(spark: SparkSession, n_points: int, degradation: float,
-              scaling_pairs: int) -> dict:
+              scaling_pairs: int, only: set | None = None) -> dict:
+    """``only``: retry mode (the second-chance pass) — plan and run just
+    these names against whatever budget remains, no scaling reserve."""
     feats = FX.make_features()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    admitted, reps_of = plan_entries(degradation, scaling_pairs)
-    skipped: list[str] = [n for n, _, _, _ in ENTRY_PLAN if n not in admitted]
+    admitted, reps_of = plan_entries(degradation, scaling_pairs, only=only)
+    skipped: list[str] = [
+        n for n, _, _, _ in ENTRY_PLAN
+        if n not in admitted and (only is None or n in only)
+    ]
 
     pts = spark.read.parquet(points_parquet(spark, n_points))
     warm_python_workers(spark)
@@ -1137,6 +1149,29 @@ def main() -> None:
         scaling = run_scaling_pass(degradation, n_pairs_target,
                                    clock_floor=0.0)
 
+    # Second-chance pass (round-4 validation: a D=1.87 suite-first run
+    # shed the ann1m bundle while protecting the 210 s scaling reserve,
+    # then the scaling pass finished at 281 s and ~130 s of budget went
+    # UNUSED). Whatever clock remains after scaling goes back to the
+    # shed entries, re-planned in priority order against the real
+    # remaining budget (reserve = 0 now); recorded results merge into
+    # the artifact, still-unfitting names stay in `skipped`.
+    skipped = list(res["skipped"])
+    left = BENCH_BUDGET - (time.time() - _T0)
+    if skipped and left > 40.0:
+        _dbg(f"second-chance pass: {left:.0f}s left for shed={skipped}")
+        spark = _session(f"local[{CPUS}]")
+        res2 = run_suite(spark, N_POINTS, degradation,
+                         scaling_pairs=0, only=set(skipped))
+        spark.stop()
+        timings.update(res2["timings"])
+        counts.update(res2["counts"])
+        for k, t in res2["timings"].items():
+            lo, hi = DOC_RANGES.get(k, (None, None))
+            if hi is not None:
+                calibrated[k] = bool(t <= hi * max(1.0, degradation))
+        skipped = [n for n in skipped if n not in res2["timings"]]
+
     out = {
         "metric": "spatial_join_tiling_suite",
         "value": round(sum(timings.values()), 3),
@@ -1154,7 +1189,7 @@ def main() -> None:
         "budget": {
             "sec": BENCH_BUDGET,
             "elapsed": round(time.time() - _T0, 1),
-            "skipped": res["skipped"],
+            "skipped": skipped,
         },
     }
     print(json.dumps(out))

@@ -71,3 +71,34 @@ def test_scaling_reserve_capped_at_half_budget():
 
 def test_prio01_suite_est_monotone_in_degradation():
     assert bench.prio01_suite_est(2.0) >= bench.prio01_suite_est(1.0) > 0
+
+
+def test_retry_mode_only_filter_and_no_prio0_auto_admit():
+    """Second-chance pass semantics: only the shed names are considered,
+    priority-0 auto-admission is off (a retry never re-runs a recorded
+    headline), and bundles stay atomic inside the retry."""
+    only = {"ann1m_brute", "ann1m_ivf", "pricing_summary"}
+    admitted, reps_of = bench.plan_entries(
+        degradation=1.0, scaling_pairs=0, only=only
+    )
+    assert admitted <= only
+    # clean-window budget: everything in `only` fits
+    assert admitted == only
+    assert set(reps_of) == admitted
+
+    # priority-0 names outside `only` are NOT admitted in retry mode
+    admitted2, _ = bench.plan_entries(
+        degradation=1.0, scaling_pairs=0, only={"pricing_summary"}
+    )
+    assert admitted2 == {"pricing_summary"}
+    assert not any(bench.ENTRY_PLAN[i][0] in admitted2 for i in range(2)
+                   if bench.ENTRY_PLAN[i][1] == 0)
+
+    # bundle atomicity survives in retry mode under a hostile window:
+    # at extreme degradation the pair either fully admits or fully sheds
+    admitted3, _ = bench.plan_entries(
+        degradation=200.0, scaling_pairs=0,
+        only={"ann1m_brute", "ann1m_ivf"},
+    )
+    assert admitted3 in (set(), {"ann1m_brute", "ann1m_ivf"})
+    assert admitted3 == set()  # nothing fits a 200x window
