@@ -106,8 +106,9 @@ def _session(master: str) -> SparkSession:
     )
 
 
-def synth_points(spark: SparkSession, n: int):
-    """Deterministic image-point table: 80% uniform CONUS, 20% hot cluster.
+def synth_points(spark: SparkSession, n: int, hot_mod: int = 5):
+    """Deterministic image-point table: uniform CONUS + a hot cluster
+    holding 1/``hot_mod`` of the rows (default 20%).
 
     Pure integer/rational expressions — no RNG, no Python. The hot cluster
     lands inside one res-8 cell around (-74.006, 40.7128).
@@ -115,25 +116,28 @@ def synth_points(spark: SparkSession, n: int):
     return spark.range(n).select(
         F.col("id").alias("point_id"),
         F.expr(
-            "CASE WHEN id % 5 = 0 "
+            f"CASE WHEN id % {hot_mod} = 0 "
             "THEN -74.05 + ((id * 2654435761) % 100000) / 1000000.0 "
             "ELSE -125.0 + ((id * 2654435761) % 59000000) / 1000000.0 END"
         ).alias("lng"),
         F.expr(
-            "CASE WHEN id % 5 = 0 "
+            f"CASE WHEN id % {hot_mod} = 0 "
             "THEN 40.67 + ((id * 40503) % 100000) / 1000000.0 "
             "ELSE 24.0 + ((id * 40503) % 26000000) / 1000000.0 END"
         ).alias("lat"),
     )
 
 
-def points_parquet(spark: SparkSession, n: int) -> str:
+def points_parquet(spark: SparkSession, n: int, hot_mod: int = 5) -> str:
     """Materialize the synthetic point table once (untimed setup) so the
     benchmarked jobs read columnar storage like the real pipeline would."""
-    path = os.path.join(FX.FIXTURE_DIR, f"bench_points_n{n}")
+    tag = f"bench_points_n{n}" if hot_mod == 5 else f"bench_points_n{n}_h{hot_mod}"
+    path = os.path.join(FX.FIXTURE_DIR, tag)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_points(spark, n).repartition(CPUS * 2).write.mode("overwrite").parquet(path)
+        synth_points(spark, n, hot_mod).repartition(CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
@@ -266,9 +270,15 @@ ENTRY_PLAN = [
     # measurements show a realized-2.4x window fits the core suite plus
     # exactly ONE evidence bundle, and the ann1m pair — the verdict's
     # top ask, missed two rounds running — wins that conflict; clean
-    # windows fit both.
-    ("pip_skew_aqe", 1, 4.5, 2),
-    ("pip_skew_noaqe", 1, 9.5, 2),
+    # windows fit both. The contrast is the ENGINE's explicit salting
+    # (salt_buckets=16 vs 1) on a straggler-dominated 50%-hot-cell
+    # table: controlled interleaved measurement showed AQE's byte-gated
+    # skew split did NOT help this CPU-bound Arrow-refine join (0.53-
+    # 0.88x, i.e. slower) while salting wins structurally (1.94x min-
+    # of-2, every salted leg faster than every unsalted leg) — see
+    # BENCH/BASELINE.md "Skew handling".
+    ("pip_skew_salted", 1, 9.0, 2),
+    ("pip_skew_unsalted", 1, 17.0, 2),
     ("ann_topk", 2, 1.3, 2),
     # reps trimmed 2 -> 1 on the three priciest priority-2 demos
     # (round-4 validation: a D=1.28 window fit 14/18 — the ~15 s these
@@ -299,7 +309,7 @@ PAIR_EST = 90.0
 # validation run shed pip_skew_noaqe while pip_skew_aqe recorded).
 BUNDLES = [
     ("ann1m_brute", "ann1m_ivf"),
-    ("pip_skew_aqe", "pip_skew_noaqe"),
+    ("pip_skew_salted", "pip_skew_unsalted"),
 ]
 
 
@@ -603,82 +613,73 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
             admitted.discard("ann1m_ivf")
             skipped.append("ann1m_ivf")
 
-    # skew-handling evidence (round-3 verdict item 6): the hot-cell PIP
-    # join as a SHUFFLE-hash join (salt_buckets=1 disables the broadcast
-    # without replicating the dimension) over all 6M points — the
-    # Zipfian cluster puts 1.2M rows (20%) in ONE res-8 cell (401k/cell
-    # vs 1.1k for the next-hottest at the 2M slice; same 363x ratio
-    # here), and at res 8 the 1.4-degree hot cell is PARTIAL, so every
-    # hot row pays the ray-cast refine inside the joined task — the
-    # straggler regime. Measured calibration for this entry (this
-    # round): at 2M points / 32 partitions the hot task is ~1 s of a
-    # ~4 s job and the contrast drowns in window noise; at 6M points /
-    # 128 shuffle partitions the hot partition (~1.2M rows, ~40 MB) is
-    # the wall clock and AQE's split shows 1.2-2.7x within-round.
-    # AQE's skew split is gated on BYTES (default 256 MB) while this
-    # partition is tens of MB of rows each carrying vectorized ray-cast
-    # work — the CPU-bound shape — so the entries set the thresholds
-    # the way a real deployment of this operator would (documented in
-    # BENCH/BASELINE.md): split anything 5x the median above 16 MB,
-    # advisory 8 MB. Timed with the split ON vs OFF, identical plan
-    # otherwise; both entries count the identical result, so counts[]
-    # doubles as a correctness invariant.
-    # INTERLEAVED legs (round-4 validation defect: sequential warm_on +
-    # 2x on + warm_off + 1x off recorded an INVERTED 13.9-vs-10.3
-    # contrast when the window drifted between the legs — the on-leg's
-    # runs all landed in the degraded half). One shared warm (the plans
-    # differ only in AQE's runtime split decision, so one warm heats
-    # codegen + workers for both), then rounds of both legs
-    # back-to-back with the leg ORDER alternating per round — the same
-    # symmetric min-per-leg estimator the scaling pairs use. Same total
-    # join count as the sequential form (1 warm + 2 rounds x 2 legs).
-    if "pip_skew_aqe" in admitted and not fits(
-        "pip_skew_aqe", extra_est=entry_est("pip_skew_noaqe")
+    # skew-handling evidence (round-3 verdict item 6): explicit SALTING
+    # on the hot-cell PIP join, the engine's own mechanism and the one
+    # the north rule names ("skew from dense urban cells handled with
+    # explicit salting"). 4M points with 50% in ONE res-8 cell — the
+    # straggler-dominated regime: the 2M-row hot partition's vectorized
+    # ray-cast refine is ~13-17 s on one core while the other 2M rows
+    # cost ~1 s of wall across 31 cores, so the unsalted shuffle-hash
+    # join (salt_buckets=1 disables the broadcast) IS its straggler.
+    # salt_buckets=16 rewrites the join key to (cell, salt) BEFORE the
+    # shuffle (dimension replicated 16x — cheap, it is 51 polygons) and
+    # the hot cell's refine spreads across 16 tasks at shuffle time.
+    # Controlled interleaved measurement (this round): salting wins
+    # 1.94x min-of-2 with EVERY salted leg faster than every unsalted
+    # leg (8.6/12.1 vs 16.6/26.9 s), while AQE's byte-gated skew split
+    # on the same table measured 0.53-0.88x — SLOWER — because the
+    # post-shuffle split cannot redistribute the Arrow-refine work the
+    # way a pre-shuffle key rewrite does (BENCH/BASELINE.md "Skew
+    # handling" has the full story and the corrected history). Both
+    # legs run with AQE skew-split OFF to isolate the mechanism; equal
+    # output counts are an in-artifact correctness invariant.
+    # INTERLEAVED legs (round-4 validation defect: sequential legs
+    # recorded an INVERTED contrast when the window drifted between
+    # them). One shared warm (same table, same dimension; the salted
+    # plan is warmed separately by its own first-round run), then
+    # rounds of both legs back-to-back with the leg ORDER alternating
+    # per round — the same symmetric min-per-leg estimator the scaling
+    # pairs use.
+    if "pip_skew_salted" in admitted and not fits(
+        "pip_skew_salted", extra_est=entry_est("pip_skew_unsalted")
     ):
-        shed(["pip_skew_aqe", "pip_skew_noaqe"],
+        shed(["pip_skew_salted", "pip_skew_unsalted"],
              "dynamic: skew pair won't fit together")
-    if {"pip_skew_aqe", "pip_skew_noaqe"} & admitted:
+    if {"pip_skew_salted", "pip_skew_unsalted"} & admitted:
         skew_idx = SJ.PolygonIndex(spark, feats, res=8)
+        hot_pts = spark.read.parquet(
+            points_parquet(spark, 4_000_000, hot_mod=2)
+        )
 
-        def skew_join():
+        def skew_join(salt: int):
             return SJ.point_in_polygon_join(
-                spark, pts, skew_idx, res=8,
-                point_id_col="point_id", salt_buckets=1, dedup_first=False,
+                spark, hot_pts, skew_idx, res=8,
+                point_id_col="point_id", salt_buckets=salt,
+                dedup_first=False,
             )
 
         saved = {
             k: spark.conf.get(k, None)
             for k in (
                 "spark.sql.adaptive.skewJoin.enabled",
-                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 "spark.sql.shuffle.partitions",
             )
         }
 
-        def _skew_leg(on: bool) -> float:
-            spark.conf.set(
-                "spark.sql.adaptive.skewJoin.enabled",
-                "true" if on else "false",
-            )
+        def _skew_leg(salt: int) -> float:
             t0 = time.time()
-            n = skew_join().count()
-            counts["pip_skew_aqe" if on else "pip_skew_noaqe"] = n
+            n = skew_join(salt).count()
+            counts[
+                "pip_skew_salted" if salt > 1 else "pip_skew_unsalted"
+            ] = n
             return time.time() - t0
 
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "128")
-            spark.conf.set(
-                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-                "16m",
-            )
-            spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
-            )
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             _dbg("warm pip_skew pair (shared)")
-            skew_join().count()  # shared warm
-            t_on, t_off = float("inf"), float("inf")
+            skew_join(16).count()  # warms scan, dim broadcast, workers
+            t_salt, t_nosalt = float("inf"), float("inf")
             for rnd in range(2):
                 # round 0 always completes (both legs need a time for a
                 # ratio to exist at all); round 1 checks the clock per
@@ -687,19 +688,19 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
                 if rnd > 0 and time.time() - _T0 > BENCH_BUDGET - 8.0:
                     _dbg("skew round 1 skipped (budget)")
                     break
-                legs = (True, False) if rnd % 2 == 0 else (False, True)
-                for on in legs:
-                    t = _skew_leg(on)
-                    if on:
-                        t_on = min(t_on, t)
+                legs = (16, 1) if rnd % 2 == 0 else (1, 16)
+                for salt in legs:
+                    t = _skew_leg(salt)
+                    if salt > 1:
+                        t_salt = min(t_salt, t)
                     else:
-                        t_off = min(t_off, t)
-            timings["pip_skew_aqe"] = round(t_on, 3)
-            timings["pip_skew_noaqe"] = round(t_off, 3)
-            est_spent["v"] += (entry_est("pip_skew_aqe")
-                               + entry_est("pip_skew_noaqe"))
-            _dbg(f"done pip_skew pair: on={t_on:.2f}s off={t_off:.2f}s "
-                 "(interleaved min-of-2 per leg)")
+                        t_nosalt = min(t_nosalt, t)
+            timings["pip_skew_salted"] = round(t_salt, 3)
+            timings["pip_skew_unsalted"] = round(t_nosalt, 3)
+            est_spent["v"] += (entry_est("pip_skew_salted")
+                               + entry_est("pip_skew_unsalted"))
+            _dbg(f"done pip_skew pair: salt16={t_salt:.2f}s "
+                 f"unsalted={t_nosalt:.2f}s (interleaved min-of-2 per leg)")
         finally:
             for k, v in saved.items():
                 if v is not None:
@@ -785,8 +786,8 @@ DOC_RANGES = {
     "ann_ivf": [1.5, 3.5],
     "ann1m_brute": [9.0, 28.0],
     "ann1m_ivf": [2.2, 12.0],
-    "pip_skew_aqe": [3.5, 16.0],
-    "pip_skew_noaqe": [7.0, 35.0],
+    "pip_skew_salted": [6.5, 35.0],
+    "pip_skew_unsalted": [13.0, 70.0],
     "dedup_components": [2.0, 4.0],
     "dedup_components_star": [1.5, 8.0],
     "image_tiling": [1.1, 42.0],
@@ -814,7 +815,8 @@ class _PassBudgetExceeded(Exception):
 
 
 def run_scaling_pass(degradation: float, n_pairs_target: int,
-                     clock_floor: float) -> dict:
+                     clock_floor: float, mandatory_first: bool = True,
+                     preset_n_big: int | None = None) -> dict:
     """The N-vs-4N pair loop (north-rule evidence).
 
     Round-4 policy (verdict item 1 + advice): the pair COUNT is fixed
@@ -827,7 +829,13 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
     pairs, never the suite's clock. ``clock_floor`` = seconds that must
     remain unspent for work scheduled AFTER this pass (the suite, when
     scaling runs first). No SparkSession may be active on entry (each
-    level builds its own)."""
+    level builds its own).
+
+    ``mandatory_first=False`` (the end-of-budget TOP-UP pass): even the
+    first pair checks the deadline before every job and may abort —
+    nothing after this pass needs protecting, but the budget end does.
+    ``preset_n_big`` skips re-calibration so every pair in the artifact
+    (first pass + top-up) runs the identical input size."""
     # Same job (the headline spatial-join + tiling suite), identical
     # input, two parallelism levels N and 4N (driver-mandated proxy for
     # cluster sizes; no real cluster in this sandbox). N defaults to 2:
@@ -877,7 +885,7 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
     # when a degraded window inflates the floor itself — see the
     # calibration branch below.
     T4N_TARGET = float(os.environ.get("SPARK_GRAFT_SCALE_T4N", "6"))
-    cal = {"n_big": None}
+    cal = {"n_big": preset_n_big}
 
     # Hard cap (round-3 lesson: the reserve existed but nothing enforced
     # it — the pass ran ~340 s against a ~187 s reserve and the dynamic
@@ -891,7 +899,8 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
         pass_t0 + scaling_reserve(degradation, n_pairs_target),
         _T0 + BENCH_BUDGET - clock_floor,
     )
-    enforce = {"on": False}  # armed after pair 0 completes
+    # armed after pair 0 completes; a top-up pass arms it from the start
+    enforce = {"on": not mandatory_first}
 
     def timed_job(master: str) -> tuple[float, float]:
         if enforce["on"] and time.time() > deadline:
@@ -1007,9 +1016,16 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
     )
 
     for i in range(n_pairs_target):
-        if pair_stats:
-            # measured-cost gate BEFORE committing to a new pair
-            if time.time() + pair_cost > deadline:
+        if pair_stats or not mandatory_first:
+            # measured-cost gate BEFORE committing to a new pair (a
+            # top-up pass gates even its first pair — nothing after it
+            # needs protecting, but the budget end does). The 1.3
+            # margin makes mid-flight aborts rare rather than merely
+            # bounded: a pair that starts and aborts wastes its whole
+            # leg (measured 115 s in one window), while a pair skipped
+            # here is retried by the end-of-budget top-up pass for
+            # free.
+            if time.time() + pair_cost * 1.3 > deadline:
                 pairs_capped = True
                 _dbg(f"scaling pair {i} not started (reserve spent)")
                 break
@@ -1171,6 +1187,49 @@ def main() -> None:
             if hi is not None:
                 calibrated[k] = bool(t <= hi * max(1.0, degradation))
         skipped = [n for n in skipped if n not in res2["timings"]]
+
+    # Scaling TOP-UP: if fewer than the target pairs recorded (the
+    # reserve or the suite's clock floor trimmed the count) and budget
+    # still remains, run the missing pairs now — ratio-blind by
+    # construction (the CLOCK decides the count, never a ratio, so the
+    # median stays bias-free), same preset input size so every pair in
+    # the artifact ran identical work. Even the top-up's first pair
+    # checks the deadline (mandatory_first=False): an abort costs
+    # nothing already recorded.
+    if DO_SCALING and scaling and scaling.get("efficiency") is not None:
+        have = scaling.get("pairs", [])
+        want = n_pairs_target - len(have)
+        left = BENCH_BUDGET - (time.time() - _T0)
+        if want > 0 and left > PAIR_EST * max(1.0, degradation) * 1.2:
+            _dbg(f"scaling top-up: {left:.0f}s left for {want} more pairs")
+            top = run_scaling_pass(
+                degradation, want, clock_floor=8.0,
+                mandatory_first=False,
+                preset_n_big=scaling.get("n_points"),
+            )
+            if top.get("pairs"):
+                import statistics
+
+                pairs = have + top["pairs"]
+                best = max(pairs, key=lambda p: p["efficiency"])
+                scaling.update(
+                    {
+                        "pairs": pairs,
+                        "efficiency": round(
+                            statistics.median(
+                                p["efficiency"] for p in pairs
+                            ),
+                            3,
+                        ),
+                        "efficiency_best": best["efficiency"],
+                        "t_n_sec": best["t_n_sec"],
+                        "t_4n_sec": best["t_4n_sec"],
+                        "pairs_capped": len(pairs) < n_pairs_target,
+                        "topup_pass_elapsed_sec": top.get(
+                            "pass_elapsed_sec"
+                        ),
+                    }
+                )
 
     out = {
         "metric": "spatial_join_tiling_suite",
