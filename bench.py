@@ -277,8 +277,13 @@ ENTRY_PLAN = [
     # 0.88x, i.e. slower) while salting wins structurally (1.94x min-
     # of-2, every salted leg faster than every unsalted leg) — see
     # BENCH/BASELINE.md "Skew handling".
-    ("pip_skew_salted", 1, 9.0, 2),
-    ("pip_skew_unsalted", 1, 17.0, 2),
+    # est model note: the bundle shares ONE warm (the (reps+1) model
+    # charges each leg its own), so per-leg ests are set to make the
+    # bundle total (3*10 + 3*12 = 66) match the measured best-window
+    # wall (warm ~12 + 2x9 + 2x17 = 64) rather than out-of-context
+    # per-leg costs
+    ("pip_skew_salted", 1, 10.0, 2),
+    ("pip_skew_unsalted", 1, 12.0, 2),
     ("ann_topk", 2, 1.3, 2),
     # reps trimmed 2 -> 1 on the three priciest priority-2 demos
     # (round-4 validation: a D=1.28 window fit 14/18 — the ~15 s these
@@ -438,12 +443,16 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
         # second clause: late-window overrun guard (round-4 validation:
         # pyramid_full admitted at 400.9 s against a realized-overhead-
         # scaled ~9 s estimate, realized 18 s in a degraded patch ->
-        # elapsed 425.7 vs the 420 budget). An entry only admits if even
-        # a 50% overrun of its scaled estimate stays inside the budget —
-        # in the early suite this never binds; in the last ~30 s it
-        # blocks exactly the admits whose overrun has nowhere to go.
+        # elapsed 425.7 vs the 420 budget). An entry only admits if its
+        # scaled estimate PLUS an overrun allowance — half the estimate,
+        # capped at 15 s absolute (the observed overrun class is ~9-15 s;
+        # a proportional-only 1.5x form wrongly blocked a ~85 s bundle
+        # while 100+ s remained) — stays inside the budget. In the early
+        # suite this never binds; near the end it blocks exactly the
+        # admits whose overrun has nowhere to go.
         return (spent + est <= BENCH_BUDGET - reserve - 8.0
-                and spent + est * 1.5 <= BENCH_BUDGET - 8.0)
+                and spent + est + min(est * 0.5, 15.0)
+                <= BENCH_BUDGET - 8.0)
 
     def timed(name, df_builder, force=False):
         """Warm once then report min of planned reps — this sandbox has
@@ -786,8 +795,8 @@ DOC_RANGES = {
     "ann_ivf": [1.5, 3.5],
     "ann1m_brute": [9.0, 28.0],
     "ann1m_ivf": [2.2, 12.0],
-    "pip_skew_salted": [6.5, 35.0],
-    "pip_skew_unsalted": [13.0, 70.0],
+    "pip_skew_salted": [4.0, 35.0],
+    "pip_skew_unsalted": [8.0, 70.0],
     "dedup_components": [2.0, 4.0],
     "dedup_components_star": [1.5, 8.0],
     "image_tiling": [1.1, 42.0],
