@@ -74,21 +74,23 @@ _PRIORITY = [
     # in-cap via running_windows/events_window/sessionize)
     "running_windows", "events_window", "sessionize",
     # data mixing / splits (epoch_mix + source_cap rotated out:
-    # r3-green; the splits SQL-builder family stays in-cap 4 ways —
-    # seq_pack, new in round 4, is the concat-and-chunk packing member)
-    "train_val_split", "stratified_sample", "quality_deciles",
-    "mixture_sample", "seq_pack",
+    # r3-green; stratified_sample vacated its slot mid-round-4 for
+    # paragraph_dedup — the splits SQL-builder family stays in-cap 4
+    # ways via train_val_split/quality_deciles/mixture_sample/seq_pack,
+    # the round-4 concat-and-chunk packing member)
+    "train_val_split", "quality_deciles", "mixture_sample", "seq_pack",
     # curation (round-4 additions, never driver-verified)
-    "pii_scrub",
+    "pii_scrub", "paragraph_dedup",
     # --- position 51+ from here: every entry below has a driver-green
     # row in a named prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
     # COVERAGE.md) ---
     # rotated out in round 4 (driver-green in r03; vocab_topk vacated
     # its slot for ann_ivf_delta — the splits SQL-builder family stays
-    # in-cap via train_val_split/stratified_sample/quality_deciles/
-    # mixture_sample; asof_join + interval_join vacated theirs for
-    # pii_scrub + seq_pack, r1+r2+r3 green):
-    "vocab_topk", "asof_join", "interval_join",
+    # in-cap via train_val_split/quality_deciles/mixture_sample/
+    # seq_pack; asof_join + interval_join vacated theirs for
+    # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
+    # all r3-green or better):
+    "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

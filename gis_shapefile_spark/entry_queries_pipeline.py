@@ -1701,6 +1701,69 @@ def q_seq_pack_oracle() -> str:
     """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus paragraph dedup: boilerplate paragraphs
+    that recur across documents (footers, license blocks) survive only
+    in the FIRST document (lowest doc_id, then position) and every
+    later occurrence is dropped, documents re-assembled in order.
+    Paragraph-bearing corpus is synthesized in-plan: each doc's text is
+    its own text plus the texts of docs id+7 and id+13 as paragraphs,
+    so every text appears in up to three documents and the dedup has
+    real planted cross-doc repeats. Plan: two equi self-joins build the
+    corpus, then posexplode -> ONE shuffle on the paragraph hash (first-
+    occurrence window) -> ONE shuffle back on doc_id (ordered
+    re-assembly); no iteration, no joins in the dedup itself."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
+    corpus = (
+        a.join(b, F.expr("b.doc_id = a.doc_id + 7"))
+        .join(c, F.expr("c.doc_id = a.doc_id + 13"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat(
+                F.col("a.text"), F.lit("\n\n"),
+                F.col("b.text"), F.lit("\n\n"),
+                F.col("c.text"),
+            ).alias("text"),
+        )
+    )
+    return DD.paragraph_dedup(corpus).select(
+        "doc_id", "clean_text", "n_kept", "n_dropped"
+    )
+
+
+def q_paragraph_dedup_oracle() -> str:
+    return """
+        WITH corpus AS (
+          SELECT a.doc_id AS doc_id,
+                 a.text || chr(10) || chr(10) || b.text || chr(10) ||
+                 chr(10) || c.text AS text
+          FROM documents a
+          JOIN documents b ON b.doc_id = a.doc_id + 7
+          JOIN documents c ON c.doc_id = a.doc_id + 13
+        ), paras AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i+1] AS para
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\n\n') AS l
+                FROM corpus),
+               UNNEST(range(len(l))) AS u(i)
+          WHERE length(trim(l[i+1])) > 0
+        ), flagged AS (
+          SELECT doc_id, pos, para,
+                 (row_number() OVER (PARTITION BY md5(para)
+                                     ORDER BY doc_id, pos) = 1) AS keep
+          FROM paras
+        )
+        SELECT doc_id,
+               coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS clean_text,
+               CAST(coalesce(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_kept,
+               CAST(coalesce(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0)
+                    AS BIGINT) AS n_dropped
+        FROM flagged GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2047,6 +2110,7 @@ QUERIES = {
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
+    "paragraph_dedup": q_paragraph_dedup,
     "embedding_neardup": q_embedding_neardup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -2099,6 +2163,7 @@ ORACLES = {
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),
+    "paragraph_dedup": q_paragraph_dedup_oracle(),
     "embedding_neardup": q_embedding_neardup_oracle(),
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),

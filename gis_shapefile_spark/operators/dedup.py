@@ -575,3 +575,51 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """C4-style cross-corpus PARAGRAPH dedup: a paragraph survives only
+    in the FIRST document it occurs in (lowest ``id_col``, then
+    paragraph position); every later occurrence anywhere in the corpus
+    is dropped and the documents are re-assembled from their surviving
+    paragraphs in order.
+
+    This is the named C4/RefinedWeb curation stage that document-level
+    dedup cannot do: boilerplate paragraphs (footers, license blocks,
+    navigation text) recur across millions of otherwise-distinct pages.
+
+    Plan (10^12-paragraph shape): posexplode the paragraphs (pipelined
+    with the scan), ONE shuffle on the paragraph content hash for the
+    first-occurrence window, then ONE shuffle back on the doc id for the
+    ordered re-assembly — no joins, no iteration. The re-assembly
+    aggregates ALL of a doc's paragraphs with a keep flag, so a document
+    whose every paragraph is a repeat still emits a row (empty
+    ``clean_text``) rather than silently vanishing. Whitespace-only
+    paragraphs (split artifacts) are dropped up front — letting them
+    into the window would put every empty paragraph in the corpus into
+    ONE hash partition, a self-inflicted hot key.
+
+    Returns (id_col, clean_text, n_kept, n_dropped).
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    flagged = paras.withColumn("keep", F.row_number().over(w) == 1)
+    kept_sorted = F.expr(
+        "transform(filter(array_sort(collect_list(struct(pos, para, keep))),"
+        " x -> x.keep), x -> x.para)"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(sep, kept_sorted).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )

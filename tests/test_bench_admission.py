@@ -5,11 +5,24 @@ all planner-level (unenforced reserve, non-atomic ratio pairs, missing
 cost coverage), so the planner invariants get their own fast guard.
 """
 
-import bench
+import time
 
+import pytest
+
+import bench
 
 ALL_NAMES = [n for n, _, _, _ in bench.ENTRY_PLAN]
 PRIO = {n: p for n, p, _, _ in bench.ENTRY_PLAN}
+
+
+@pytest.fixture(autouse=True)
+def _fresh_clock(monkeypatch):
+    """plan_entries budgets against wall time since bench-module IMPORT
+    (_T0); under pytest other suites may burn minutes between import and
+    this module, which would make the planner believe the budget is
+    already spent (observed: a clean-window admission test failing only
+    when run after the Spark suites). Pin _T0 to now for each test."""
+    monkeypatch.setattr(bench, "_T0", time.time())
 
 
 def test_entry_plan_is_well_formed():

@@ -56,6 +56,10 @@ R3_GREEN = {
     # TRIPLE-green (r1+r2+r3) and the temporal family stays in-cap via
     # running_windows/events_window/sessionize
     "asof_join", "interval_join",
+    # vacated its slot mid-round-4 for paragraph_dedup (r3-green; splits
+    # family stays in-cap via train_val_split/quality_deciles/
+    # mixture_sample/seq_pack)
+    "stratified_sample",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -64,7 +68,7 @@ R3_GREEN = {
 MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
-    "pii_scrub", "seq_pack",
+    "pii_scrub", "seq_pack", "paragraph_dedup",
 }
 
 

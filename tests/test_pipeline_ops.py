@@ -997,3 +997,27 @@ def test_seq_pack_boundary_semantics(spark):
     assert got[2] == 0          # starts at 8 (< 10): overflow stays in pack 0
     assert got[3] == 1          # starts at 12
     assert got[10] == 0         # independent per-source stream
+
+
+def test_paragraph_dedup_first_occurrence_semantics(spark):
+    """Cross-corpus paragraph dedup: a repeated paragraph survives only
+    in its first (doc_id, pos) occurrence; docs re-assemble in order;
+    a doc whose every paragraph is a repeat still emits an empty row;
+    whitespace-only paragraphs are dropped without deduping each other."""
+    docs = [
+        (1, "alpha\n\nshared one\n\nbeta"),
+        (2, "shared one\n\ngamma\n\nshared two"),
+        (3, "shared two\n\nshared one"),          # all repeats
+        (4, "   \n\ndelta\n\n   "),               # whitespace paras
+        (5, "alpha"),                             # repeat of doc 1 pos 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in DD.paragraph_dedup(df).collect()
+    }
+    assert out[1] == ("alpha\n\nshared one\n\nbeta", 3, 0)
+    assert out[2] == ("gamma\n\nshared two", 2, 1)
+    assert out[3] == ("", 0, 2)   # fully-deduped doc still present
+    assert out[4] == ("delta", 1, 0)  # whitespace paras neither kept nor counted
+    assert out[5] == ("", 0, 1)
