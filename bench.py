@@ -18,7 +18,7 @@ N=2 — see BENCH/BASELINE.md "Host characterization" for why the shared
 memory bus makes 2->8 the executor-scaling proxy) on identical input
 (generated in-plan, sized by an in-window calibration so the 4N leg
 targets ~6 s, stretched adaptively to 10x the MEASURED per-job floor
-capped at 9 s when a degraded window inflates the floor itself — the
+capped at 8 s when a degraded window inflates the floor itself — the
 floor stays ~10% of the leg and the single host's parquet/page-cache
 bus — which a real cluster scales per-executor — stays out of the
 ratio); efficiency per pair = (T_N / T_4N) / 4,
@@ -890,7 +890,11 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
     # when the work scales ~4x; at 6 s the floor is ~12% and the raw
     # ratio reads the engine again. 7 s (round 3) made pairs ~170 s and
     # blew the reserve. 6 is the BASE: the calibration leg measures the
-    # floor in-window and stretches the target to 10*floor (capped 9 s)
+    # floor in-window and stretches the target to 10*floor (capped 8 s:
+    # at 9 s a pair cost ~98 s and pair 1 landed just OUTSIDE the
+    # scale-first deadline in adaptive-target windows — one recorded
+    # pair; at 8 s the floor share rises 12% -> 13.5% (negligible on
+    # the ratio) and the ~88 s pair flips those windows to TWO pairs)
     # when a degraded window inflates the floor itself — see the
     # calibration branch below.
     T4N_TARGET = float(os.environ.get("SPARK_GRAFT_SCALE_T4N", "6"))
@@ -965,10 +969,15 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
             # of a 6 s 4N leg — compressing raw pairs to 0.709-0.771
             # while the floor-subtracted ratios read 0.82-0.89; the
             # floor is measured right here, so size the leg to keep it
-            # ~10%: target = clamp(T4N_TARGET, 10*floor, 9). Clean
-            # windows (floor 0.3-0.6 s) are unchanged; the 9 s cap keeps
-            # a pair ~100 s so the reserve still fits >= 2 pairs.
-            eff_t4n = max(T4N_TARGET, min(9.0, 10.0 * floor))
+            # ~10%: target = clamp(T4N_TARGET, 10*floor, 8). Clean
+            # windows (floor 0.3-0.6 s) are unchanged; the cap was 9 s
+            # first — at 9 a pair cost ~98 s and pair 1 landed just
+            # OUTSIDE the scale-first deadline in adaptive-target
+            # windows (six validation runs recorded exactly one pair
+            # each); at 8 the floor share rises 12% -> 13.5%
+            # (negligible on the ratio) and the ~88 s pair flips those
+            # windows to two recorded pairs.
+            eff_t4n = max(T4N_TARGET, min(8.0, 10.0 * floor))
             cal["t4n_target"] = eff_t4n
             t0 = time.time()
             run(synth_points(s, N_POINTS))
