@@ -272,11 +272,11 @@ ENTRY_PLAN = [
     # top ask, missed two rounds running — wins that conflict; clean
     # windows fit both. The contrast is the ENGINE's explicit salting
     # (salt_buckets=16 vs 1) on a straggler-dominated 50%-hot-cell
-    # table: controlled interleaved measurement showed AQE's byte-gated
-    # skew split did NOT help this CPU-bound Arrow-refine join (0.53-
-    # 0.88x, i.e. slower) while salting wins structurally (1.94x min-
-    # of-2, every salted leg faster than every unsalted leg) — see
-    # BENCH/BASELINE.md "Skew handling".
+    # table: across repeated interleaved measurements AQE's on/off
+    # contrast FLIPPED SIGN with the host window (1.91x for ON quiet,
+    # 0.53x — ON slower — loaded) while salting held direction in
+    # every sample (1.44-2.22x) — sign-stable evidence is what a
+    # driver artifact needs; see BENCH/BASELINE.md "Skew handling".
     # est model note: the bundle shares ONE warm (the (reps+1) model
     # charges each leg its own), so per-leg ests are set to make the
     # bundle total (3*10 + 3*12 = 66) match the measured best-window
@@ -635,13 +635,18 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
     # the hot cell's refine spreads across 16 tasks at shuffle time.
     # Controlled interleaved measurement (this round): salting wins
     # 1.94x min-of-2 with EVERY salted leg faster than every unsalted
-    # leg (8.6/12.1 vs 16.6/26.9 s), while AQE's byte-gated skew split
-    # on the same table measured 0.53-0.88x — SLOWER — because the
-    # post-shuffle split cannot redistribute the Arrow-refine work the
-    # way a pre-shuffle key rewrite does (BENCH/BASELINE.md "Skew
-    # handling" has the full story and the corrected history). Both
-    # legs run with AQE skew-split OFF to isolate the mechanism; equal
-    # output counts are an in-artifact correctness invariant.
+    # leg (8.6/12.1 vs 16.6/26.9 s) and held direction in every
+    # in-harness sample (1.44-2.22x). AQE's byte-gated split on the
+    # same table is window-SIGN-UNSTABLE on this shared host (1.91x
+    # for ON in a quiet window, 0.53x — ON slower — in a loaded one:
+    # the OFF straggler monopolizes one core steadily while the ON
+    # split's extra concurrent Python workers queue behind background
+    # load), so it stays enabled as the engine default but is not
+    # usable as single-sample artifact evidence — BENCH/BASELINE.md
+    # "Skew handling" has the full multi-window account. Both legs
+    # here run with AQE skew-split OFF to isolate the salting
+    # mechanism; equal output counts are an in-artifact correctness
+    # invariant.
     # INTERLEAVED legs (round-4 validation defect: sequential legs
     # recorded an INVERTED contrast when the window drifted between
     # them). One shared warm (same table, same dimension; the salted
