@@ -239,3 +239,88 @@ def test_double_literal_roundtrips_exactly_in_both_engines(spark):
             raise AssertionError("non-finite literal must raise")
         except ValueError:
             pass
+
+
+def test_pii_scrub_agrees_across_engines(spark):
+    """pii_scrub_sql rests on Java-regex (Spark) and RE2 (DuckDB)
+    agreeing on the same patterns AND on replace-all semantics (DuckDB
+    needs the explicit 'g' flag) — fuzzed over adversarial strings with
+    partial/overlapping/boundary PII fragments."""
+    import duckdb as _d
+
+    rng = random.Random(23)
+    frags = [
+        "a@b.co", "no-at-sign.com", "x@y", "a.b+c@x-y.co.uk",
+        "123-45-6789", "12-345-6789", "999-99-9999x",
+        "10.0.0.1", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "+1 (555) 010-3456", "(555)0103456", "555 010 3456",
+        "123456789", "12345678", "1234567890123456",
+        "word", "中文", "a'b\"c", "\\", "%40", ".", "@", "-", "()",
+    ]
+    texts = [
+        "", "@", "a@b.co", ".@.", "1-2-3", "...",
+        "edge a@b.co", "a@b.co edge", "a@b.coa@b.co",
+    ]
+    for _ in range(60):
+        k = rng.randint(0, 8)
+        texts.append(" ".join(rng.choice(frags) for _ in range(k)))
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.i: r.s
+        for r in df.selectExpr(
+            "i", f"{TA.pii_scrub_sql('text', 'spark')} AS s"
+        ).collect()
+    }
+    con = _d.connect()
+    con.register("t", pdf)
+    duck = (
+        con.sql(f"SELECT i, {TA.pii_scrub_sql('text', 'duckdb')} AS s FROM t")
+        .df()
+        .set_index("i")
+    )
+    for i, text in enumerate(texts):
+        assert got[i] == duck.loc[i, "s"], (text[:80], got[i][:80],
+                                            str(duck.loc[i, "s"])[:80])
+
+
+def test_paragraph_dedup_matches_python_oracle(spark):
+    """paragraph_dedup vs an independent pure-Python simulation over a
+    seeded random corpus with planted repeats: same surviving text,
+    kept/dropped counts, for every document."""
+    from gis_shapefile_spark.operators import dedup as DD_
+
+    rng = random.Random(7)
+    pool = [f"para {i} {'w' * rng.randint(1, 5)}" for i in range(12)]
+    pool += ["   ", ""]  # whitespace artifacts
+    docs = []
+    for d in range(25):
+        n = rng.randint(1, 6)
+        docs.append((d, "\n\n".join(rng.choice(pool) for _ in range(n))))
+
+    # python oracle: first occurrence by (doc_id, pos) over non-blank paras
+    seen: set[str] = set()
+    expect = {}
+    for d, text in docs:
+        kept, dropped = [], 0
+        for p in text.split("\n\n"):
+            if not p.strip():
+                continue
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        expect[d] = ("\n\n".join(kept), len(kept), dropped)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in DD_.paragraph_dedup(df).collect()
+    }
+    # docs whose every paragraph is blank never reach the aggregate
+    expected_ids = {d for d, t in docs
+                    if any(p.strip() for p in t.split("\n\n"))}
+    assert set(got) == expected_ids
+    for d in expected_ids:
+        assert got[d] == expect[d], (d, got[d], expect[d])
