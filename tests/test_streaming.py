@@ -238,6 +238,77 @@ def test_streaming_ivf_sink_matches_monolithic(spark, tmp_path):
     assert spark.read.parquet(root).count() == n_before
 
 
+def test_streaming_ivf_sink_survives_compaction(spark, tmp_path):
+    """Maintenance under a live pipeline: stream batches in, compact the
+    fragmented index mid-stream, stream MORE batches against the same
+    checkpoint — query parity holds throughout, the compacted output
+    lands under a negative synthetic batch id that can never collide
+    with future stream batch ids, and drained batch dirs survive as
+    replay markers."""
+    import os
+
+    import pandas as pd
+
+    from gis_shapefile_spark.operators import similarity as SIM
+    from gis_shapefile_spark.streaming import index_stream as IS
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "idx")
+    dim = 16
+    cents = SIM.make_centroids(dim, n_centroids=4)
+
+    def mkvecs(lo, n):
+        rng = np.random.RandomState(31 + lo)
+        v = rng.standard_normal((n, dim)).astype(np.float32)
+        return pd.DataFrame(
+            {"vec_id": range(lo, lo + n), "embedding": [r.tolist() for r in v]}
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<double>"
+        ).parquet(feed)
+        IS.streaming_ivf_sink(spark, stream, root, cents, ckpt)
+
+    frames = []
+    seen = 0
+    for n in (60, 40):
+        pdf = mkvecs(seen, n)
+        frames.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+        seen += n
+        run()
+
+    stats = SIM.ivf_compact_index(spark, root, max_files_per_bucket=1)
+    assert stats  # per-batch files made every touched bucket fragmented
+    assert any(d.startswith("batch=-") for d in os.listdir(root))
+
+    # continue streaming against the SAME checkpoint after compaction
+    pdf = mkvecs(seen, 30)
+    frames.append(pdf)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(feed)
+    seen += 30
+    run()
+
+    all_pdf = pd.concat(frames, ignore_index=True)
+    corpus = spark.createDataFrame(all_pdf)
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+    )
+    merged = SIM.ivf_topk_indexed(
+        spark, root, queries, k=5, centroids=cents, nprobe=2
+    )
+    inline = SIM.ivf_topk(corpus, queries, k=5, centroids=cents, nprobe=2)
+    assert key(merged.collect()) == key(inline.collect())
+    assert spark.read.parquet(root).count() == seen
+    # drained stream-batch dirs survive as replay markers
+    assert os.path.isdir(os.path.join(root, "batch=0"))
+
+
 def test_streaming_pyramid_sink_matches_batch_pyramid(spark, tmp_path):
     """Continuous pyramid maintenance: three stream runs over a growing
     point feed — after each, the committed pyramid stage equals a
