@@ -8,9 +8,11 @@ sink REAL — the bytes this engine writes are valid PNGs any browser
 renders — while staying fully deterministic (fixed zlib level, filter 0
 on every scanline) so tiles are reproducible and cache-stable.
 
-Encoder supports 8-bit grayscale and RGBA (the two map-tile cases);
-decoder supports exactly what the encoder emits plus the other standard
-filters (1-4), so round-trip tests decode any re-encoded variant.
+Encoder supports 8-bit grayscale, RGB, and RGBA (map tiles plus the
+image-table codec seam — ``fmt="png"`` rows in the input_hint table are
+REAL PNGs, encoded and decoded by this module); decoder supports exactly
+what the encoder emits plus the other standard filters (1-4), so
+round-trip tests decode any re-encoded variant.
 """
 
 from __future__ import annotations
@@ -33,16 +35,20 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
-    """Encode (h, w) uint8 as grayscale or (h, w, 4) uint8 as RGBA."""
+    """Encode uint8 pixels: (h, w) grayscale, (h, w, 3) RGB, (h, w, 4) RGBA."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError(f"PNG encode needs uint8, got {arr.dtype}")
     if arr.ndim == 2:
         color_type, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
     elif arr.ndim == 3 and arr.shape[2] == 4:
         color_type, channels = 6, 4
     else:
-        raise ValueError(f"unsupported shape {arr.shape} (want (h,w) or (h,w,4))")
+        raise ValueError(
+            f"unsupported shape {arr.shape} (want (h,w), (h,w,3) or (h,w,4))"
+        )
     h, w = arr.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = arr.reshape(h, w * channels)

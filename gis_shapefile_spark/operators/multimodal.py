@@ -3,12 +3,14 @@
 The driver-mandated table is ``(image_id: string, bytes: binary, w: int32,
 h: int32, fmt: string, caption: string, phash: int64)`` (BASELINE.json
 ``input_hint``). Images are opaque binary + typed metadata; every stage
-here is ``mapInPandas`` over Arrow batches — the *plumbing* (schema,
-batching, partition preservation) is real and tested, while the codec
-itself is the sandbox's numpy/zlib pair (``sources/fixtures.py``:
-``raw`` lossless, ``qz`` 6-bit quantization, PSNR ≈ 47 dB). Real-world
-codecs (JPEG/PNG/WebP) plug into ``_decode_batch`` — any unknown ``fmt``
-raises ``NotImplementedError`` loudly rather than guessing.
+here is ``mapInPandas`` over Arrow batches. Three codecs are supported:
+``raw`` (lossless zlib) and ``qz`` (6-bit quantization, PSNR ≈ 47 dB)
+from ``sources/fixtures.py``, plus ``png`` — a REAL standard PNG path
+(ISO/IEC 15948, ``functions/png.py``, stdlib zlib): the same bytes any
+browser renders, decoded with inflate + unfilter inside the Arrow batch.
+Remaining real-world codecs (JPEG/WebP — need DCT/VP8 libs absent from
+this sandbox) plug into the same seam; any unknown ``fmt`` raises
+``NotImplementedError`` loudly rather than guessing.
 
 Per-row invariants (input_hint): decoded-pixel allclose (exact for
 ``raw``, PSNR >= 40 dB for ``qz``), byte-exact caption, recomputed
@@ -66,6 +68,18 @@ def _decode_stacks(
     byts = pdf["bytes"].values
     for (w, h, fmt), poss in groups.items():
         w, h, fmt = int(w), int(h), str(fmt)
+        if fmt == "png":
+            # real PNG container (functions/png.py): per-payload inflate +
+            # unfilter, stacked like the zlib formats; lossless
+            from ..functions.png import decode_png
+
+            stack = np.stack([decode_png(byts[p]) for p in poss])
+            if stack.shape[1:] != (h, w, 3):
+                raise ValueError(
+                    f"PNG shape {stack.shape[1:]} != metadata ({h}, {w}, 3)"
+                )
+            yield np.asarray(poss), fmt, stack
+            continue
         raws = [
             np.frombuffer(zlib.decompress(byts[p]), dtype=np.uint8) for p in poss
         ]

@@ -170,19 +170,35 @@ def make_features(n_extra_parts: int = 0) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """pixels: (h, w, 3) uint8 -> bytes. 'raw' lossless, 'qz' 6-bit lossy."""
+    """pixels: (h, w, 3) uint8 -> bytes.
+
+    'raw' lossless zlib, 'qz' 6-bit lossy zlib, 'png' a REAL standard PNG
+    (ISO/IEC 15948 RGB color-type 2 via ``functions/png.py`` — bytes any
+    browser renders, lossless).
+    """
     h, w, _ = pixels.shape
     if fmt == "raw":
         payload = pixels.tobytes()
     elif fmt == "qz":
         q = (pixels >> 2).astype(np.uint8)  # 6 bits/channel
         payload = q.tobytes()
+    elif fmt == "png":
+        from ..functions.png import encode_png
+
+        return encode_png(pixels, level=1)
     else:
         raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
     return zlib.compress(payload, 1)
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        from ..functions.png import decode_png
+
+        arr = decode_png(data)
+        if arr.shape != (h, w, 3):
+            raise ValueError(f"PNG shape {arr.shape} != metadata ({h}, {w}, 3)")
+        return arr
     raw = zlib.decompress(data)
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "raw":

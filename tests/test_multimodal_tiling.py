@@ -35,15 +35,31 @@ def images_df(spark, images_pdf):
 def test_codec_invariants_at_generation():
     """decoded-pixel invariant vs the pre-encode originals (input_hint)."""
     rng = np.random.default_rng(7)
-    for fmt in ("raw", "qz"):
+    for fmt in ("raw", "qz", "png"):
         pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
         dec = FX.decode_image(FX.encode_image(pix, fmt), 16, 16, fmt)
-        if fmt == "raw":
-            assert np.array_equal(dec, pix)
-        else:
+        if fmt == "qz":
             assert FX.psnr(pix, dec) >= 40.0
+        else:
+            assert np.array_equal(dec, pix)  # raw and png are lossless
     with pytest.raises(NotImplementedError):
         FX.encode_image(pix, "jpeg")  # real codecs are a stubbed seam
+
+
+def test_png_fmt_is_a_real_png_container():
+    """fmt='png' bytes are a genuine ISO/IEC 15948 file: correct signature,
+    CRC-framed chunks, RGB color type 2 — decodable by the standalone
+    container decoder, not just the fixtures wrapper."""
+    from gis_shapefile_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    data = FX.encode_image(pix, "png")
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_png(data), pix)
+    # metadata mismatch is caught loudly, not silently reshaped
+    with pytest.raises(ValueError):
+        FX.decode_image(data, 20, 13, "png")
 
 
 def test_decode_stats_matches_numpy(spark, images_df, images_pdf):
@@ -81,6 +97,58 @@ def test_resize_preserves_schema_and_caption(spark, images_df, images_pdf):
         pix = FX.decode_image(r.bytes, 8, 8, r.fmt)
         assert pix.shape == (8, 8, 3)
         assert FX.phash64(pix) == r.phash  # phash carried = recomputable
+
+
+@pytest.fixture(scope="module")
+def png_mixed_pdf(images_pdf):
+    """A mixed-codec slice: first 30 fixture rows re-encoded as real PNGs
+    (lossless, so the carried phash recomputes from the decoded fixture
+    pixels), appended to 30 untouched raw/qz rows."""
+    import pandas as pd
+
+    png_rows = []
+    for _, r in images_pdf.head(30).iterrows():
+        pix = FX.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        png_rows.append(
+            dict(
+                image_id="png_" + r["image_id"],
+                bytes=FX.encode_image(pix, "png"),
+                w=r["w"], h=r["h"], fmt="png",
+                caption=r["caption"], phash=FX.phash64(pix),
+                lng=r["lng"], lat=r["lat"],
+            )
+        )
+    return pd.concat(
+        [pd.DataFrame(png_rows), images_pdf.iloc[30:60]], ignore_index=True
+    )
+
+
+def test_png_rows_through_spark_decode_stages(spark, png_mixed_pdf):
+    """The real-PNG codec path through every Arrow-batched stage, mixed
+    with raw/qz rows in the same batches (the grouped-stack dispatch)."""
+    df = spark.createDataFrame(png_mixed_pdf)
+    stats = {r.image_id: r for r in MM.decode_stats(df).collect()}
+    assert len(stats) == 60 and all(r.phash_ok for r in stats.values())
+    # channel means match a driver-side numpy decode of the SAME png bytes
+    for _, r in png_mixed_pdf.head(5).iterrows():
+        pix = FX.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        assert stats[r["image_id"]].mean_r == int(
+            np.floor(pix[:, :, 0].mean() * 1e6)
+        )
+
+    inv = MM.verify_invariants(df).collect()
+    assert len(inv) == 60
+    # re-encode is idempotent for every codec (png/raw lossless; qz bucket
+    # centers requantize to themselves), so all rows hit the inf sentinel;
+    # the lossy-vs-ORIGINAL PSNR >= 40 dB is asserted at generation
+    assert all(r.phash_ok and r.psnr_ok and r.psnr_u == 10**9 for r in inv)
+
+    small = {r.image_id: r for r in MM.resize_images(df, 8, 8).collect()}
+    for _, r in png_mixed_pdf.head(30).iterrows():
+        out = small[r["image_id"]]
+        assert out.fmt == "png" and out.bytes[:8] == b"\x89PNG\r\n\x1a\n"
+        pix = FX.decode_image(out.bytes, 8, 8, "png")
+        assert FX.phash64(pix) == out.phash
 
 
 def test_extract_features_deterministic_unit_norm(spark, images_df):
