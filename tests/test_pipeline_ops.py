@@ -1021,3 +1021,95 @@ def test_paragraph_dedup_first_occurrence_semantics(spark):
     assert out[3] == ("", 0, 2)   # fully-deduped doc still present
     assert out[4] == ("delta", 1, 0)  # whitespace paras neither kept nor counted
     assert out[5] == ("", 0, 1)
+
+
+def _greedy_pack_oracle(sizes, cap):
+    """Pure-Python never-overflow greedy packing: item -> shard id."""
+    out, cur, sid = [], 0, 0
+    for s in sizes:
+        if out and cur + s > cap:
+            sid += 1
+            cur = 0
+        cur += s
+        out.append(sid)
+    return out
+
+
+def test_shard_pack_matches_greedy_oracle(spark):
+    from gis_shapefile_spark.operators import splits as SP
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for src in ("web", "books"):
+        for i in range(400):
+            rows.append(
+                dict(
+                    source=src,
+                    image_id=f"{src}_{i:05d}",
+                    n_bytes=int(rng.integers(1, 900)),
+                )
+            )
+    # plant oversize items (> capacity): each must get its own shard
+    rows[17]["n_bytes"] = 5000
+    rows[450]["n_bytes"] = 7000
+    pdf = pd.DataFrame(rows)
+    cap = 2048
+    out = (
+        SP.shard_pack(
+            spark.createDataFrame(pdf).repartition(7),
+            "n_bytes", "image_id", "source", cap,
+            block_budget=cap * 8,  # small blocks so multiple blocks exist
+        )
+        .toPandas()
+        .sort_values(["source", "image_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(pdf)
+    assert out.groupby("source")["pack_block"].nunique().min() > 1
+    for (_, _), g in out.groupby(["source", "pack_block"]):
+        g = g.sort_values("image_id")
+        # exact greedy within the block, via the pure-Python oracle
+        assert g["shard"].tolist() == _greedy_pack_oracle(
+            g["n_bytes"].tolist(), cap
+        )
+        # hard-capacity invariant: no multi-item shard exceeds capacity
+        per = g.groupby("shard")["n_bytes"].agg(["sum", "count"])
+        assert ((per["sum"] <= cap) | (per["count"] == 1)).all()
+        # tightness: shard s+1's first item cannot fit into shard s
+        for sid in range(int(g["shard"].max())):
+            fill = per.loc[sid, "sum"]
+            nxt = g[g["shard"] == sid + 1].iloc[0]["n_bytes"]
+            assert fill + nxt > cap
+    # oversize items sit alone
+    for iid in ("web_00017", "books_00050"):
+        row = out[out.image_id == iid]
+        if len(row):
+            key = row.iloc[0]
+            mates = out[
+                (out.source == key.source)
+                & (out.pack_block == key.pack_block)
+                & (out.shard == key.shard)
+            ]
+            assert len(mates) == 1 or key.n_bytes <= cap
+
+
+def test_shard_pack_deterministic_across_partitionings(spark):
+    from gis_shapefile_spark.operators import splits as SP
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        dict(
+            source=["s"] * 300,
+            image_id=[f"i{i:04d}" for i in range(300)],
+            n_bytes=rng.integers(1, 500, 300),
+        )
+    )
+    outs = []
+    for parts in (1, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        outs.append(
+            SP.shard_pack(df, "n_bytes", "image_id", "source", 1000)
+            .toPandas().sort_values("image_id")[["pack_block", "shard"]]
+            .to_numpy().tolist()
+        )
+    assert outs[0] == outs[1]
