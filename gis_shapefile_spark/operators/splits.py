@@ -367,6 +367,31 @@ def seq_pack(
     )
 
 
+def greedy_shard_ids(sizes, capacity: int):
+    """Never-overflow greedy shard ids for an in-order size stream.
+
+    Vectorized as O(shards log n): each shard boundary is one
+    ``searchsorted`` jump over the cumulative-size array — no per-item
+    Python loop. An item larger than ``capacity`` gets its own shard.
+    """
+    import numpy as np
+
+    cum = np.asarray(sizes, dtype=np.int64).cumsum()
+    n = len(cum)
+    cap = int(capacity)
+    shard = np.empty(n, dtype=np.int64)
+    start, sid = 0, 0
+    while start < n:
+        base = int(cum[start - 1]) if start else 0
+        end = int(np.searchsorted(cum, base + cap, side="right"))
+        if end == start:  # oversize item: its own shard
+            end = start + 1
+        shard[start:end] = sid
+        sid += 1
+        start = end
+    return shard
+
+
 def shard_pack(
     df: DataFrame,
     size_col: str,
@@ -437,19 +462,9 @@ def shard_pack(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        cum = pdf[size_col].to_numpy(np.int64).cumsum()
-        n = len(pdf)
-        shard = np.empty(n, dtype=np.int64)
-        start, sid = 0, 0
-        while start < n:
-            base = int(cum[start - 1]) if start else 0
-            end = int(np.searchsorted(cum, base + cap, side="right"))
-            if end == start:  # oversize item: its own shard
-                end = start + 1
-            shard[start:end] = sid
-            sid += 1
-            start = end
-        return pdf.assign(shard=shard)
+        return pdf.assign(
+            shard=greedy_shard_ids(pdf[size_col].to_numpy(np.int64), cap)
+        )
 
     return blocked.groupBy(source_col, "pack_block").applyInPandas(
         lambda _key, pdf: pack(pdf), out_schema

@@ -1113,3 +1113,32 @@ def test_shard_pack_deterministic_across_partitionings(spark):
             .to_numpy().tolist()
         )
     assert outs[0] == outs[1]
+
+
+def test_shard_pack_kernel_fuzz_vs_oracle():
+    """The searchsorted greedy kernel vs the pure-Python oracle on
+    adversarial size streams: zeros, exact-capacity hits, oversize runs,
+    all-equal, alternating big/small — driver-side (the Spark plumbing is
+    covered by the distributed tests above)."""
+    import numpy as np
+    from gis_shapefile_spark.operators.splits import greedy_shard_ids
+
+    def kernel(sizes, cap):
+        return greedy_shard_ids(sizes, cap).tolist()
+
+    rng = np.random.default_rng(21)
+    cases = [
+        ([0, 0, 0, 5, 0], 5),
+        ([5, 5, 5], 5),            # exact-capacity hits: one per shard? no — fits exactly
+        ([3, 2, 5, 1, 4], 5),      # boundary-exact packing
+        ([10, 10, 1], 5),          # oversize run then small
+        ([1] * 50, 7),
+        ([4, 4, 4, 4], 8),
+    ]
+    for _ in range(200):
+        n = int(rng.integers(1, 60))
+        cap = int(rng.integers(1, 40))
+        sizes = rng.integers(0, 50, n).tolist()
+        cases.append((sizes, cap))
+    for sizes, cap in cases:
+        assert kernel(sizes, cap) == _greedy_pack_oracle(sizes, cap), (sizes, cap)
