@@ -389,13 +389,42 @@ def plan_entries(degradation: float, scaling_pairs: int,
     return admitted, reps_of
 
 
+def realized_degradation(mults: dict) -> tuple[float, float | None]:
+    """(typical, worst) realized cost multiplier from a completed suite.
+
+    The probe's single global D mis-prices SPLIT windows: the D=18.6
+    validation run (BENCH/BASELINE.md round-4 table) had pip_join
+    realize 16.8x its best-window estimate while tiling realized 1.04x
+    — one collapsed bottleneck (memory bandwidth) scaled EVERY
+    second-chance estimate 18.6x, so image_tiling was priced at 148 s,
+    realized 2.0 s, and ~145 s of budget went unused. Per-entry
+    realized multipliers are within-run evidence (no cross-window
+    classification claims — CLAUDE.md measurement discipline): the
+    MEDIAN prices the typical entry, the MAX guards the worst case
+    (an entry that tracks the collapsed bottleneck must still fit the
+    absolute budget). Returns (max(1, median), max(median, max)); with
+    no completed entries, (1.0, None) — callers fall back to probe D.
+    """
+    import statistics
+
+    if not mults:
+        return 1.0, None
+    med = max(1.0, statistics.median(mults.values()))
+    return med, max(med, max(mults.values()))
+
+
 def run_suite(spark: SparkSession, n_points: int, degradation: float,
-              scaling_pairs: int, only: set | None = None) -> dict:
+              scaling_pairs: int, only: set | None = None,
+              worst_mult: float | None = None) -> dict:
     """``only``: retry mode (the second-chance pass) — plan and run just
-    these names against whatever budget remains, no scaling reserve."""
+    these names against whatever budget remains, no scaling reserve.
+    ``worst_mult``: worst realized per-entry multiplier from the main
+    suite (second-chance mode) — an entry admits only if even at that
+    multiplier it stays inside the absolute budget."""
     feats = FX.make_features()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    mults: dict[str, float] = {}
 
     admitted, reps_of = plan_entries(degradation, scaling_pairs, only=only)
     skipped: list[str] = [
@@ -440,6 +469,19 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
         r = overhead_ratio()
         spent = time.time() - _T0
         est = (entry_est(name) + extra_est) * r
+        # worst-case guard (second-chance mode): entry_est scales by the
+        # TYPICAL realized multiplier (the median, passed as this run's
+        # `degradation`); an entry that instead tracks the window's worst
+        # observed multiplier must still fit the absolute budget.
+        # entry_est is proportional to max(1, degradation), so rescaling
+        # by worst/typical prices the same entry at the worst multiplier.
+        if worst_mult is not None:
+            worst = (
+                (entry_est(name) + extra_est)
+                * worst_mult / max(1.0, degradation)
+            )
+            if spent + worst > BENCH_BUDGET - 8.0:
+                return False
         # second clause: late-window overrun guard (round-4 validation:
         # pyramid_full admitted at 400.9 s against a realized-overhead-
         # scaled ~9 s estimate, realized 18 s in a degraded patch ->
@@ -479,6 +521,9 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
             counts[name] = df_builder().count()
             best = min(best, time.time() - t0)
         timings[name] = best
+        # realized-vs-best-window multiplier: within-run evidence the
+        # second-chance pass re-prices with (see realized_degradation)
+        mults[name] = best / est_of[name]
         est_spent["v"] += entry_est(name)
         _dbg(f"done {name}: {best:.2f}s x{reps_of[name]}")
 
@@ -784,7 +829,8 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
         )
     ))
 
-    return {"timings": timings, "counts": counts, "skipped": skipped}
+    return {"timings": timings, "counts": counts, "skipped": skipped,
+            "mults": mults}
 
 
 # documented best-worst window bounds (BENCH/BASELINE.md); the artifact
@@ -1198,10 +1244,25 @@ def main() -> None:
     skipped = list(res["skipped"])
     left = BENCH_BUDGET - (time.time() - _T0)
     if skipped and left > 40.0:
-        _dbg(f"second-chance pass: {left:.0f}s left for shed={skipped}")
+        # re-price with the suite's REALIZED per-entry multipliers, not
+        # the probe's global D: in a split window (D=18.6 run: memory
+        # probe collapsed 18.6x, pip_join realized 16.8x, but the cpu-
+        # bound tail realized 1-3x) the global D priced every shed entry
+        # at the collapsed bottleneck and ~145 s of budget went unused.
+        # Median prices the typical entry; the max is a per-admit
+        # worst-case budget guard inside run_suite's fits().
+        d_eff, d_worst = realized_degradation(res.get("mults", {}))
+        if d_worst is None:
+            d_eff = degradation
+        _dbg(
+            f"second-chance pass: {left:.0f}s left for shed={skipped} "
+            f"(realized mult median {d_eff:.2f}, worst "
+            f"{d_worst if d_worst is not None else degradation:.2f})"
+        )
         spark = _session(f"local[{CPUS}]")
-        res2 = run_suite(spark, N_POINTS, degradation,
-                         scaling_pairs=0, only=set(skipped))
+        res2 = run_suite(spark, N_POINTS, d_eff,
+                         scaling_pairs=0, only=set(skipped),
+                         worst_mult=d_worst)
         spark.stop()
         timings.update(res2["timings"])
         counts.update(res2["counts"])
@@ -1223,7 +1284,19 @@ def main() -> None:
         have = scaling.get("pairs", [])
         want = n_pairs_target - len(have)
         left = BENCH_BUDGET - (time.time() - _T0)
-        if want > 0 and left > PAIR_EST * max(1.0, degradation) * 1.2:
+        # price a top-up pair by what this window's pairs actually cost
+        # when pairs completed (the D=18.6 run priced a pair at 90 x
+        # 18.6 = 1674 s off the probe while the realized pass had just
+        # run one at ~90 s — the 145 s left could have bought a second
+        # north-rule pair); probe-D pricing stays the no-evidence
+        # fallback and the realized price never goes BELOW it/3 so one
+        # lucky pair cannot admit a doomed top-up.
+        pair_cost = PAIR_EST * max(1.0, degradation)
+        if have and scaling.get("pass_elapsed_sec"):
+            realized_pair = scaling["pass_elapsed_sec"] / len(have)
+            pair_cost = max(min(pair_cost, realized_pair * 1.3),
+                            pair_cost / 3.0)
+        if want > 0 and left > pair_cost * 1.2:
             _dbg(f"scaling top-up: {left:.0f}s left for {want} more pairs")
             top = run_scaling_pass(
                 degradation, want, clock_floor=8.0,

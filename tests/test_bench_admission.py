@@ -115,3 +115,36 @@ def test_retry_mode_only_filter_and_no_prio0_auto_admit():
     )
     assert admitted3 in (set(), {"ann1m_brute", "ann1m_ivf"})
     assert admitted3 == set()  # nothing fits a 200x window
+
+
+def test_realized_degradation_median_and_worst():
+    """Split-window evidence (the D=18.6 validation run): the median
+    prices the typical entry, the max guards the worst; both floored at
+    1.0, and an empty suite falls back to (1.0, None) -> probe D."""
+    # the actual D=18.6 run's realized multipliers
+    med, worst = bench.realized_degradation(
+        {"pip_join": 16.8, "tiling": 1.04, "sessionize": 3.3,
+         "pricing_summary": 2.2}
+    )
+    assert med == pytest.approx(2.75)
+    assert worst == pytest.approx(16.8)
+    # sub-1.0 medians floor (a faster-than-best window cannot shrink
+    # estimates below the best-window plan)
+    med, worst = bench.realized_degradation({"a": 0.4, "b": 0.6, "c": 0.5})
+    assert med == 1.0 and worst == 1.0
+    assert bench.realized_degradation({}) == (1.0, None)
+
+
+def test_second_chance_median_admits_more_than_global_d():
+    """The defect the re-pricing fixes: with the probe's global D=18.6
+    the second-chance admits almost nothing from a 195s window, while
+    the realized median (2.75 in that window) admits the cheap tail."""
+    shed = {"dedup_components", "dedup_minhash", "knn3", "ann_topk",
+            "ann_ivf", "image_neardup", "pyramid_full", "pyramid_delta"}
+    # simulate 225s already spent of the 420s budget
+    bench._T0 = time.time() - (bench.BENCH_BUDGET - 195.0)
+    with_global, _ = bench.plan_entries(18.6, 0, only=shed)
+    with_median, _ = bench.plan_entries(2.75, 0, only=shed)
+    assert len(with_median) > len(with_global)
+    # every globally-admitted entry stays admitted under the median
+    assert with_global <= with_median
