@@ -71,6 +71,52 @@ def test_png_decoder_handles_standard_filters():
         assert (PNG.decode_png(data) == img).all(), f"filter {filt}"
 
 
+def test_png_rgb_roundtrip_and_standard_filters():
+    """RGB (color type 2, bpp=3 — the image-table codec path): encoder
+    round-trip plus decode of filters 1-4, whose left-neighbor is the
+    byte 3 positions back (a bpp bug would pass every grayscale test)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    out = PNG.decode_png(PNG.encode_png(img))
+    assert out.shape == (5, 6, 3) and (out == img).all()
+
+    flat = img.reshape(5, 18).astype(np.int32)  # byte rows, stride 18
+    for filt in (1, 2, 3, 4):
+        lines = []
+        prev = np.zeros(18, dtype=np.int32)
+        for r in range(5):
+            cur = flat[r]
+            left = np.concatenate([[0, 0, 0], cur[:-3]])  # i - bpp
+            ul = np.concatenate([[0, 0, 0], prev[:-3]])
+            if filt == 1:
+                pred = left
+            elif filt == 2:
+                pred = prev
+            elif filt == 3:
+                pred = (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+            lines.append(
+                bytes([filt]) + ((cur - pred) & 0xFF).astype(np.uint8).tobytes()
+            )
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + PNG._chunk(b"IHDR", ihdr)
+            + PNG._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + PNG._chunk(b"IEND", b"")
+        )
+        assert (PNG.decode_png(data) == img).all(), f"RGB filter {filt}"
+
+
 def test_png_rejects_corruption():
     img = np.zeros((4, 4), dtype=np.uint8)
     data = bytearray(PNG.encode_png(img))
