@@ -64,9 +64,13 @@ _PRIORITY = [
     # incremental index-maintenance proof, never driver-verified, so it
     # takes the cap slot vocab_topk vacates)
     "ann_topk", "ann_ivf", "ann_ivf_delta", "embedding_neardup",
-    "embedding_quantize", "crossmodal_align",
-    # multimodal flagships + composite pipeline
-    "image_tiling", "caption_curation", "corpus_curation",
+    "crossmodal_align",
+    # multimodal flagships + composite pipeline (ar_bucket added late in
+    # round 4 — SDXL-style aspect-ratio bucket assignment, never
+    # driver-verified; it takes the cap slot embedding_quantize vacates:
+    # r3-green, and the embedding family stays in-cap 5 ways via
+    # ann_topk/ann_ivf/ann_ivf_delta/embedding_neardup/crossmodal_align)
+    "image_tiling", "caption_curation", "ar_bucket", "corpus_curation",
     # events / temporal (hourly_gapfill rotated out: r3-green; the
     # gapfill dtype mirror stays pytest-covered; asof_join +
     # interval_join rotated out mid-round-4 for pii_scrub + seq_pack —
@@ -91,6 +95,7 @@ _PRIORITY = [
     # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
+    "embedding_quantize",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

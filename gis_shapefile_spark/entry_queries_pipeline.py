@@ -2093,6 +2093,37 @@ def q_source_cap_oracle() -> str:
     """
 
 
+def q_ar_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucket assignment (SDXL-style 13-bucket ladder) over
+    the varied-dims images table: per image the nearest bucket by
+    integerized log-ratio distance, as a pure scan-side codegen
+    expression — no join, no shuffle, no Python (operators/arbucket.py).
+
+    The reference has no training-side operators; this is the engine's
+    image-batch-formation stage (assignment here; per-bucket batch/shard
+    packing downstream via seq_pack/shard_pack)."""
+    from .operators import arbucket as AR
+
+    path = FX.varied_images_parquet_path(n=2000)
+    images = spark.read.parquet(path)
+    return AR.assign_ar_buckets(images)
+
+
+def q_ar_bucket_oracle() -> str:
+    from .operators import arbucket as AR
+
+    path = FX.varied_images_parquet_path(n=2000)
+    e = AR.ar_bucket_select_sql("w", "h", "duckdb")
+    return f"""
+        SELECT image_id,
+               {e["bucket_id"]} AS bucket_id,
+               {e["bw"]} AS bw,
+               {e["bh"]} AS bh,
+               {e["cost_u"]} AS cost_u
+        FROM read_parquet('{path}')
+    """
+
+
 QUERIES = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -2137,6 +2168,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
     "image_neardup": q_image_neardup,
+    "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
     "boilerplate": q_boilerplate,
@@ -2190,6 +2222,7 @@ ORACLES = {
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
     "image_neardup": q_image_neardup_oracle(),
+    "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),
     "boilerplate": q_boilerplate_oracle(),

@@ -295,6 +295,62 @@ def images_parquet_path(n: int, w: int = 16, h: int = 16) -> str:
     return path
 
 
+# Per-row (w, h) choices for the varied-dims images table: aspect ratios
+# span 0.25-4.0 (the SDXL bucket-ladder range) at small pixel counts so
+# the fixture stays cheap while the RATIO distribution is realistic.
+VARIED_DIMS = [
+    (32, 32), (40, 30), (30, 40), (48, 32), (32, 48), (56, 28), (28, 56),
+    (64, 24), (24, 64), (60, 17), (17, 60), (64, 16), (16, 64), (36, 30),
+    (34, 32), (44, 26), (26, 44), (128, 16),
+]
+
+
+def make_varied_images(n: int) -> pd.DataFrame:
+    """The input_hint images table with VARIED per-row dimensions.
+
+    Same schema and invariants as ``make_images`` (bytes decode to exactly
+    (h, w, 3); stored phash == phash of the decode) but (w, h) is drawn
+    per row from ``VARIED_DIMS`` — the fixture for aspect-ratio bucketing,
+    where a constant-dims table would be degenerate (every image in one
+    bucket)."""
+    rng = np.random.default_rng(SEED + 7)
+    fmts = np.array(["raw", "qz", "png"])
+    recs = []
+    for i in range(n):
+        w, h = VARIED_DIMS[int(rng.integers(0, len(VARIED_DIMS)))]
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fmt = str(fmts[int(rng.integers(0, 3))])
+        data = encode_image(pix, fmt)
+        dec = decode_image(data, w, h, fmt)
+        recs.append(
+            dict(
+                image_id=f"vimg_{i:09d}",
+                bytes=data,
+                w=np.int32(w),
+                h=np.int32(h),
+                fmt=fmt,
+                caption=f"caption of vimg_{i:09d}: a synthetic scene #{i % 97}",
+                phash=phash64(dec),
+            )
+        )
+    return pd.DataFrame(recs)
+
+
+def varied_images_parquet_path(n: int) -> str:
+    """Generate-once cache of the varied-dims images table as parquet."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, f"images_varied_n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = make_varied_images(n)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        os.rename(path + ".tmp", path)  # atomic publish
+    return path
+
+
 def make_near_dup_images(
     n: int, n_dup: int, w: int = 16, h: int = 16
 ) -> pd.DataFrame:

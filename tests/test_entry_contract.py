@@ -60,6 +60,10 @@ R3_GREEN = {
     # family stays in-cap via train_val_split/quality_deciles/
     # mixture_sample/seq_pack)
     "stratified_sample",
+    # vacated its slot late in round 4 for ar_bucket (r3-green; the
+    # embedding family stays in-cap 5 ways via ann_topk/ann_ivf/
+    # ann_ivf_delta/embedding_neardup/crossmodal_align)
+    "embedding_quantize",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -68,7 +72,7 @@ R3_GREEN = {
 MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
-    "pii_scrub", "seq_pack", "paragraph_dedup",
+    "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
 }
 
 
