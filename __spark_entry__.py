@@ -55,8 +55,14 @@ _PRIORITY = [
     # text analysis / quality (token_count + quality_score moved past the
     # cap: driver-green in BOTH r1+r2 artifacts, and their SQL builders
     # stay driver-exercised in-cap via caption_curation)
-    "lang_id", "doc_fingerprint",
+    # (lang_id vacated its cap slot late in round 4 for
+    # mm_interleave_pack: r3-green, and its lang-ID builder stays
+    # driver-exercised in-cap via corpus_curation's lang_pred filter)
+    "doc_fingerprint",
     "repetition", "boilerplate", "decontaminate",
+    # interleaved multimodal packing (round-4 late addition, never
+    # driver-verified)
+    "mm_interleave_pack",
     # dedup family
     "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
     "dedup_components", "image_neardup",
@@ -95,7 +101,7 @@ _PRIORITY = [
     # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
-    "embedding_quantize",
+    "embedding_quantize", "lang_id",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

@@ -2093,6 +2093,68 @@ def q_source_cap_oracle() -> str:
     """
 
 
+def q_mm_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing (MMC4-style): images are
+    matched to documents by a deterministic salted-hash key, each image
+    charges 64 vision tokens against the 2048-token context budget on
+    top of the document's text tokens, and documents pack under the
+    combined cost (operators/splits.py::interleave_pack — one count
+    shuffle + one equi-join + the seq_pack prefix-sum window; no
+    Python). Output is the per-pack rollup (docs, images, text tokens).
+
+    The max(doc_id) modulus is ONE driver-side scalar (bounded collect,
+    same class as splits.py's n_bins-1 quantiles)."""
+    from .operators import splits as SP
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    img_path = FX.images_parquet_path(n=2000)
+    key = TA.hash60_sql("concat('mm:', image_id)", "spark")
+    image_docs = (
+        spark.read.parquet(img_path)
+        .select(F.expr(f"({key}) % {int(max_doc) + 1}").alias("doc_id"))
+    )
+    packed = SP.interleave_pack(
+        docs, image_docs, tokens_per_image=64, budget_tokens=2048
+    )
+    tok = F.expr(TA.token_count_sql("text", "spark"))
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_img").cast("long").alias("n_imgs"),
+            F.sum(tok).cast("long").alias("tok_sum"),
+        )
+        .select("source", "pack_id", "n_docs", "n_imgs", "tok_sum")
+    )
+
+
+def q_mm_interleave_pack_oracle() -> str:
+    from .operators.splits import pack_cost_sql
+
+    img_path = FX.images_parquet_path(n=2000)
+    key = TA.hash60_sql("('mm:' || image_id)", "duckdb")
+    tok = TA.token_count_sql("text", "duckdb")
+    pack = pack_cost_sql(f"({tok} + 64 * n_img)", "doc_id", "source", 2048)
+    return f"""
+        WITH img AS (
+          SELECT ({key}) % (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id
+          FROM read_parquet('{img_path}')
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_img FROM img GROUP BY doc_id),
+        d AS (
+          SELECT doc_id, source, text,
+                 CAST(COALESCE(cnt.n_img, 0) AS BIGINT) AS n_img
+          FROM documents LEFT JOIN cnt USING (doc_id)
+        ),
+        p AS (SELECT source, text, n_img, {pack} AS pack_id FROM d)
+        SELECT source, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_img) AS BIGINT) AS n_imgs,
+               CAST(SUM({tok}) AS BIGINT) AS tok_sum
+        FROM p GROUP BY source, pack_id
+    """
+
+
 def q_ar_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucket assignment (SDXL-style 13-bucket ladder) over
     the varied-dims images table: per image the nearest bucket by
@@ -2136,6 +2198,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "running_windows": q_running_windows,
     "dedup_components": q_dedup_components,
+    "mm_interleave_pack": q_mm_interleave_pack,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_delta": q_ann_ivf_delta,
@@ -2190,6 +2253,7 @@ ORACLES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs_oracle(),
     "running_windows": q_running_windows_oracle(),
     "dedup_components": q_dedup_components_oracle(),
+    "mm_interleave_pack": q_mm_interleave_pack_oracle(),
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),

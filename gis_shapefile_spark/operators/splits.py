@@ -343,12 +343,21 @@ def seq_pack_sql(
     oracle reproduces pack ids bit-for-bit.
     """
     tok = TA.token_count_sql(text_col, dialect)
+    return pack_cost_sql(tok, order_col, source_col, budget_tokens)
+
+
+def pack_cost_sql(
+    cost_sql: str, order_col: str, source_col: str, budget: int
+) -> str:
+    """Pack-id assignment for an ARBITRARY integer per-row cost expression
+    (``seq_pack_sql`` with cost = token count is the special case). Same
+    exclusive ROWS-frame prefix sum, identical text in both dialects."""
     prefix = (
-        f"coalesce(sum({tok}) OVER ("
+        f"coalesce(sum({cost_sql}) OVER ("
         f"PARTITION BY {source_col} ORDER BY {order_col} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
     )
-    return f"CAST(floor(CAST({prefix} AS DOUBLE) / {budget_tokens}) AS BIGINT)"
+    return f"CAST(floor(CAST({prefix} AS DOUBLE) / {budget}) AS BIGINT)"
 
 
 def seq_pack(
@@ -364,6 +373,44 @@ def seq_pack(
     return df.withColumn(
         "pack_id",
         F.expr(seq_pack_sql(text_col, order_col, source_col, budget_tokens)),
+    )
+
+
+def interleave_pack(
+    docs: DataFrame,
+    image_docs: DataFrame,
+    tokens_per_image: int = 64,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Interleaved multimodal sequence packing (MMC4/OBELICS-style
+    pretraining): a document's sequence cost is its text tokens PLUS a
+    fixed vision-token budget per attached image, and documents pack
+    under that combined cost — so image-heavy docs consume their true
+    share of the context window instead of overflowing it at train time.
+
+    ``image_docs`` carries one row per image with a ``doc_id`` column
+    (however the upstream matched images to documents). Plan: one
+    partial-agg shuffle counts images per doc (map-side combine, output
+    bounded by |touched docs|, Catalyst broadcasts it when small), one
+    equi-join back to the doc table, then the same single-exchange
+    prefix-sum window as ``seq_pack``. No Python anywhere.
+
+    Output: ``docs`` columns + ``n_img`` + ``pack_id``.
+    """
+    counts = image_docs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_img")
+    )
+    d = docs.join(counts, "doc_id", "left").withColumn(
+        "n_img", F.coalesce(F.col("n_img"), F.lit(0)).cast("long")
+    )
+    tok = TA.token_count_sql(text_col, "spark")
+    cost = f"({tok} + {int(tokens_per_image)} * n_img)"
+    return d.withColumn(
+        "pack_id",
+        F.expr(pack_cost_sql(cost, order_col, source_col, budget_tokens)),
     )
 
 

@@ -64,6 +64,10 @@ R3_GREEN = {
     # embedding family stays in-cap 5 ways via ann_topk/ann_ivf/
     # ann_ivf_delta/embedding_neardup/crossmodal_align)
     "embedding_quantize",
+    # vacated its slot late in round 4 for mm_interleave_pack (r3-green;
+    # the lang-ID builder stays driver-exercised in-cap via
+    # corpus_curation's lang_pred filter)
+    "lang_id",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -73,6 +77,7 @@ MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
+    "mm_interleave_pack",
 }
 
 

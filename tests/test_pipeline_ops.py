@@ -999,6 +999,53 @@ def test_seq_pack_boundary_semantics(spark):
     assert got[10] == 0         # independent per-source stream
 
 
+def test_interleave_pack_semantics(spark):
+    """Interleaved multimodal packing: a doc's cost is text tokens +
+    tokens_per_image * n attached images; zero-image docs reduce exactly
+    to seq_pack; assignments match a pandas prefix-sum oracle."""
+    from gis_shapefile_spark.operators import splits as SP
+
+    rows = [
+        (0, "a", "w w w w"),   # 4 tok + 2 img*3 = 10
+        (1, "a", "x x x x"),   # 4 tok + 0     = 4
+        (2, "a", "y y y y"),   # 4 tok + 1 img*3 = 7
+        (3, "a", "z z"),       # 2 tok
+        (10, "b", "only doc in b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    image_docs = spark.createDataFrame(
+        [(0,), (0,), (2,)], "doc_id long"
+    )
+    got = {
+        r.doc_id: (r.n_img, r.pack_id)
+        for r in SP.interleave_pack(
+            docs, image_docs, tokens_per_image=3, budget_tokens=10
+        ).collect()
+    }
+    # prefix sums in doc order for source a: 0, 10, 14, 21
+    assert got[0] == (2, 0)    # starts at 0
+    assert got[1] == (0, 1)    # starts at 10 -> pack 1
+    assert got[2] == (1, 1)    # starts at 14 -> pack 1
+    assert got[3] == (0, 2)    # starts at 21 -> pack 2
+    assert got[10] == (0, 0)   # independent per-source stream
+
+    # with no images at all, interleave_pack == seq_pack on every doc
+    empty = spark.createDataFrame([], "doc_id long")
+    a = {
+        r.doc_id: r.pack_id
+        for r in SP.interleave_pack(
+            docs, empty, tokens_per_image=3, budget_tokens=10
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.pack_id
+        for r in SP.seq_pack(df=docs, budget_tokens=10).collect()
+    }
+    assert a == b
+
+
 def test_paragraph_dedup_first_occurrence_semantics(spark):
     """Cross-corpus paragraph dedup: a repeated paragraph survives only
     in its first (doc_id, pos) occurrence; docs re-assemble in order;
