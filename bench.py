@@ -876,7 +876,10 @@ class _PassBudgetExceeded(Exception):
 
 def run_scaling_pass(degradation: float, n_pairs_target: int,
                      clock_floor: float, mandatory_first: bool = True,
-                     preset_n_big: int | None = None) -> dict:
+                     preset_n_big: int | None = None,
+                     leg_est: dict | None = None,
+                     seed_pair_cost: float | None = None,
+                     reps: int = 2) -> dict:
     """The N-vs-4N pair loop (north-rule evidence).
 
     Round-4 policy (verdict item 1 + advice): the pair COUNT is fixed
@@ -967,7 +970,15 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
     enforce = {"on": not mandatory_first}
 
     def timed_job(master: str) -> tuple[float, float]:
-        if enforce["on"] and time.time() > deadline:
+        # leg-aware deadline (round-4 top-up fix): when the caller knows
+        # this window's leg times (a top-up does — the first pass
+        # measured them), a level that cannot FINISH by the deadline is
+        # aborted before it starts, not after it overruns. 12 s covers
+        # session + warmup + floor; unknown legs keep the bare check.
+        est = 12.0 + reps * (leg_est or {}).get(master, 0.0)
+        if enforce["on"] and time.time() + (
+            est if leg_est else 0.0
+        ) > deadline:
             raise _PassBudgetExceeded(
                 f"reserve spent before {master} leg"
             )
@@ -1033,6 +1044,9 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
             t0 = time.time()
             run(synth_points(s, N_POINTS))
             t_cal = time.time() - t0
+            # recorded so later pairs (which skip calibration) can be
+            # priced at pair-0's wall MINUS this one-off cost
+            cal["cal_wall"] = t_cal
             rate = max(t_cal - floor, 0.2) / N_POINTS
             cal["n_big"] = int(
                 max(N_POINTS, min(eff_t4n / rate, 32 * N_POINTS))
@@ -1047,8 +1061,14 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
         # from 4N-leg contention spikes; min-of-reps per LEG (symmetric,
         # so no direction bias) filters the spike without touching the
         # ratio's meaning.
+        # reps=1 (top-up pairs): a single-rep leg is noisier than the
+        # min-of-2, but the cross-pair MEDIAN is the spike filter there,
+        # the per-pair "reps" field discloses it, and halving the pair
+        # cost is what lets leftover clock buy the 2nd/3rd north-rule
+        # pair at all (validated: leftovers ran 85-105 s vs ~95 s for a
+        # 2-rep pair and ~60 s for a 1-rep pair)
         t = float("inf")
-        for rep in range(2):
+        for rep in range(reps):
             if rep > 0 and enforce["on"] and time.time() > deadline:
                 s.stop()
                 raise _PassBudgetExceeded("reserve spent mid-leg")
@@ -1076,7 +1096,14 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
 
     pair_stats = []
     pairs_capped = False
-    pair_cost = PAIR_EST * max(1.0, degradation)
+    # a top-up seeds the price with the first pass's realized net pair
+    # cost (within-run evidence); otherwise the probe estimate applies
+    pair_cost = (seed_pair_cost if seed_pair_cost
+                 else PAIR_EST * max(1.0, degradation))
+    # True while pair_cost is the PROBE-seeded estimate; once a pair has
+    # completed in THIS pass (or the seed is realized), pricing is
+    # within-run evidence
+    cost_is_probe = seed_pair_cost is None
 
     policy = (
         f"fixed {n_pairs_target} pairs decided before any ratio is seen; "
@@ -1094,7 +1121,16 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
             # leg (measured 115 s in one window), while a pair skipped
             # here is retried by the end-of-budget top-up pass for
             # free.
-            if time.time() + pair_cost * 1.3 > deadline:
+            # margin stacking fixed this round: the 1.3 safety factor
+            # belongs to the PROBE estimate only. A realized-pair price
+            # already carries its own 1.15 (below); multiplying it by
+            # another 1.3 (1.495x total) skipped a pair that fit — the
+            # clean-window validation run had 105.6 s of its 191.6 s
+            # reserve left after an 86.0 s pair 0 (which includes the
+            # one-off ~10 s calibration later pairs skip), priced pair 1
+            # at 128.6 s, and recorded one pair where two fit.
+            margin = 1.3 if cost_is_probe else 1.0
+            if time.time() + pair_cost * margin > deadline:
                 pairs_capped = True
                 _dbg(f"scaling pair {i} not started (reserve spent)")
                 break
@@ -1130,11 +1166,19 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
                 "efficiency_floor_adj": round(
                     ((t_n - fl_n) / max(t_4n - fl_4n, 1e-9)) / 4.0, 3
                 ),
+                "reps": reps,
             }
         )
-        # refine the cost model with the measured pair's actual wall
-        pair_cost = (time.time() - pair_t0) * 1.15
-        _dbg(f"scaling pair {i}: {pair_stats[-1]}")
+        # refine the cost model with the measured pair's actual wall,
+        # NET of the one-off calibration leg (pair 0 only) that later
+        # pairs skip; the 0.5*wall floor bounds the subtraction if a
+        # degraded window made calibration the bulk of the pair
+        wall = time.time() - pair_t0
+        net = wall - (cal.get("cal_wall") or 0.0) if i == 0 else wall
+        pair_cost = max(net, 0.5 * wall) * 1.15
+        cost_is_probe = False
+        _dbg(f"scaling pair {i}: {pair_stats[-1]} "
+             f"(wall {wall:.1f}s, next-pair est {pair_cost:.1f}s)")
     if not pair_stats:
         # every pair aborted (hung window): record the fact, not a crash
         return {
@@ -1161,6 +1205,7 @@ def run_scaling_pass(degradation: float, n_pairs_target: int,
         "reserve_sec": round(deadline - pass_t0, 1),
         "pass_elapsed_sec": round(time.time() - pass_t0, 1),
         "n_points": cal["n_big"],
+        "cal_wall_sec": round(cal.get("cal_wall") or 0.0, 1),
         "t4n_target_sec": cal.get("t4n_target", T4N_TARGET),
         "floor_note": (
             "floor_*_sec = measured per-job fixed cost (LIMIT 512, "
@@ -1198,12 +1243,36 @@ def main() -> None:
     scale_first = DO_SCALING and degradation <= 1.5
     if scale_first:
         spark.stop()
+        # ONE pair up front (round-4 ordering fix): the early pair is
+        # the window sample the north rule needs; running ALL target
+        # pairs here makes the pass compete with the priority-1 suite
+        # for the same clock (measured: a 179 s 2-pair pass shed the
+        # skew bundle that an 86 s 1-pair pass left room for). Pairs
+        # 2..target come from the end-of-budget TOP-UP out of true
+        # leftovers, after the suite and the second-chance pass have
+        # taken what they need — count still clock-decided, never
+        # ratio-decided.
         scaling = run_scaling_pass(
-            degradation, n_pairs_target,
+            degradation, 1,
             clock_floor=prio01_suite_est(degradation),
         )
         if scaling.get("efficiency") is None:
             scaling = None  # all pairs aborted — retry after the suite
+        else:
+            # the artifact's target/policy describe the WHOLE run
+            # (1 early pair + top-up to target), not the first pass
+            scaling["pairs_target"] = n_pairs_target
+            scaling["pairs_capped"] = (
+                len(scaling.get("pairs", [])) < n_pairs_target
+            )
+            scaling["pairs_policy"] = (
+                f"fixed {n_pairs_target} pairs decided before any ratio "
+                "is seen: one mandatory min-of-2-rep pair first (early "
+                "window sample), the rest as single-rep pairs from the "
+                "end-of-budget top-up (per-pair reps recorded); the "
+                "CLOCK decides the completed count (hard reserve + "
+                "budget deadlines), never a ratio"
+            )
         spark = _session(f"local[{CPUS}]")
 
     res = run_suite(
@@ -1291,17 +1360,40 @@ def main() -> None:
         # north-rule pair); probe-D pricing stays the no-evidence
         # fallback and the realized price never goes BELOW it/3 so one
         # lucky pair cannot admit a doomed top-up.
-        pair_cost = PAIR_EST * max(1.0, degradation)
+        probe_cost = PAIR_EST * max(1.0, degradation)
+        pair_cost, seed, legs = probe_cost, None, None
         if have and scaling.get("pass_elapsed_sec"):
-            realized_pair = scaling["pass_elapsed_sec"] / len(have)
-            pair_cost = max(min(pair_cost, realized_pair * 1.3),
-                            pair_cost / 3.0)
-        if want > 0 and left > pair_cost * 1.2:
+            # a top-up pair skips calibration (preset input size), so
+            # price it at the pass's calibration-net per-pair wall —
+            # UNcushioned: the 1.1 admission margin below is the only
+            # one (round-4 fix: realized*1.2 admitted at *1.2 again =
+            # 1.44x stacked, which skipped a ~89 s pair with 105 s
+            # left TWICE in validation), and the leg-aware deadline
+            # inside the pass bounds a mispriced pair to an abort
+            # before its expensive leg, never a budget overrun
+            realized_pair = (
+                scaling["pass_elapsed_sec"]
+                - scaling.get("cal_wall_sec", 0.0)
+            ) / len(have)
+            # top-up pairs run SINGLE-rep legs: subtract one rep of each
+            # measured leg from the realized (2-rep) pair wall
+            seed = max(
+                realized_pair - scaling["t_n_sec"] - scaling["t_4n_sec"],
+                probe_cost / 3.0,
+            )
+            pair_cost = seed
+            scale_n = scaling.get("n_cores", 2)
+            legs = {
+                f"local[{scale_n}]": scaling["t_n_sec"],
+                f"local[{scale_n * 4}]": scaling["t_4n_sec"],
+            }
+        if want > 0 and left > pair_cost * 1.1:
             _dbg(f"scaling top-up: {left:.0f}s left for {want} more pairs")
             top = run_scaling_pass(
                 degradation, want, clock_floor=8.0,
                 mandatory_first=False,
                 preset_n_big=scaling.get("n_points"),
+                leg_est=legs, seed_pair_cost=seed, reps=1,
             )
             if top.get("pairs"):
                 import statistics
