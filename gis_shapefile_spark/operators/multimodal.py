@@ -195,6 +195,50 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(fn, IMAGE_SCHEMA)
 
 
+def resize_to_target(
+    images: DataFrame, tw_col: str = "bw", th_col: str = "bh"
+) -> DataFrame:
+    """Per-ROW-target resize: each image resizes to the (tw_col, th_col)
+    dims carried on its own row — the training-prep stage downstream of
+    aspect-ratio bucketing (operators/arbucket.py), where every image in
+    a bucket must land on that bucket's exact dims to stack into a batch
+    tensor. Same deterministic nearest-pixel grid and same-fmt re-encode
+    as ``resize_images`` (the fixed-target variant); phash recomputed
+    from the resized pixels, caption byte-exact. Arrow-batched
+    mapInPandas; parallelism from source splits (never repartition the
+    binary payload — measured 10x regression, CLAUDE.md)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for iid, cap, h, w, fmt, tw, th, pix in zip(
+                pdf["image_id"], pdf["caption"], pdf["h"], pdf["w"],
+                pdf["fmt"], pdf[tw_col], pdf[th_col], _decode_batch(pdf),
+            ):
+                tw, th = int(tw), int(th)
+                yi = (np.arange(th) * int(h) // th).astype(np.int64)
+                xi = (np.arange(tw) * int(w) // tw).astype(np.int64)
+                small = pix[yi][:, xi]
+                fmt = str(fmt)
+                dec = FX.decode_image(
+                    FX.encode_image(small, fmt), tw, th, fmt
+                )
+                rows.append(
+                    (iid, FX.encode_image(small, fmt), tw, th, fmt,
+                     cap, FX.phash64(dec))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
+            )
+
+    return images.mapInPandas(fn, IMAGE_SCHEMA)
+
+
 def extract_features(images: DataFrame, grid: int = 4) -> DataFrame:
     """Deterministic visual embedding: ``grid x grid`` block-mean luma,
     L2-normalized — the engine's stand-in for a vision encoder (the seam

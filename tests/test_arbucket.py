@@ -109,6 +109,51 @@ def test_bucket_shard_composition(spark):
     assert by_shard["bucket_id"].nunique().max() == 1
 
 
+def test_resize_to_bucket_target(spark):
+    """The stage after assignment: every image resizes to ITS OWN row's
+    bucket dims (ladder scaled 1/32 so the fixture stays small; every
+    ladder dim is divisible by 32, ratios preserved exactly). The output
+    must land on the per-row targets with the stored-phash invariant
+    intact and captions byte-exact."""
+    from pyspark.sql import functions as F
+
+    from gis_shapefile_spark.operators import multimodal as MM
+    from gis_shapefile_spark.sources import fixtures as FXS
+
+    path = FX.varied_images_parquet_path(n=120)
+    images = spark.read.parquet(path)
+    assigned = AR.assign_ar_buckets(images).select(
+        "image_id",
+        (F.col("bw") / 32).cast("int").alias("bw"),
+        (F.col("bh") / 32).cast("int").alias("bh"),
+    )
+    with_targets = images.join(assigned, "image_id")
+    out = MM.resize_to_target(with_targets).toPandas()
+    assert len(out) == 120
+    targets = {
+        r["image_id"]: (r["bw"], r["bh"]) for r in assigned.collect()
+    }
+    src = FXS.make_varied_images(120).set_index("image_id")
+    for _, row in out.iterrows():
+        tw, th = targets[row["image_id"]]
+        assert (row["w"], row["h"]) == (tw, th)
+        dec = FXS.decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+        assert dec.shape == (th, tw, 3)
+        # stored-phash invariant survives the resize re-encode
+        assert FXS.phash64(dec) == row["phash"]
+        # nearest-pixel oracle against the original pixels
+        s = src.loc[row["image_id"]]
+        orig = FXS.decode_image(s["bytes"], int(s["w"]), int(s["h"]), s["fmt"])
+        yi = (np.arange(th) * int(s["h"]) // th)
+        xi = (np.arange(tw) * int(s["w"]) // tw)
+        expect = orig[yi][:, xi]
+        if s["fmt"] == "qz":  # lossy re-encode: 6-bit quantized match
+            assert np.array_equal(dec >> 2 << 2, (expect >> 2 << 2))
+        else:
+            assert np.array_equal(dec, expect)
+        assert row["caption"] == s["caption"]
+
+
 def test_carry_columns(spark):
     path = FX.varied_images_parquet_path(n=300)
     images = spark.read.parquet(path)
