@@ -107,3 +107,71 @@ def test_batch_twin_agrees_with_flagship_pipeline(spark, index, images_dir):
         for r in flagship.where(F.col("record_number").isNotNull()).collect()
     }
     assert twin == matched and len(twin) > 0
+
+
+VARIED_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+@pytest.fixture(scope="module")
+def varied_images_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("varied_stream") / "images")
+    (
+        spark.read.parquet(FX.varied_images_parquet_path(n=300))
+        .write.option("maxRecordsPerFile", 100)
+        .parquet(d)
+    )
+    return d
+
+
+def test_stream_ar_bucket_matches_batch(spark, varied_images_dir, tmp_path):
+    """Aspect-ratio bucket assignment on a stream: the stateless scan
+    projection applies unchanged to a streaming DF (per-row assignment,
+    append mode) and the stateful per-bucket count (complete mode)
+    equals the batch rollup — the batch-formation stage as a continuous
+    ingest job."""
+    from gis_shapefile_spark.operators import arbucket as AR
+
+    stream = IS.read_images_stream(
+        spark, varied_images_dir, schema=VARIED_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    assigned = AR.assign_ar_buckets(stream)
+    EV.run_to_memory(
+        assigned, "ar_assign", str(tmp_path / "ck1"), output_mode="append"
+    )
+    got = {
+        (r.image_id, r.bucket_id, r.bw, r.bh, r.cost_u)
+        for r in spark.sql(
+            "SELECT image_id, bucket_id, bw, bh, cost_u FROM ar_assign"
+        ).collect()
+    }
+    batch_df = spark.read.parquet(varied_images_dir)
+    exp = {
+        (r.image_id, r.bucket_id, r.bw, r.bh, r.cost_u)
+        for r in AR.assign_ar_buckets(batch_df).collect()
+    }
+    assert got == exp and len(got) == 300
+
+    counts = (
+        AR.assign_ar_buckets(stream)
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    EV.run_to_memory(
+        counts, "ar_counts", str(tmp_path / "ck2"), output_mode="complete"
+    )
+    got_counts = {
+        (r.bucket_id, r.n)
+        for r in spark.sql("SELECT bucket_id, n FROM ar_counts").collect()
+    }
+    exp_counts = {
+        (r.bucket_id, r.n)
+        for r in AR.assign_ar_buckets(batch_df)
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_counts == exp_counts and len(got_counts) > 1
