@@ -149,3 +149,77 @@ def checkpointed_corpus_curation(
         metrics={"n_final": F.count(F.lit(1))},
     )
     return curated, ck
+
+
+def checkpointed_batch_formation(
+    spark: SparkSession,
+    images_parquet: str,
+    ckpt_root: str,
+    capacity: int = 65536,
+) -> tuple[DataFrame, CheckpointTable]:
+    """Resumable image training-batch formation: decode-verify ->
+    aspect-ratio bucket assignment -> never-overflow per-bucket shard
+    packing -> shard manifest — the image-side twin of
+    ``checkpointed_corpus_curation``, every stage committing lineage +
+    in-flight metrics so a restart resumes exactly where it died.
+
+    Fingerprints are PER-STAGE: the verify/assign stages chain only the
+    source, the packing stages add ``capacity`` — so retuning the shard
+    size re-packs committed assignments without re-decoding a single
+    image (at 10^12 rows the decode pass dominates; invalidating it on a
+    packing parameter would be the expensive wrong default).
+    """
+    from ..operators import arbucket as AR
+    from ..operators import multimodal as MM
+    from ..operators import splits as SP
+
+    ck = CheckpointTable(spark, ckpt_root)
+    fp_src = f"src={images_parquet}|ladder={len(AR.LADDER)}"
+    fp_pack = f"{fp_src}|cap={capacity}"
+
+    verified = ck.stage(
+        "verified", fp_src,
+        lambda: MM.decode_stats(
+            spark.read.parquet(images_parquet).withColumn(
+                "n_bytes", F.length("bytes").cast("long")
+            ),
+            carry=("w", "h", "n_bytes"),
+            means=False,
+        ).where(F.col("phash_ok")),
+        metrics={
+            "n_images": F.count(F.lit(1)),
+            "n_phash_ok": F.sum(F.col("phash_ok").cast("long")),
+            "sum_bytes": F.sum("n_bytes"),
+        },
+    )
+
+    assigned = ck.stage(
+        "assigned", fp_src,
+        lambda: AR.assign_ar_buckets(verified, carry=("n_bytes",)),
+        metrics={
+            "n_assigned": F.count(F.lit(1)),
+            "n_buckets": F.approx_count_distinct("bucket_id"),
+        },
+    )
+
+    sharded = ck.stage(
+        "sharded", fp_pack,
+        lambda: SP.shard_pack(
+            assigned,
+            size_col="n_bytes",
+            order_col="image_id",
+            source_col="bucket_id",
+            capacity=capacity,
+        ),
+        metrics={"n_rows": F.count(F.lit(1))},
+    )
+
+    manifest = ck.stage(
+        "shard_manifest", fp_pack,
+        lambda: sharded.groupBy("bucket_id", "pack_block", "shard").agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").alias("n_bytes"),
+        ),
+        metrics={"n_shards": F.count(F.lit(1))},
+    )
+    return manifest, ck

@@ -667,3 +667,39 @@ def test_merge_upsert_randomized_vs_dict_oracle(spark):
         table = merge_upsert(table, upd, ["k"], delete_col="_del").localCheckpoint()
         got = {r.k: r.v for r in table.collect()}
         assert got == state, f"batch {batch} diverged"
+
+
+def test_checkpointed_batch_formation_resumes(spark, root):
+    from gis_shapefile_spark.plans.pipelines import (
+        checkpointed_batch_formation,
+    )
+    from gis_shapefile_spark.sources import fixtures as FX
+
+    path = FX.varied_images_parquet_path(n=300)
+    m1, ck1 = checkpointed_batch_formation(spark, path, root, capacity=16384)
+    rows1 = m1.collect()
+    assert sum(r.n_images for r in rows1) == 300
+    assert all(r.n_bytes <= 16384 for r in rows1)  # hard capacity
+    v1 = ck1.manifest()["version"]
+    assert v1 == 4
+
+    # restart, same inputs/params: nothing recomputes, identical output
+    m2, ck2 = checkpointed_batch_formation(spark, path, root, capacity=16384)
+    assert ck2.manifest()["version"] == v1
+    assert sorted(map(tuple, m2.collect()), key=str) == sorted(
+        map(tuple, rows1), key=str
+    )
+
+    # retuning shard capacity re-packs WITHOUT re-decoding: exactly the
+    # two packing stages recompute (2 new versions, not 4)
+    m3, ck3 = checkpointed_batch_formation(spark, path, root, capacity=8192)
+    assert ck3.manifest()["version"] == v1 + 2
+    rows3 = m3.collect()
+    assert sum(r.n_images for r in rows3) == 300
+    assert all(r.n_bytes <= 8192 for r in rows3)
+
+    # the manifest carries the in-flight metrics of every stage
+    stages = ck3.manifest()["stages"]
+    assert int(stages["verified"]["metrics"]["n_phash_ok"]) == 300
+    assert int(stages["shard_manifest"]["metrics"]["n_shards"]) == len(rows3)
+    assert int(stages["assigned"]["metrics"]["n_assigned"]) == 300

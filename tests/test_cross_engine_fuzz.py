@@ -324,3 +324,49 @@ def test_paragraph_dedup_matches_python_oracle(spark):
     assert set(got) == expected_ids
     for d in expected_ids:
         assert got[d] == expect[d], (d, got[d], expect[d])
+
+
+def test_ar_bucket_builder_agrees_across_engines(spark):
+    """The aspect-ratio bucket assignment expressions evaluated on the
+    SAME adversarial + seeded-random dims must agree exactly across
+    Spark, DuckDB, and the pure-Python integer oracle — including exact
+    ladder ratios (tie boundaries) and extreme elongations."""
+    import numpy as np
+
+    from gis_shapefile_spark.operators import arbucket as AR
+
+    rng = np.random.default_rng(23)
+    dims = [(1, 1), (1, 65535), (65535, 1), (2048, 2048)]
+    dims += [(bw, bh) for _, bw, bh in AR.LADDER]          # exact ratios
+    dims += [(bw * 3, bh * 3) for _, bw, bh in AR.LADDER]  # scaled exact
+    dims += [
+        (int(rng.integers(1, 8192)), int(rng.integers(1, 8192)))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame(
+        {"i": range(len(dims)),
+         "w": [w for w, _ in dims], "h": [h for _, h in dims]}
+    )
+
+    s_expr = AR.ar_bucket_select_sql("w", "h", "spark")
+    sdf = spark.createDataFrame(pdf)
+    got_spark = {
+        r["i"]: (r["bucket_id"], r["bw"], r["bh"], r["cost_u"])
+        for r in sdf.selectExpr(
+            "i", *[f'{sql} AS {name}' for name, sql in s_expr.items()]
+        ).collect()
+    }
+
+    d_expr = AR.ar_bucket_select_sql("w", "h", "duckdb")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in d_expr.items())
+    got_duck = {
+        int(r[0]): tuple(int(x) for x in r[1:])
+        for r in con.sql(f"SELECT i, {sel} FROM t").fetchall()
+    }
+
+    for i, (w, h) in enumerate(dims):
+        expect = AR.assign_ar_buckets_py(w, h)
+        assert got_spark[i] == expect, ("spark", i, w, h)
+        assert got_duck[i] == expect, ("duckdb", i, w, h)
