@@ -63,9 +63,12 @@ _PRIORITY = [
     # interleaved multimodal packing (round-4 late addition, never
     # driver-verified)
     "mm_interleave_pack",
-    # dedup family
+    # dedup family (dedup_components vacated its cap slot late in round
+    # 4 for image_canon: r3-green, and the connected-components kernel
+    # stays driver-exercised in-cap THROUGH image_canon, which composes
+    # the same operator over image near-dup pairs)
     "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
-    "dedup_components", "image_neardup",
+    "image_neardup", "image_canon",
     # embeddings / ANN (ann_ivf_delta added round 4 — the O(batch)
     # incremental index-maintenance proof, never driver-verified, so it
     # takes the cap slot vocab_topk vacates)
@@ -101,7 +104,7 @@ _PRIORITY = [
     # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
-    "embedding_quantize", "lang_id",
+    "embedding_quantize", "lang_id", "dedup_components",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

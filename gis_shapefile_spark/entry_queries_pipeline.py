@@ -867,6 +867,57 @@ def q_image_neardup_oracle() -> str:
     """
 
 
+def q_image_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-image assignment — the stage AFTER image_neardup: every
+    image maps to the min image_id reachable through its phash-hamming
+    component (singletons to themselves), i.e. which images survive
+    image dedup. ENGINE side recomputes phashes from decoded pixels,
+    block-joins pairs, and runs min-label propagation (the same
+    connected_components kernel as document dedup; the large-star
+    variant drops in for high-diameter graphs). ORACLE brute-forces
+    pairs from the STORED phash and takes the reachability closure with
+    a recursive CTE — so decode, hamming blocking, AND the component
+    labels are all value-checked. Lexicographic min on the zero-padded
+    ids is identical in both engines (ASCII byte order)."""
+    from .operators import multimodal as MM
+
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    images = spark.read.parquet(path)
+    pairs = MM.image_near_pairs(images, max_hamming=6)
+    comp = DD.connected_components(
+        images.select("image_id"), pairs, id_col="image_id"
+    )
+    return comp.select(
+        "image_id", F.col("component").alias("canonical_id")
+    )
+
+
+def q_image_canon_oracle() -> str:
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT image_id, phash FROM read_parquet('{path}')
+        ),
+        good AS (
+          SELECT a.image_id AS id_1, b.image_id AS id_2
+          FROM p a JOIN p b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        edges AS (
+          SELECT id_1 AS src, id_2 AS dst FROM good
+          UNION
+          SELECT id_2 AS src, id_1 AS dst FROM good
+        ),
+        reach(node, lbl) AS (
+          SELECT image_id, image_id FROM p
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS image_id, min(lbl) AS canonical_id
+        FROM reach GROUP BY node
+    """
+
+
 def q_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint image+text curation: one decode pass recomputes every phash
     and CARRIES the caption through (no id re-join), then codegen caption
@@ -2231,6 +2282,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
     "image_neardup": q_image_neardup,
+    "image_canon": q_image_canon,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
@@ -2286,6 +2338,7 @@ ORACLES = {
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
     "image_neardup": q_image_neardup_oracle(),
+    "image_canon": q_image_canon_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),

@@ -68,6 +68,10 @@ R3_GREEN = {
     # the lang-ID builder stays driver-exercised in-cap via
     # corpus_curation's lang_pred filter)
     "lang_id",
+    # vacated its slot late in round 4 for image_canon (r3-green; the
+    # connected-components kernel stays driver-exercised in-cap THROUGH
+    # image_canon, which composes the same operator)
+    "dedup_components",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -77,7 +81,7 @@ MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
-    "mm_interleave_pack",
+    "mm_interleave_pack", "image_canon",
 }
 
 
