@@ -66,9 +66,12 @@ _PRIORITY = [
     # dedup family (dedup_components vacated its cap slot late in round
     # 4 for image_canon: r3-green, and the connected-components kernel
     # stays driver-exercised in-cap THROUGH image_canon, which composes
-    # the same operator over image near-dup pairs)
-    "dedup_exact", "dedup_minhash", "dedup_simhash_pairs",
-    "image_neardup", "image_canon",
+    # the same operator over image near-dup pairs; dedup_exact vacated
+    # its slot late in round 4 for image_takedown: TRIPLE-green r1+r2+r3,
+    # and the exact hash-group-by kernel stays driver-exercised in-cap
+    # via paragraph_dedup's exact paragraph-hash grouping)
+    "dedup_minhash", "dedup_simhash_pairs",
+    "image_neardup", "image_canon", "image_takedown",
     # embeddings / ANN (ann_ivf_delta added round 4 — the O(batch)
     # incremental index-maintenance proof, never driver-verified, so it
     # takes the cap slot vocab_topk vacates)
@@ -104,7 +107,7 @@ _PRIORITY = [
     # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
-    "embedding_quantize", "lang_id", "dedup_components",
+    "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

@@ -918,6 +918,75 @@ def q_image_canon_oracle() -> str:
     """
 
 
+_TAKEDOWN_NUM = "CAST(substr(image_id, 5) AS BIGINT)"  # 'img_%09d' digits
+
+
+def q_image_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read takedown pipeline over the image table: batch 1 of
+    takedown keys commits as an O(batch) equality-delete file (data
+    files untouched — the 10^12-row answer to a 1k-key DMCA/safety
+    takedown, vs COW MERGE's partition rewrite), ``mor_compact`` folds
+    it into the data files under the journaled crash-safe swap, batch 2
+    (including never-present keys — idempotent no-op takedowns) commits
+    against the compacted table, and the returned MoR read applies it as
+    a broadcast anti-join on the scan. The oracle is one NOT-IN scan of
+    the source fixture, so the delete commit, the compaction fold, AND
+    the read-side anti-join are all value-checked in a single hash match
+    (a row leaking back after compaction, or a survivor lost by the
+    swap, breaks it). Reference parity: the reference has no mutation
+    story at all (load-once at startup, shapefile_reader.cpp); this is
+    engine surface the north-rule's resumable 10^12-row table demands.
+    """
+    import os
+    import shutil
+
+    from .plans import merge as MRG
+
+    src = FX.images_parquet_path(n=2000)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(FX.FIXTURE_DIR, f"mor_takedown_{tag}")
+    # deterministic per-invocation rebuild: fresh data files, no delete
+    # backlog, no stale journal (a production pipeline keeps the table;
+    # the gate rebuilds so re-runs are exact)
+    journal = MRG._mor_journal(path)
+    if os.path.exists(journal):
+        os.remove(journal)
+    shutil.rmtree(path, ignore_errors=True)
+    spark.read.parquet(src).write.parquet(path)
+    # takedown batches derive from the IMMUTABLE source fixture (never
+    # from the table mid-mutation — Spark reads are lazy and compaction
+    # swaps the underlying files)
+    source = spark.read.parquet(src)
+    b1 = source.where(F.expr(f"{_TAKEDOWN_NUM} % 41 = 0")).select("image_id")
+    MRG.mor_delete(spark, path, b1, ["image_id"])
+    MRG.mor_compact(spark, path)
+    b2 = source.where(F.expr(f"{_TAKEDOWN_NUM} % 67 = 3")).select(
+        "image_id"
+    ).unionByName(
+        spark.createDataFrame(
+            [("img_999999998",), ("img_999999999",)], "image_id string"
+        )
+    )
+    MRG.mor_delete(spark, path, b2, ["image_id"])
+    out = MRG.mor_read(spark, path)
+    return out.select(
+        "image_id",
+        F.expr("octet_length(bytes)").cast("long").alias("nb"),
+        "phash",
+    )
+
+
+def q_image_takedown_oracle() -> str:
+    src = FX.images_parquet_path(n=2000)
+    return f"""
+        SELECT image_id,
+               octet_length(bytes)::BIGINT AS nb,
+               phash
+        FROM read_parquet('{src}')
+        WHERE NOT ({_TAKEDOWN_NUM} % 41 = 0 OR {_TAKEDOWN_NUM} % 67 = 3)
+    """
+
+
 def q_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint image+text curation: one decode pass recomputes every phash
     and CARRIES the caption through (no id re-join), then codegen caption
@@ -2283,6 +2352,7 @@ QUERIES = {
     "image_tiling": q_image_tiling,
     "image_neardup": q_image_neardup,
     "image_canon": q_image_canon,
+    "image_takedown": q_image_takedown,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
@@ -2339,6 +2409,7 @@ ORACLES = {
     "image_tiling": q_image_tiling_oracle(),
     "image_neardup": q_image_neardup_oracle(),
     "image_canon": q_image_canon_oracle(),
+    "image_takedown": q_image_takedown_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),

@@ -384,3 +384,355 @@ def merge_upsert_partitioned(
     os.remove(journal)
     shutil.rmtree(staging, ignore_errors=True)
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (the Iceberg-v2 MoR shape)
+# ---------------------------------------------------------------------------
+#
+# The COW MERGE above rewrites every touched partition to drop a handful
+# of rows — correct, but the wrong cost model for takedown batches against
+# a 10^12-row image table (a 1k-key DMCA/safety takedown must not rewrite
+# terabytes). Merge-on-read inverts it: ``mor_delete`` commits ONLY the
+# key batch as an equality-delete file (O(batch) write, data files
+# untouched), ``mor_read`` applies the accumulated delete files at scan
+# time as one broadcast anti-join (delete sets are key-only and tiny next
+# to the data — the broadcast never exceeds takedown-batch scale), and
+# ``mor_compact`` folds them into the data files on a schedule, amortizing
+# the rewrite across many delete batches. This mirrors Iceberg v2
+# equality deletes + background rewrite_data_files; the reference engine
+# has no mutation story at all (its dataset is load-once —
+# shapefile_reader.cpp reads the whole file at startup), so this layer is
+# engine surface the 10^12-row target demands, not a port.
+#
+# Layout: delete files live under ``<table>/_deletes/delete-<uuid>/`` —
+# Spark's file-source discovery treats underscore-prefixed paths as
+# hidden, so a plain ``spark.read.parquet(table)`` still sees only data
+# files (and would see not-yet-compacted deleted rows: always read
+# through ``mor_read``). A ``_keycols.json`` sidecar pins the equality
+# key so later batches can't silently commit a different key set.
+# Single-writer for maintenance ops, like the rest of this layer.
+
+_DELETES_DIR = "_deletes"
+
+
+def _mor_journal(path: str) -> str:
+    return f"{path.rstrip('/')}._mor_compact.json"
+
+
+def _mor_delete_dirs(path: str) -> list[str]:
+    """Sorted absolute paths of committed delete-file directories."""
+    import os
+
+    droot = os.path.join(path, _DELETES_DIR)
+    if not os.path.isdir(droot):
+        return []
+    return sorted(
+        os.path.join(droot, d)
+        for d in os.listdir(droot)
+        if d.startswith("delete-") and os.path.isdir(os.path.join(droot, d))
+    )
+
+
+def _mor_keycols(path: str) -> list[str] | None:
+    import json
+    import os
+
+    sidecar = os.path.join(path, _DELETES_DIR, "_keycols.json")
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as fh:
+        return json.load(fh)["key_cols"]
+
+
+def mor_delete(spark, path: str, keys_df: DataFrame,
+               key_cols: list[str]) -> str:
+    """Commit one equality-delete file against the parquet table at
+    ``path``; returns the committed delete-dir path.
+
+    O(batch): the distinct key projection is staged to a hidden tmp dir
+    inside ``_deletes`` and published with a single ``os.rename`` (atomic
+    on POSIX), so readers only ever see complete delete files. No data
+    file is read or written. Matching is by equality on ``key_cols`` —
+    a key with no matching data row is a no-op (idempotent takedowns),
+    and re-committing the same keys is harmless (anti-join semantics).
+
+    The first batch pins ``key_cols`` in ``_keycols.json``; later batches
+    must use the same set (mixed-key delete files would union-read with
+    nulled columns and silently stop matching).
+    """
+    import json
+    import os
+    import uuid
+
+    recover_mor(path)  # complete any crashed prior compaction first
+    pinned = _mor_keycols(path)
+    if pinned is not None and sorted(pinned) != sorted(key_cols):
+        raise ValueError(
+            f"mor_delete: table {path} has delete files keyed on {pinned}; "
+            f"a batch keyed on {key_cols} cannot be applied with them in "
+            "one read — compact first, or use the pinned key set"
+        )
+    missing = [c for c in key_cols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(f"mor_delete: keys_df lacks key columns {missing}")
+    droot = os.path.join(path, _DELETES_DIR)
+    os.makedirs(droot, exist_ok=True)
+    tag = uuid.uuid4().hex[:12]
+    tmp = os.path.join(droot, f".tmp-{tag}")
+    final = os.path.join(droot, f"delete-{tag}")
+    # delete batches are key-only and takedown-scale: one file per batch
+    keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(tmp, final)
+    if pinned is None:
+        sidecar_tmp = os.path.join(droot, f"._keycols.tmp-{tag}")
+        with open(sidecar_tmp, "w") as fh:
+            json.dump({"key_cols": list(key_cols)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(sidecar_tmp, os.path.join(droot, "_keycols.json"))
+    return final
+
+
+def mor_read(spark, path: str, key_cols: list[str] | None = None,
+             broadcast_deletes: bool = True) -> DataFrame:
+    """Scan the table minus its accumulated equality deletes.
+
+    Plan shape: data scan LEFT ANTI JOIN (broadcast) the union of delete
+    files — zero shuffle on the data side, predicate/column pushdown on
+    the scan untouched (the anti-join adds only the key columns to the
+    read set it needs anyway). With no delete files this IS the plain
+    scan (no join node at all, so post-compaction reads pay nothing).
+    ``broadcast_deletes=False`` falls back to a shuffled anti-join for a
+    pathological delete backlog bigger than executor memory — the real
+    fix there is ``mor_compact``, which such a backlog is overdue for.
+    """
+    import os
+
+    if os.path.exists(_mor_journal(path)):
+        raise RuntimeError(
+            f"mor_read: table {path} has a pending compaction journal; "
+            "run recover_mor(path) (any maintenance op does) before reading"
+        )
+    data = spark.read.parquet(path)
+    dirs = _mor_delete_dirs(path)
+    if not dirs:
+        return data
+    cols = key_cols or _mor_keycols(path)
+    deletes = spark.read.parquet(*dirs).select(*cols)
+    right = F.broadcast(deletes) if broadcast_deletes else deletes
+    return data.join(right, on=cols, how="left_anti")
+
+
+def _apply_mor_compact(path: str, j: dict) -> None:
+    """Idempotent journaled apply for ``mor_compact`` — safe to re-run
+    from any crash point (every step is an existence-checked rename)."""
+    import os
+    import shutil
+
+    staging = j["staging"]
+    old_area = os.path.join(staging, "_old")
+    os.makedirs(old_area, exist_ok=True)
+    if j["mode"] == "flat":
+        for f in j["old_files"]:
+            src = os.path.join(path, f)
+            if os.path.isfile(src):
+                os.rename(src, os.path.join(old_area, f))
+        for f in j["staged_files"]:
+            src = os.path.join(staging, f)
+            if os.path.isfile(src):
+                os.rename(src, os.path.join(path, f))
+    else:  # partitioned: same per-dir swap as the COW MERGE commit
+        _apply_merge_swap(path, staging, j["staged_dirs"],
+                          j.get("deleted_dirs", []), old_area)
+    # consume the folded delete files last: if we crash before this, the
+    # replay re-moves nothing above and re-consumes here; an anti-join of
+    # already-deleted keys against the compacted data is a no-op anyway
+    for d in j["consumed_deletes"]:
+        src = os.path.join(path, _DELETES_DIR, d)
+        if os.path.isdir(src):
+            os.rename(src, os.path.join(old_area, "consumed." + d))
+    sidecar = os.path.join(path, _DELETES_DIR, "_keycols.json")
+    if j.get("drop_sidecar") and os.path.exists(sidecar):
+        os.remove(sidecar)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_mor(path: str) -> bool:
+    """Complete a ``mor_compact`` commit that crashed mid-apply; returns
+    True when a pending journal was found. Invoked automatically at the
+    start of every MoR maintenance op (``mor_delete`` / ``mor_compact``)."""
+    import json
+    import os
+
+    journal = _mor_journal(path)
+    if not os.path.exists(journal):
+        return False
+    with open(journal) as fh:
+        j = json.load(fh)
+    if os.path.isdir(j["staging"]) or any(
+        os.path.isdir(os.path.join(path, _DELETES_DIR, d))
+        for d in j["consumed_deletes"]
+    ):
+        _apply_mor_compact(path, j)
+    os.remove(journal)
+    return True
+
+
+def _disk_partition_dirs(path: str) -> list[str]:
+    import os
+
+    return sorted(
+        d for d in os.listdir(path)
+        if "=" in d and not d.startswith(("_", "."))
+        and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def mor_compact(spark, path: str, part_col: str | None = None,
+                prune: bool = True,
+                repartition_output: bool = False) -> int:
+    """Fold every committed delete file into the data files (one COW
+    rewrite), leaving the table readable by a bare scan again; returns
+    the number of delete files consumed.
+
+    Flat (unpartitioned) tables rewrite wholesale: staged survivors swap
+    in file-by-file under an intent journal — atomic-per-rename,
+    replayable by ``recover_mor`` from any crash point, nothing
+    destroyed until the journal clears (the same discipline as the
+    partitioned MERGE commit).
+
+    With ``part_col`` (hive-partitioned table) the rewrite is
+    PARTITION-PRUNED: only partitions carrying delete keys are read,
+    anti-joined, and swapped — the 10^12-row answer, requiring
+    ``part_col`` to be part of the pinned equality key (a global delete
+    key can match rows in unread partitions, which no pruned rewrite can
+    honor; committing partition-scoped keys is how Iceberg's
+    partition-granularity deletes work too). A backlog of GLOBAL keys on
+    a partitioned table compacts with ``prune=False``: one full
+    partition-preserving rewrite (every partition dir swaps), the price
+    of having committed unscoped keys.
+
+    ``repartition_output`` stays False by default: binary payload
+    columns must not cross an exchange (CLAUDE.md, measured 10x) — the
+    survivors stream scan→write; small-file cleanup belongs to the
+    checkpoint layer's compaction.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    recover_mor(path)
+    dirs = _mor_delete_dirs(path)
+    if not dirs:
+        return 0
+    cols = _mor_keycols(path)
+    deletes = spark.read.parquet(*dirs).select(*cols)
+    base = path.rstrip("/")
+    staging = f"{base}._mor_staging-{uuid.uuid4().hex[:12]}"
+    j: dict = {
+        "staging": staging,
+        "consumed_deletes": [os.path.basename(d) for d in dirs],
+        "drop_sidecar": True,
+    }
+    if part_col is None:
+        if _disk_partition_dirs(path):
+            raise ValueError(
+                f"mor_compact: {path} is hive-partitioned; pass part_col "
+                "(pruned rewrite for partition-scoped keys, prune=False "
+                "for a global-key backlog)"
+            )
+        survivors = spark.read.parquet(path).join(
+            F.broadcast(deletes), on=cols, how="left_anti"
+        )
+        if repartition_output:
+            survivors = survivors.repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        try:
+            survivors.write.mode("overwrite").parquet(staging)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        j.update(
+            mode="flat",
+            old_files=sorted(
+                f for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+            ),
+            # _SUCCESS is excluded: its name collides between old and
+            # staged lists, so a crash-replay after the staged marker
+            # moved in would re-move it out via the old_files arm
+            staged_files=sorted(
+                f for f in os.listdir(staging)
+                if os.path.isfile(os.path.join(staging, f))
+                and not f.startswith(("_", "."))
+            ),
+        )
+    else:
+        if prune and part_col not in cols:
+            raise ValueError(
+                f"mor_compact(part_col={part_col!r}): the pinned delete key "
+                f"{cols} does not include the partition column, so deletes "
+                "are global and the rewrite cannot prune — pass prune=False "
+                "for a full partition-preserving rewrite, or commit "
+                "partition-scoped delete keys"
+            )
+        scan = spark.read.parquet(path)
+        if prune:
+            touched = sorted(
+                (r[0] for r in deletes.select(part_col).distinct().collect()),
+                key=lambda v: (v is not None, str(v)),
+            )
+            non_null = [v for v in touched if v is not None]
+            pred = (F.col(part_col).isin(non_null) if non_null
+                    else F.lit(False))
+            if any(v is None for v in touched):
+                pred = pred | F.col(part_col).isNull()
+            scan = scan.where(pred)
+        survivors = scan.join(F.broadcast(deletes), on=cols, how="left_anti")
+        if repartition_output:
+            survivors = survivors.repartition(F.col(part_col))
+        try:
+            survivors.write.mode("overwrite").partitionBy(part_col).parquet(
+                staging
+            )
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        staged_dirs = sorted(
+            d for d in os.listdir(staging)
+            if d.startswith(f"{part_col}=")
+            and os.path.isdir(os.path.join(staging, d))
+        )
+        if prune:
+            deleted_dirs = []
+            for v in touched:
+                names = _partition_dir_names(spark, part_col, v)
+                if any(n in staged_dirs for n in names):
+                    continue
+                deleted_dirs.extend(
+                    n for n in names if os.path.isdir(os.path.join(path, n))
+                )
+        else:
+            # full rewrite: every on-disk partition dir not re-staged was
+            # fully deleted (names compare directly — same Hive escaping
+            # on both sides by construction)
+            deleted_dirs = [
+                d for d in _disk_partition_dirs(path) if d not in staged_dirs
+            ]
+        j.update(mode="partitioned", staged_dirs=staged_dirs,
+                 deleted_dirs=deleted_dirs)
+    journal = _mor_journal(path)
+    journal_tmp = f"{journal}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(journal_tmp, "w") as fh:
+        json.dump(j, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(journal_tmp, journal)
+    _apply_mor_compact(path, j)
+    os.remove(journal)
+    return len(dirs)

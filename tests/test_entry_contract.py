@@ -72,6 +72,10 @@ R3_GREEN = {
     # connected-components kernel stays driver-exercised in-cap THROUGH
     # image_canon, which composes the same operator)
     "dedup_components",
+    # vacated its slot late in round 4 for image_takedown (TRIPLE-green
+    # r1+r2+r3; the exact hash-group-by kernel stays driver-exercised
+    # in-cap via paragraph_dedup's exact paragraph-hash grouping)
+    "dedup_exact",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -81,7 +85,7 @@ MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
-    "mm_interleave_pack", "image_canon",
+    "mm_interleave_pack", "image_canon", "image_takedown",
 }
 
 
