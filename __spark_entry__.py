@@ -58,7 +58,6 @@ _PRIORITY = [
     # (lang_id vacated its cap slot late in round 4 for
     # mm_interleave_pack: r3-green, and its lang-ID builder stays
     # driver-exercised in-cap via corpus_curation's lang_pred filter)
-    "doc_fingerprint",
     "repetition", "boilerplate", "decontaminate",
     # interleaved multimodal packing (round-4 late addition, never
     # driver-verified)
@@ -74,9 +73,13 @@ _PRIORITY = [
     "image_neardup", "image_canon", "image_takedown",
     # embeddings / ANN (ann_ivf_delta added round 4 — the O(batch)
     # incremental index-maintenance proof, never driver-verified, so it
-    # takes the cap slot vocab_topk vacates)
-    "ann_topk", "ann_ivf", "ann_ivf_delta", "embedding_neardup",
-    "crossmodal_align",
+    # takes the cap slot vocab_topk vacates; ann_filtered added late in
+    # round 4 — metadata-filtered ANN over the carry-cols index, never
+    # driver-verified, taking the slot doc_fingerprint vacates:
+    # TRIPLE-green r1+r2+r3, and the rolling-hash fingerprint builder
+    # stays covered by the cross-engine fuzz suite)
+    "ann_topk", "ann_ivf", "ann_ivf_delta", "ann_filtered",
+    "embedding_neardup", "crossmodal_align",
     # multimodal flagships + composite pipeline (ar_bucket added late in
     # round 4 — SDXL-style aspect-ratio bucket assignment, never
     # driver-verified; it takes the cap slot embedding_quantize vacates:
@@ -108,6 +111,7 @@ _PRIORITY = [
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
+    "doc_fingerprint",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

@@ -1732,6 +1732,90 @@ def q_ann_ivf_delta_oracle() -> str:
     return q_ann_ivf_oracle()
 
 
+_ANN_FILTER = "label % 3 = 1"  # same SQL text in both engines
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN over a persisted index: the corpus index is
+    built with ``label`` carried alongside each vector
+    (``ivf_write_index(carry_cols=...)``) and the top-5 search restricts
+    to ``label % 3 = 1`` rows — "nearest SAFE/en/high-quality vectors",
+    the filtered-vector-search shape every curation pipeline needs. The
+    predicate lands in the pruned parquet scan (``PushedFilters``, next
+    to the probe set's partition pruning — plan-asserted in
+    ``test_pipeline_ops.py``), so neither the filter nor the probe pays
+    a post-scan pass, and no query-time join against a metadata table
+    exists at all. ORACLE mirrors the same probes + filter in SQL, so
+    bucket assignment, carry-through, predicate, and re-rank are all
+    value-checked."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(FX.FIXTURE_DIR, f"ivf_filtered_index_{tag}")
+    SIM.ivf_write_index(emb, cents, path, carry_cols=("label",))
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk_indexed(
+        spark, path, queries, k=5, centroids=cents, nprobe=IVF_NPROBE,
+        where=_ANN_FILTER,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_u",
+    )
+
+
+def q_ann_filtered_oracle() -> str:
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    k = len(cents)
+    qd = ", ".join(
+        f"{SIM.centroid_dist_sql('qv', c, 'duckdb')} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    cd = ", ".join(
+        f"{SIM.centroid_dist_sql('embedding', c, 'duckdb')} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    bucket = SIM.argmin_case_sql([f"d{i}" for i in range(k)])
+    probe_union = " UNION ALL ".join(
+        f"SELECT query_id, qv, {i} AS bucket, d{i} AS pdist FROM q"
+        for i in range(k)
+    )
+    dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
+    nq = SIM.norm_u_sql("q.qv", "duckdb")
+    nc = SIM.norm_u_sql("c.embedding", "duckdb")
+    cos = SIM.cosine_u_sql(dot, nc, nq)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {qd}
+                   FROM embeddings WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qv, bucket FROM ({probe_union})
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pdist, bucket) <= {IVF_NPROBE}
+        ),
+        cb AS (
+          SELECT vec_id, embedding, {bucket} AS bucket
+          FROM (SELECT vec_id, embedding, {cd} FROM embeddings
+                WHERE {_ANN_FILTER})
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id, {cos} AS cos_u
+          FROM cb c JOIN probes q USING (bucket)
+        )
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_u DESC, vec_id)::BIGINT AS rank,
+               vec_id::BIGINT AS vec_id, cos_u
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
 def _pii_augmented_sql(dialect: str) -> str:
     """Deterministic PII-bearing corpus: 3 of every 4 documents gain a
     synthetic email / phone / SSN+IP suffix derived from doc_id — the
@@ -2353,6 +2437,7 @@ QUERIES = {
     "image_neardup": q_image_neardup,
     "image_canon": q_image_canon,
     "image_takedown": q_image_takedown,
+    "ann_filtered": q_ann_filtered,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
@@ -2410,6 +2495,7 @@ ORACLES = {
     "image_neardup": q_image_neardup_oracle(),
     "image_canon": q_image_canon_oracle(),
     "image_takedown": q_image_takedown_oracle(),
+    "ann_filtered": q_ann_filtered_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),

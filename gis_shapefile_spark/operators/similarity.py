@@ -467,6 +467,7 @@ def ivf_write_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """One-time IVF index build: assign buckets, precompute norms, write
     BUCKET-PARTITIONED parquet. This is the amortization that makes IVF
@@ -475,12 +476,20 @@ def ivf_write_index(
     indexed layout pays assignment once and lets every query's probe set
     prune partitions at the source.
 
+    ``carry_cols`` stores metadata columns (lang, quality decile, source,
+    license flag) alongside each vector, making the index FILTERABLE:
+    ``ivf_topk_indexed(where=...)`` pushes predicates on these columns
+    into the pruned parquet scan (row-group stats + column pruning),
+    which is how metadata-filtered ANN avoids a corpus join at query
+    time.
+
     Rows are clustered by bucket before the partitioned write: without it
     every write task emits a file into every bucket directory (tasks ×
     buckets tiny files — measured 3970 files for 64 buckets); clustered,
     each bucket is a handful of scan-sized files."""
+    cols = [F.col(id_col), F.col(vec_col), *(F.col(c) for c in carry_cols)]
     assigned = ivf_assign_batch(
-        _with_norm(corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn"),
+        _with_norm(corpus.select(*cols), vec_col, "_cn"),
         centroids,
         vec_col,
     )
@@ -496,8 +505,13 @@ def ivf_index_append(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """O(batch) incremental maintenance of a bucket-partitioned IVF index.
+
+    ``carry_cols`` must match the set the index was built with
+    (``ivf_write_index``) — schema-divergent appends would union-read
+    with nulled metadata and silently drop rows from filtered queries.
 
     A crawl batch of new vectors is assigned to its nearest centroids
     (the same Arrow-batched ``ivf_assign_batch`` pipeline the full build
@@ -519,8 +533,9 @@ def ivf_index_append(
     Replays are the caller's concern: an append is not idempotent, so a
     resumable pipeline guards it with the journal-marker pattern
     (``plans.checkpoint``) exactly like any other sink."""
+    cols = [F.col(id_col), F.col(vec_col), *(F.col(c) for c in carry_cols)]
     assigned = ivf_assign_batch(
-        _with_norm(batch.select(F.col(id_col), F.col(vec_col)), vec_col, "_cn"),
+        _with_norm(batch.select(*cols), vec_col, "_cn"),
         centroids,
         vec_col,
     )
@@ -750,6 +765,7 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    where: str | None = None,
 ) -> DataFrame:
     """IVF ANN over a prebuilt bucket-partitioned index (``ivf_write_index``).
 
@@ -759,9 +775,19 @@ def ivf_topk_indexed(
     partitioned index read, so only ~nprobe/C of the corpus files are
     READ — scan reduction at the source, not post-scan filtering. Exact
     integerized cosine re-ranks candidates; output matches ``ivf_topk``
-    with the same centroids/nprobe (tested)."""
+    with the same centroids/nprobe (tested).
+
+    ``where`` — metadata-filtered ANN: a SQL predicate over the index's
+    ``carry_cols`` (e.g. ``"label % 3 = 1"``), applied BEFORE the bucket
+    join so Catalyst pushes it into the pruned parquet scan (shows up in
+    ``PushedFilters`` alongside the bucket ``PartitionFilters``; both
+    reductions happen at the source). Top-k then ranks only rows
+    passing the predicate — the "nearest SAFE/en/high-quality images"
+    query every curation pipeline runs, with no corpus re-join."""
     probes_pdf = _probe_table_pdf(queries, centroids, nprobe, vec_col, query_id_col)
     assigned = spark.read.parquet(index_path)
+    if where is not None:
+        assigned = assigned.where(F.expr(where))
     if len(probes_pdf) == 0:
         return (
             assigned.select(

@@ -76,6 +76,10 @@ R3_GREEN = {
     # r1+r2+r3; the exact hash-group-by kernel stays driver-exercised
     # in-cap via paragraph_dedup's exact paragraph-hash grouping)
     "dedup_exact",
+    # vacated its slot late in round 4 for ann_filtered (TRIPLE-green
+    # r1+r2+r3; the rolling-hash fingerprint builder stays covered by
+    # the cross-engine fuzz suite)
+    "doc_fingerprint",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -85,7 +89,7 @@ MUST_BE_IN_CAP = {
     "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
-    "mm_interleave_pack", "image_canon", "image_takedown",
+    "mm_interleave_pack", "image_canon", "image_takedown", "ann_filtered",
 }
 
 

@@ -453,6 +453,67 @@ def test_ivf_indexed_matches_inline(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_ivf_filtered_search(spark, tmp_path):
+    """Metadata-filtered ANN: carry_cols lands in the index, the where
+    predicate restricts top-k exactly to pre-filtered inline results,
+    and the predicate is PUSHED into the parquet scan (PushedFilters),
+    composing with the probe set's partition pruning."""
+    pdf = _vecs(120)
+    pdf["label"] = [i % 5 for i in range(120)]
+    df = spark.createDataFrame(pdf)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=4
+    )
+    idx = str(tmp_path / "ivf_idx_f")
+    SIM.ivf_write_index(df, cents, idx, carry_cols=("label",))
+    assert "label" in spark.read.parquet(idx).columns
+
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    filtered = SIM.ivf_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, nprobe=2,
+        where="label % 2 = 0",
+    )
+    # ground truth: inline IVF over the PRE-filtered corpus (same
+    # centroids/nprobe — the filter commutes with bucket assignment
+    # because buckets are per-row)
+    inline = SIM.ivf_topk(
+        df.where("label % 2 = 0"), queries, k=5, centroids=cents, nprobe=2
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+    )
+    got = key(filtered.collect())
+    assert got == key(inline.collect())
+    # every returned vec_id satisfies the predicate
+    ok = {r.vec_id for r in df.where("label % 2 = 0").collect()}
+    assert all(v in ok for (_, _, v, _) in got)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "label" in plan.split(
+        "PushedFilters: ["
+    )[1][:200]
+
+    # append with matching carry set keeps the index filterable; a
+    # schema check on the reader side still sees one label column
+    extra = _vecs(10)
+    extra["vec_id"] = extra["vec_id"] + 1000
+    extra["label"] = [0] * 10
+    SIM.ivf_index_append(
+        spark, idx, spark.createDataFrame(extra), cents,
+        carry_cols=("label",),
+    )
+    again = SIM.ivf_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, nprobe=2,
+        where="label % 2 = 0",
+    )
+    inline2 = SIM.ivf_topk(
+        df.unionByName(spark.createDataFrame(extra)).where("label % 2 = 0"),
+        queries, k=5, centroids=cents, nprobe=2,
+    )
+    assert key(again.collect()) == key(inline2.collect())
+
+
 def test_ivf_index_append_parity_and_churn(spark, tmp_path):
     """ivf_index_append: (a) the merged base+batch index answers queries
     exactly like a monolithic full-corpus build (same centroids/nprobe);
