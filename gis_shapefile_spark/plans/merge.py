@@ -446,7 +446,7 @@ def _mor_keycols(path: str) -> list[str] | None:
 
 
 def mor_delete(spark, path: str, keys_df: DataFrame,
-               key_cols: list[str]) -> str:
+               key_cols: list[str], tag: str | None = None) -> str:
     """Commit one equality-delete file against the parquet table at
     ``path``; returns the committed delete-dir path.
 
@@ -457,12 +457,24 @@ def mor_delete(spark, path: str, keys_df: DataFrame,
     a key with no matching data row is a no-op (idempotent takedowns),
     and re-committing the same keys is harmless (anti-join semantics).
 
+    ``tag`` names the delete file deterministically
+    (``delete-<tag>``): when that dir already exists the commit is a
+    NO-OP replay marker, the exactly-once primitive the streaming
+    takedown sink builds on (an anonymous commit gets a uuid tag and
+    always publishes). A marker consumed by an intervening
+    ``mor_compact`` no longer short-circuits its replay — the re-applied
+    delete file is then redundant-but-harmless (equality deletes of
+    already-deleted keys are anti-join no-ops), so exactly-once here
+    means "no duplicate backlog within a compaction window", not a
+    correctness boundary.
+
     The first batch pins ``key_cols`` in ``_keycols.json``; later batches
     must use the same set (mixed-key delete files would union-read with
     nulled columns and silently stop matching).
     """
     import json
     import os
+    import shutil
     import uuid
 
     recover_mor(path)  # complete any crashed prior compaction first
@@ -478,14 +490,22 @@ def mor_delete(spark, path: str, keys_df: DataFrame,
         raise ValueError(f"mor_delete: keys_df lacks key columns {missing}")
     droot = os.path.join(path, _DELETES_DIR)
     os.makedirs(droot, exist_ok=True)
-    tag = uuid.uuid4().hex[:12]
+    tag = tag or uuid.uuid4().hex[:12]
     tmp = os.path.join(droot, f".tmp-{tag}")
     final = os.path.join(droot, f"delete-{tag}")
+    if os.path.isdir(final):  # tagged replay: already committed
+        return final
     # delete batches are key-only and takedown-scale: one file per batch
+    # (mode=overwrite also clears a stale tmp from a crashed prior try)
     keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
-    os.rename(tmp, final)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if not os.path.isdir(final):  # pragma: no cover - real rename error
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a same-tag race
     if pinned is None:
         sidecar_tmp = os.path.join(droot, f"._keycols.tmp-{tag}")
         with open(sidecar_tmp, "w") as fh:

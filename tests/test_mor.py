@@ -217,6 +217,68 @@ def test_mor_compact_crash_mid_swap_recovers(spark, tmp_path):
     )
 
 
+def test_mor_delete_tagged_replay_short_circuits(spark, tmp_path):
+    """A tagged delete commit is idempotent: the second commit with the
+    same tag publishes nothing new, even with DIFFERENT keys (the marker
+    dir is the replay guard, mirroring a foreachBatch retry that re-runs
+    with the same batch id)."""
+    path = str(tmp_path / "t")
+    _mk_flat(spark, path, n=20)
+    p1 = M.mor_delete(spark, path, _keys(spark, [1, 2]), ["k"], tag="b1")
+    p2 = M.mor_delete(spark, path, _keys(spark, [3, 4]), ["k"], tag="b1")
+    assert p1 == p2
+    assert len(M._mor_delete_dirs(path)) == 1
+    got = sorted(r.k for r in M.mor_read(spark, path).collect())
+    assert got == sorted(set(range(20)) - {1, 2})  # first commit wins
+
+
+def test_streaming_takedown_sink(spark, tmp_path):
+    """Three stream runs over a growing takedown feed: survivors via
+    mor_read match the cumulative key set after each run, a no-new-files
+    rerun commits no new delete file, mid-stream compaction folds the
+    backlog without disturbing later batches, and a replayed batch id
+    short-circuits on its marker."""
+    import os
+
+    from gis_shapefile_spark.streaming.takedown_stream import (
+        streaming_takedown_sink,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_flat(spark, path, n=60)
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed, exist_ok=True)
+
+    def push(ks, part):
+        _keys(spark, ks).coalesce(1).write.parquet(
+            f"{feed}/part={part}", mode="overwrite"
+        )
+
+    def run():
+        stream = spark.readStream.schema("k long").option(
+            "recursiveFileLookup", "true"
+        ).parquet(feed)
+        streaming_takedown_sink(spark, stream, path, ["k"], ckpt)
+
+    gone: set[int] = set()
+    for i, ks in enumerate([[1, 2, 3], [10, 11], [30]]):
+        push(ks, i)
+        run()
+        gone.update(ks)
+        got = sorted(r.k for r in M.mor_read(spark, path).collect())
+        assert got == sorted(set(range(60)) - gone), f"after run {i}"
+        if i == 1:
+            # mid-stream maintenance: fold the backlog; later batches
+            # keep committing against the compacted table
+            assert M.mor_compact(spark, path) == 2
+            assert spark.read.parquet(path).count() == 60 - len(gone)
+
+    n_files = len(M._mor_delete_dirs(path))
+    run()  # no new feed files -> no new delete file
+    assert len(M._mor_delete_dirs(path)) == n_files
+
+
 def test_mor_delete_is_atomic_publish(spark, tmp_path):
     """No .tmp- delete dir may remain after a commit, and the published
     dir name carries the delete- prefix the reader globs."""
