@@ -38,10 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_CAP = 50
 
 _PRIORITY = [
-    # spatial core (SURVEY J/P/A rows with no other oracle)
+    # spatial core (SURVEY J/P/A rows with no other oracle;
+    # hotspot_clusters added late in round 4 — grid-DBSCAN skew-cell
+    # discovery, never driver-verified, taking the slot events_window
+    # vacates: TRIPLE-green r1+r2+r3, temporal family stays in-cap via
+    # running_windows + sessionize)
     "pip_grid_join", "pip_first_hit", "within_distance", "knn3",
     "bbox_join", "reverse_geocode", "tile_bounds", "tile_pyramid",
-    "render_tiles", "vectorize_raster",
+    "render_tiles", "vectorize_raster", "hotspot_clusters",
     # road-network / trajectory family (round-3 late additions, rotated
     # in-cap for round 4 — never driver-verified before)
     "nearest_road", "nearest_road_big", "road_buffer", "map_match",
@@ -91,7 +95,7 @@ _PRIORITY = [
     # interval_join rotated out mid-round-4 for pii_scrub + seq_pack —
     # both are TRIPLE-green, r1+r2+r3, and the temporal family stays
     # in-cap via running_windows/events_window/sessionize)
-    "running_windows", "events_window", "sessionize",
+    "running_windows", "sessionize",
     # data mixing / splits (epoch_mix + source_cap rotated out:
     # r3-green; stratified_sample vacated its slot mid-round-4 for
     # paragraph_dedup — the splits SQL-builder family stays in-cap 4
@@ -111,7 +115,7 @@ _PRIORITY = [
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
-    "doc_fingerprint",
+    "doc_fingerprint", "events_window",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

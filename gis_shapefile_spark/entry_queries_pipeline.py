@@ -987,6 +987,43 @@ def q_image_takedown_oracle() -> str:
     """
 
 
+HOTSPOT_RES = 6
+HOTSPOT_MIN = 12
+
+
+def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot discovery over the image table (grid-DBSCAN):
+    core cells (>= 12 images at res 6) label into clusters of 8-adjacent
+    cells — surfacing exactly the planted Zipfian urban cluster the
+    fixture uses to force join skew (FIXTURES.md §2), i.e. the cells the
+    partitioner must salt. Point table pays ONE partial-agg shuffle;
+    adjacency (demorton -> offset -> re-pack, integer codegen) and
+    min-label components run on the bounded occupied-cell table only.
+    ORACLE recomputes the histogram + core filter with the same integer
+    SQL, adjacency as a theta join on the demortoned axes, and the
+    labels as a recursive-CTE closure — so the cell math, the
+    8-neighborhood blocking, and the component labels are all
+    value-checked."""
+    from .operators.clustering import hotspot_clusters
+
+    path = FX.images_parquet_path(n=2000)
+    images = spark.read.parquet(path)
+    return hotspot_clusters(
+        images, res=HOTSPOT_RES, min_count=HOTSPOT_MIN
+    )
+
+
+def q_hotspot_clusters_oracle() -> str:
+    from .operators.clustering import hotspot_cluster_sql
+
+    path = FX.images_parquet_path(n=2000)
+    return hotspot_cluster_sql(
+        f"SELECT lng, lat FROM read_parquet('{path}')",
+        HOTSPOT_RES,
+        HOTSPOT_MIN,
+    )
+
+
 def q_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint image+text curation: one decode pass recomputes every phash
     and CARRIES the caption through (no id re-join), then codegen caption
@@ -2438,6 +2475,7 @@ QUERIES = {
     "image_canon": q_image_canon,
     "image_takedown": q_image_takedown,
     "ann_filtered": q_ann_filtered,
+    "hotspot_clusters": q_hotspot_clusters,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
@@ -2496,6 +2534,7 @@ ORACLES = {
     "image_canon": q_image_canon_oracle(),
     "image_takedown": q_image_takedown_oracle(),
     "ann_filtered": q_ann_filtered_oracle(),
+    "hotspot_clusters": q_hotspot_clusters_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),

@@ -80,6 +80,11 @@ R3_GREEN = {
     # r1+r2+r3; the rolling-hash fingerprint builder stays covered by
     # the cross-engine fuzz suite)
     "doc_fingerprint",
+    # vacated its slot late in round 4 for hotspot_clusters (TRIPLE-green
+    # r1+r2+r3; the temporal family stays in-cap via running_windows +
+    # sessionize, and the tumbling-window builder is pytest-covered by
+    # the streaming batch-parity suite)
+    "events_window",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -90,6 +95,7 @@ MUST_BE_IN_CAP = {
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
     "mm_interleave_pack", "image_canon", "image_takedown", "ann_filtered",
+    "hotspot_clusters",
 }
 
 
