@@ -62,7 +62,7 @@ _PRIORITY = [
     # (lang_id vacated its cap slot late in round 4 for
     # mm_interleave_pack: r3-green, and its lang-ID builder stays
     # driver-exercised in-cap via corpus_curation's lang_pred filter)
-    "repetition", "boilerplate", "decontaminate",
+    "boilerplate", "decontaminate",
     # interleaved multimodal packing (round-4 late addition, never
     # driver-verified)
     "mm_interleave_pack",
@@ -89,7 +89,12 @@ _PRIORITY = [
     # driver-verified; it takes the cap slot embedding_quantize vacates:
     # r3-green, and the embedding family stays in-cap 5 ways via
     # ann_topk/ann_ivf/ann_ivf_delta/embedding_neardup/crossmodal_align)
+    # (wds_roundtrip added late in round 4 — WebDataset tar shard
+    # sink/source losslessness, never driver-verified, taking the slot
+    # repetition vacates: r2+r3-green, and the text-quality family stays
+    # in-cap via boilerplate + caption_curation)
     "image_tiling", "caption_curation", "ar_bucket", "corpus_curation",
+    "wds_roundtrip",
     # events / temporal (hourly_gapfill rotated out: r3-green; the
     # gapfill dtype mirror stays pytest-covered; asof_join +
     # interval_join rotated out mid-round-4 for pii_scrub + seq_pack —
@@ -115,7 +120,7 @@ _PRIORITY = [
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
-    "doc_fingerprint", "events_window",
+    "doc_fingerprint", "events_window", "repetition",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

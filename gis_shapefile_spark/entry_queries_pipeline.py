@@ -1024,6 +1024,47 @@ def q_hotspot_clusters_oracle() -> str:
     )
 
 
+def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset export/import round-trip: the image table packs into
+    tar shards (one per input partition, bytes never crossing an
+    exchange — the last stage of every image-text curation pipeline)
+    and reads back distributed (one task per shard). The ORACLE is the
+    source fixture itself, so the hash match proves the sink/source
+    pair is LOSSLESS per row: payload byte length, caption (byte-exact
+    — the north-rule invariant), and the typed metadata incl. the
+    stored phash all survive the tar boundary."""
+    import os
+    import shutil
+
+    from .sources import webdataset as W
+
+    src = FX.images_parquet_path(n=2000)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(FX.FIXTURE_DIR, f"wds_shards_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    W.write_shards(spark.read.parquet(src), out).collect()
+    back = W.read_shards_df(spark, out)
+    return back.select(
+        "image_id",
+        F.expr("octet_length(bytes)").cast("long").alias("nb"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "fmt",
+        "phash",
+        "caption",
+    )
+
+
+def q_wds_roundtrip_oracle() -> str:
+    src = FX.images_parquet_path(n=2000)
+    return f"""
+        SELECT image_id,
+               octet_length(bytes)::BIGINT AS nb,
+               w::BIGINT AS w, h::BIGINT AS h, fmt, phash, caption
+        FROM read_parquet('{src}')
+    """
+
+
 def q_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint image+text curation: one decode pass recomputes every phash
     and CARRIES the caption through (no id re-join), then codegen caption
@@ -2476,6 +2517,7 @@ QUERIES = {
     "image_takedown": q_image_takedown,
     "ann_filtered": q_ann_filtered,
     "hotspot_clusters": q_hotspot_clusters,
+    "wds_roundtrip": q_wds_roundtrip,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
     "decontaminate": q_decontaminate,
@@ -2535,6 +2577,7 @@ ORACLES = {
     "image_takedown": q_image_takedown_oracle(),
     "ann_filtered": q_ann_filtered_oracle(),
     "hotspot_clusters": q_hotspot_clusters_oracle(),
+    "wds_roundtrip": q_wds_roundtrip_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),
     "decontaminate": q_decontaminate_oracle(),

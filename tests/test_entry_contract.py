@@ -85,6 +85,10 @@ R3_GREEN = {
     # sessionize, and the tumbling-window builder is pytest-covered by
     # the streaming batch-parity suite)
     "events_window",
+    # vacated its slot late in round 4 for wds_roundtrip (r2+r3-green;
+    # the text-quality family stays in-cap via boilerplate +
+    # caption_curation)
+    "repetition",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -95,7 +99,7 @@ MUST_BE_IN_CAP = {
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
     "mm_interleave_pack", "image_canon", "image_takedown", "ann_filtered",
-    "hotspot_clusters",
+    "hotspot_clusters", "wds_roundtrip",
 }
 
 
