@@ -82,7 +82,12 @@ _PRIORITY = [
     # driver-verified, taking the slot doc_fingerprint vacates:
     # TRIPLE-green r1+r2+r3, and the rolling-hash fingerprint builder
     # stays covered by the cross-engine fuzz suite)
-    "ann_topk", "ann_ivf", "ann_ivf_delta", "ann_filtered",
+    # (ann_recall added late in round 4 — measured recall@k of IVF vs
+    # brute, never driver-verified, taking the slot ann_topk vacates:
+    # TRIPLE-green r1+r2+r3, and the brute cosine_topk kernel stays
+    # driver-exercised in-cap THROUGH ann_recall, which composes it as
+    # the ground-truth arm)
+    "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
     "embedding_neardup", "crossmodal_align",
     # multimodal flagships + composite pipeline (ar_bucket added late in
     # round 4 — SDXL-style aspect-ratio bucket assignment, never
@@ -120,7 +125,7 @@ _PRIORITY = [
     # all r3-green or better):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
-    "doc_fingerprint", "events_window", "repetition",
+    "doc_fingerprint", "events_window", "repetition", "ann_topk",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

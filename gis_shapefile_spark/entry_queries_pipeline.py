@@ -1810,6 +1810,91 @@ def q_ann_ivf_delta_oracle() -> str:
     return q_ann_ivf_oracle()
 
 
+RECALL_K = 10
+RECALL_NQ = 50
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF(nprobe=2) vs exact brute force for 50 query
+    vectors — the evaluation operator that turns "IVF is approximate"
+    into a measured per-query number (tune nprobe/centroids against it).
+    Both arms run in the engine (brute broadcast-scored scan + the
+    bucket-probe IVF) and the ORACLE recomputes both arms AND their
+    intersection in SQL, so the ranking tie-break, the probe pruning,
+    and the hit counting are all value-checked per query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    out = SIM.ann_recall(
+        emb, queries, k=RECALL_K, centroids=cents, nprobe=IVF_NPROBE
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"), "n_hit", "k"
+    )
+
+
+def q_ann_recall_oracle() -> str:
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    nc_ = len(cents)
+    qd = ", ".join(
+        f"{SIM.centroid_dist_sql('qv', c, 'duckdb')} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    cd = ", ".join(
+        f"{SIM.centroid_dist_sql('embedding', c, 'duckdb')} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    bucket = SIM.argmin_case_sql([f"d{i}" for i in range(nc_)])
+    probe_union = " UNION ALL ".join(
+        f"SELECT query_id, qv, {i} AS bucket, d{i} AS pdist FROM q"
+        for i in range(nc_)
+    )
+    dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
+    nq = SIM.norm_u_sql("q.qv", "duckdb")
+    nc = SIM.norm_u_sql("c.embedding", "duckdb")
+    cos = SIM.cosine_u_sql(dot, nc, nq)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {qd}
+                   FROM embeddings WHERE vec_id < {RECALL_NQ}),
+        brute AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {cos} DESC, c.vec_id) AS rn
+            FROM embeddings c CROSS JOIN q
+          ) WHERE rn <= {RECALL_K}
+        ),
+        probes AS (
+          SELECT query_id, qv, bucket FROM ({probe_union})
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pdist, bucket) <= {IVF_NPROBE}
+        ),
+        cb AS (
+          SELECT vec_id, embedding, {bucket} AS bucket
+          FROM (SELECT vec_id, embedding, {cd} FROM embeddings)
+        ),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {cos} DESC, c.vec_id) AS rn
+            FROM cb c JOIN probes q USING (bucket)
+          ) WHERE rn <= {RECALL_K}
+        )
+        SELECT q.query_id::BIGINT AS query_id,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               {RECALL_K}::BIGINT AS k
+        FROM (SELECT DISTINCT query_id FROM q) q
+        LEFT JOIN (
+          SELECT query_id, count(*) AS n_hit
+          FROM brute JOIN approx USING (query_id, vec_id)
+          GROUP BY query_id
+        ) h USING (query_id)
+    """
+
+
 _ANN_FILTER = "label % 3 = 1"  # same SQL text in both engines
 
 
@@ -2516,6 +2601,7 @@ QUERIES = {
     "image_canon": q_image_canon,
     "image_takedown": q_image_takedown,
     "ann_filtered": q_ann_filtered,
+    "ann_recall": q_ann_recall,
     "hotspot_clusters": q_hotspot_clusters,
     "wds_roundtrip": q_wds_roundtrip,
     "ar_bucket": q_ar_bucket,
@@ -2576,6 +2662,7 @@ ORACLES = {
     "image_canon": q_image_canon_oracle(),
     "image_takedown": q_image_takedown_oracle(),
     "ann_filtered": q_ann_filtered_oracle(),
+    "ann_recall": q_ann_recall_oracle(),
     "hotspot_clusters": q_hotspot_clusters_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),

@@ -172,6 +172,50 @@ def cosine_topk(
     )
 
 
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of the IVF approximation against exact brute force —
+    the nprobe/centroid tuning surface every ANN deployment needs
+    (recall is a MEASURED property of data + quantizer, never assumed).
+
+    Output: one row per query, (query_id, n_hit BIGINT, k BIGINT) where
+    n_hit = |IVF top-k ∩ brute top-k|; aggregate n_hit/k over queries
+    for the corpus-level recall curve (run at several nprobe values).
+    Both arms share the deterministic tie-break (cos desc, id), so
+    recall is exact and engine-portable, not sample-noisy.
+
+    Cost shape: the brute arm is the ground-truth pass you run on a
+    query SAMPLE (queries broadcast, corpus scanned once); the IVF arm
+    is the production path. The intersection is a (query, id) equi-join
+    on two k·|queries|-row frames — negligible. At 10^12 rows you
+    evaluate on thousands of sampled queries, never the full query log.
+    """
+    brute = cosine_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col
+    ).select(query_id_col, id_col)
+    approx = ivf_topk(
+        corpus, queries, k, centroids, nprobe, id_col, vec_col, query_id_col
+    ).select(query_id_col, id_col)
+    hits = brute.join(approx, [query_id_col, id_col]).groupBy(
+        query_id_col
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    # left join against the query set so zero-recall queries still report
+    qs = queries.select(query_id_col).distinct()
+    return qs.join(hits, query_id_col, "left").select(
+        query_id_col,
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.lit(int(k)).cast("long").alias("k"),
+    )
+
+
 def hyperplane_signature_sql(
     vec: str, planes: np.ndarray, dialect: str = "spark"
 ) -> str:

@@ -89,6 +89,10 @@ R3_GREEN = {
     # the text-quality family stays in-cap via boilerplate +
     # caption_curation)
     "repetition",
+    # vacated its slot late in round 4 for ann_recall (TRIPLE-green
+    # r1+r2+r3; the brute cosine_topk kernel stays driver-exercised
+    # in-cap THROUGH ann_recall's ground-truth arm)
+    "ann_topk",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -99,7 +103,7 @@ MUST_BE_IN_CAP = {
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
     "mm_interleave_pack", "image_canon", "image_takedown", "ann_filtered",
-    "hotspot_clusters", "wds_roundtrip",
+    "hotspot_clusters", "wds_roundtrip", "ann_recall",
 }
 
 

@@ -453,6 +453,32 @@ def test_ivf_indexed_matches_inline(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_ann_recall_semantics(spark):
+    """Recall@k: nprobe == n_centroids degrades IVF to brute (all hits);
+    recall is per-query MONOTONE in nprobe (a member of the true top-k
+    inside the probed candidate set is always in the candidate top-k);
+    every query reports, bounded by k."""
+    pdf = _vecs(200)
+    df = spark.createDataFrame(pdf)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=6
+    )
+    queries = df.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    by_np = {}
+    for nprobe in (1, 3, 6):
+        out = SIM.ann_recall(
+            df, queries, k=5, centroids=cents, nprobe=nprobe
+        ).collect()
+        assert len(out) == 12  # every query reports, even zero-recall
+        assert all(0 <= r.n_hit <= r.k == 5 for r in out)
+        by_np[nprobe] = {r.query_id: r.n_hit for r in out}
+    assert all(v == 5 for v in by_np[6].values())  # full probe == brute
+    for q in by_np[1]:
+        assert by_np[1][q] <= by_np[3][q] <= by_np[6][q]
+
+
 def test_ivf_filtered_search(spark, tmp_path):
     """Metadata-filtered ANN: carry_cols lands in the index, the where
     predicate restricts top-k exactly to pre-filtered inline results,
