@@ -73,8 +73,12 @@ _PRIORITY = [
     # its slot late in round 4 for image_takedown: TRIPLE-green r1+r2+r3,
     # and the exact hash-group-by kernel stays driver-exercised in-cap
     # via paragraph_dedup's exact paragraph-hash grouping)
+    # (joint_dedup added late in round 4 — cross-modal edge-union
+    # components, never driver-verified, taking the slot train_val_split
+    # vacates: r1+r3-green, and the splits SQL-builder family stays
+    # in-cap via quality_deciles/mixture_sample/seq_pack)
     "dedup_minhash", "dedup_simhash_pairs",
-    "image_neardup", "image_canon", "image_takedown",
+    "image_neardup", "image_canon", "image_takedown", "joint_dedup",
     # embeddings / ANN (ann_ivf_delta added round 4 — the O(batch)
     # incremental index-maintenance proof, never driver-verified, so it
     # takes the cap slot vocab_topk vacates; ann_filtered added late in
@@ -111,7 +115,7 @@ _PRIORITY = [
     # paragraph_dedup — the splits SQL-builder family stays in-cap 4
     # ways via train_val_split/quality_deciles/mixture_sample/seq_pack,
     # the round-4 concat-and-chunk packing member)
-    "train_val_split", "quality_deciles", "mixture_sample", "seq_pack",
+    "quality_deciles", "mixture_sample", "seq_pack",
     # curation (round-4 additions, never driver-verified)
     "pii_scrub", "paragraph_dedup",
     # --- position 51+ from here: every entry below has a driver-green
@@ -126,6 +130,7 @@ _PRIORITY = [
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",
+    "train_val_split",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     # relational demos / redundant variants (driver-green r1+r2):

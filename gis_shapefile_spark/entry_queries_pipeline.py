@@ -920,6 +920,128 @@ def q_image_canon_oracle() -> str:
 
 _TAKEDOWN_NUM = "CAST(substr(image_id, 5) AS BIGINT)"  # 'img_%09d' digits
 
+N_REPOST = 100
+_REPOST_SRC_OFF = 500
+
+
+def _joint_corpus(spark: SparkSession):
+    """Fixture near-dup images ∪ 100 planted REPOSTS: repost i reuses
+    row i's caption but row (i+500)'s pixel payload — caption-identical,
+    pixel-unrelated. With the fixture's perturbed copies (pixel-near,
+    caption-identical to their sources) the corpus then has components
+    only reachable through BOTH edge types."""
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    base = spark.read.parquet(path)
+    orig = base.where(~F.col("image_id").startswith("img_dup")).select(
+        F.expr(_TAKEDOWN_NUM).alias("_num"), "image_id", "bytes", "w", "h",
+        "fmt", "phash", "caption",
+    )
+    cap_side = orig.where(F.col("_num") < N_REPOST).select(
+        F.col("_num").alias("_k"), "caption"
+    )
+    px_side = orig.where(
+        (F.col("_num") >= _REPOST_SRC_OFF)
+        & (F.col("_num") < _REPOST_SRC_OFF + N_REPOST)
+    ).select(
+        (F.col("_num") - _REPOST_SRC_OFF).alias("_k"),
+        "bytes", "w", "h", "fmt", "phash",
+    )
+    reposts = cap_side.join(px_side, "_k").select(
+        F.concat(
+            F.lit("img_rep"), F.lpad(F.col("_k").cast("string"), 6, "0")
+        ).alias("image_id"),
+        "bytes", "w", "h", "fmt", "phash", "caption",
+    )
+    return base.select(
+        "image_id", "bytes", "w", "h", "fmt", "phash", "caption"
+    ).unionByName(reposts)
+
+
+def q_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal joint dedup — components over the UNION of two edge
+    types: pixel near-duplicates (decode → recomputed phash → pigeonhole
+    hamming ≤ 6 block join) and caption-identical pairs (one equi-join
+    on the caption hash — never all-pairs). The LAION-style rule "same
+    image OR same caption ⇒ same group": the planted reposts are
+    pixel-UNRELATED to their caption twins, and the fixture's perturbed
+    copies are pixel-NEAR their sources, so canonical assignment is only
+    right if both modalities' edges flow into one component labeling —
+    dropping either edge type splits components and breaks the hash.
+    ORACLE brute-forces both edge sets from stored columns and takes the
+    recursive-CTE closure."""
+    from .operators import multimodal as MM
+
+    corpus = _joint_corpus(spark)
+    px_pairs = MM.image_near_pairs(corpus, max_hamming=6).select(
+        "id_1", "id_2"
+    )
+    c = corpus.select("image_id", "caption")
+    cap_pairs = (
+        c.alias("a")
+        .join(c.alias("b"), F.expr("a.caption = b.caption"))
+        .where(F.expr("a.image_id < b.image_id"))
+        .select(
+            F.col("a.image_id").alias("id_1"),
+            F.col("b.image_id").alias("id_2"),
+        )
+    )
+    edges = px_pairs.unionByName(cap_pairs).distinct()
+    comp = DD.connected_components(
+        corpus.select("image_id"), edges, id_col="image_id"
+    )
+    return comp.select(
+        "image_id", F.col("component").alias("canonical_id")
+    )
+
+
+def q_joint_dedup_oracle() -> str:
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT image_id, phash, caption FROM read_parquet('{path}')
+        ),
+        orig AS (
+          SELECT CAST(substr(image_id, 5) AS BIGINT) AS num, *
+          FROM base WHERE image_id NOT LIKE 'img_dup%'
+        ),
+        rep AS (
+          SELECT concat('img_rep',
+                        lpad(CAST(a.num AS VARCHAR), 6, '0')) AS image_id,
+                 b.phash, a.caption
+          FROM (SELECT num, caption FROM orig
+                WHERE num < {N_REPOST}) a
+          JOIN (SELECT num - {_REPOST_SRC_OFF} AS k, phash FROM orig
+                WHERE num >= {_REPOST_SRC_OFF}
+                  AND num < {_REPOST_SRC_OFF + N_REPOST}) b
+            ON b.k = a.num
+        ),
+        corpus AS (
+          SELECT image_id, phash, caption FROM base
+          UNION ALL SELECT image_id, phash, caption FROM rep
+        ),
+        good AS (
+          SELECT a.image_id AS id_1, b.image_id AS id_2
+          FROM corpus a JOIN corpus b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+          UNION
+          SELECT a.image_id, b.image_id
+          FROM corpus a JOIN corpus b
+            ON a.caption = b.caption AND a.image_id < b.image_id
+        ),
+        edges AS (
+          SELECT id_1 AS src, id_2 AS dst FROM good
+          UNION
+          SELECT id_2 AS src, id_1 AS dst FROM good
+        ),
+        reach(node, lbl) AS (
+          SELECT image_id, image_id FROM corpus
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS image_id, min(lbl) AS canonical_id
+        FROM reach GROUP BY node
+    """
+
 
 def q_image_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read takedown pipeline over the image table: batch 1 of
@@ -2600,6 +2722,7 @@ QUERIES = {
     "image_neardup": q_image_neardup,
     "image_canon": q_image_canon,
     "image_takedown": q_image_takedown,
+    "joint_dedup": q_joint_dedup,
     "ann_filtered": q_ann_filtered,
     "ann_recall": q_ann_recall,
     "hotspot_clusters": q_hotspot_clusters,
@@ -2661,6 +2784,7 @@ ORACLES = {
     "image_neardup": q_image_neardup_oracle(),
     "image_canon": q_image_canon_oracle(),
     "image_takedown": q_image_takedown_oracle(),
+    "joint_dedup": q_joint_dedup_oracle(),
     "ann_filtered": q_ann_filtered_oracle(),
     "ann_recall": q_ann_recall_oracle(),
     "hotspot_clusters": q_hotspot_clusters_oracle(),

@@ -93,6 +93,10 @@ R3_GREEN = {
     # r1+r2+r3; the brute cosine_topk kernel stays driver-exercised
     # in-cap THROUGH ann_recall's ground-truth arm)
     "ann_topk",
+    # vacated its slot late in round 4 for joint_dedup (r1+r3-green; the
+    # splits SQL-builder family stays in-cap via quality_deciles/
+    # mixture_sample/seq_pack)
+    "train_val_split",
 }
 
 # Never driver-verified before round 4 (the round-3 late additions plus
@@ -103,7 +107,7 @@ MUST_BE_IN_CAP = {
     "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
     "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
     "mm_interleave_pack", "image_canon", "image_takedown", "ann_filtered",
-    "hotspot_clusters", "wds_roundtrip", "ann_recall",
+    "hotspot_clusters", "wds_roundtrip", "ann_recall", "joint_dedup",
 }
 
 
