@@ -106,9 +106,11 @@ _PRIORITY = [
     "wds_roundtrip",
     # events / temporal (hourly_gapfill rotated out: r3-green; the
     # gapfill dtype mirror stays pytest-covered; asof_join +
-    # interval_join rotated out mid-round-4 for pii_scrub + seq_pack —
-    # both are TRIPLE-green, r1+r2+r3, and the temporal family stays
-    # in-cap via running_windows/events_window/sessionize)
+    # interval_join rotated out mid-round-4 for pii_scrub + seq_pack,
+    # and events_window late in round 4 for hotspot_clusters — all
+    # TRIPLE-green r1+r2+r3; the temporal family stays in-cap via
+    # running_windows + sessionize, the tumbling-window builder via the
+    # streaming batch-parity pytest suite)
     "running_windows", "sessionize",
     # data mixing / splits (epoch_mix + source_cap rotated out:
     # r3-green; stratified_sample vacated its slot mid-round-4 for

@@ -1840,7 +1840,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf_oracle() -> str:
+def _ivf_oracle_ctes(n_queries: int, corpus_where: str | None = None) -> dict:
+    """The shared DuckDB scaffolding every IVF oracle needs — ONE place
+    for the probe tie-break, the centroid-distance expressions, and the
+    bucket argmin, so a fix to any of them cannot silently diverge
+    between ``ann_ivf`` / ``ann_ivf_delta`` / ``ann_filtered`` /
+    ``ann_recall``. Returns CTE bodies for ``q`` (query vectors +
+    per-centroid distances), ``probes`` (nprobe nearest buckets per
+    query), ``cb`` (bucketed corpus, optionally filtered), plus the
+    integerized ``cos`` expression (over aliases ``q``/``c``)."""
     cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
     k = len(cents)
     qd = ", ".join(
@@ -1859,21 +1867,33 @@ def q_ann_ivf_oracle() -> str:
     dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
     nq = SIM.norm_u_sql("q.qv", "duckdb")
     nc = SIM.norm_u_sql("c.embedding", "duckdb")
-    cos = SIM.cosine_u_sql(dot, nc, nq)
+    where = f"WHERE {corpus_where}" if corpus_where else ""
+    return {
+        "q": (
+            f"SELECT vec_id AS query_id, embedding AS qv, {qd} "
+            f"FROM embeddings WHERE vec_id < {n_queries}"
+        ),
+        "probes": (
+            f"SELECT query_id, qv, bucket FROM ({probe_union}) "
+            f"QUALIFY row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY pdist, bucket) <= {IVF_NPROBE}"
+        ),
+        "cb": (
+            f"SELECT vec_id, embedding, {bucket} AS bucket "
+            f"FROM (SELECT vec_id, embedding, {cd} FROM embeddings {where})"
+        ),
+        "cos": SIM.cosine_u_sql(dot, nc, nq),
+    }
+
+
+def q_ann_ivf_oracle() -> str:
+    c = _ivf_oracle_ctes(n_queries=10)
     return f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {qd}
-                   FROM embeddings WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, qv, bucket FROM ({probe_union})
-          QUALIFY row_number() OVER (PARTITION BY query_id
-                                     ORDER BY pdist, bucket) <= {IVF_NPROBE}
-        ),
-        cb AS (
-          SELECT vec_id, embedding, {bucket} AS bucket
-          FROM (SELECT vec_id, embedding, {cd} FROM embeddings)
-        ),
+        WITH q AS ({c["q"]}),
+        probes AS ({c["probes"]}),
+        cb AS ({c["cb"]}),
         scored AS (
-          SELECT q.query_id, c.vec_id, {cos} AS cos_u
+          SELECT q.query_id, c.vec_id, {c["cos"]} AS cos_u
           FROM cb c JOIN probes q USING (bucket)
         )
         SELECT query_id::BIGINT AS query_id,
@@ -1958,28 +1978,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_recall_oracle() -> str:
-    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
-    nc_ = len(cents)
-    qd = ", ".join(
-        f"{SIM.centroid_dist_sql('qv', c, 'duckdb')} AS d{i}"
-        for i, c in enumerate(cents)
-    )
-    cd = ", ".join(
-        f"{SIM.centroid_dist_sql('embedding', c, 'duckdb')} AS d{i}"
-        for i, c in enumerate(cents)
-    )
-    bucket = SIM.argmin_case_sql([f"d{i}" for i in range(nc_)])
-    probe_union = " UNION ALL ".join(
-        f"SELECT query_id, qv, {i} AS bucket, d{i} AS pdist FROM q"
-        for i in range(nc_)
-    )
-    dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
-    nq = SIM.norm_u_sql("q.qv", "duckdb")
-    nc = SIM.norm_u_sql("c.embedding", "duckdb")
-    cos = SIM.cosine_u_sql(dot, nc, nq)
+    c = _ivf_oracle_ctes(n_queries=RECALL_NQ)
+    cos = c["cos"]
     return f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {qd}
-                   FROM embeddings WHERE vec_id < {RECALL_NQ}),
+        WITH q AS ({c["q"]}),
         brute AS (
           SELECT query_id, vec_id FROM (
             SELECT q.query_id, c.vec_id,
@@ -1988,15 +1990,8 @@ def q_ann_recall_oracle() -> str:
             FROM embeddings c CROSS JOIN q
           ) WHERE rn <= {RECALL_K}
         ),
-        probes AS (
-          SELECT query_id, qv, bucket FROM ({probe_union})
-          QUALIFY row_number() OVER (PARTITION BY query_id
-                                     ORDER BY pdist, bucket) <= {IVF_NPROBE}
-        ),
-        cb AS (
-          SELECT vec_id, embedding, {bucket} AS bucket
-          FROM (SELECT vec_id, embedding, {cd} FROM embeddings)
-        ),
+        probes AS ({c["probes"]}),
+        cb AS ({c["cb"]}),
         approx AS (
           SELECT query_id, vec_id FROM (
             SELECT q.query_id, c.vec_id,
@@ -2056,40 +2051,13 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_filtered_oracle() -> str:
-    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
-    k = len(cents)
-    qd = ", ".join(
-        f"{SIM.centroid_dist_sql('qv', c, 'duckdb')} AS d{i}"
-        for i, c in enumerate(cents)
-    )
-    cd = ", ".join(
-        f"{SIM.centroid_dist_sql('embedding', c, 'duckdb')} AS d{i}"
-        for i, c in enumerate(cents)
-    )
-    bucket = SIM.argmin_case_sql([f"d{i}" for i in range(k)])
-    probe_union = " UNION ALL ".join(
-        f"SELECT query_id, qv, {i} AS bucket, d{i} AS pdist FROM q"
-        for i in range(k)
-    )
-    dot = SIM.dot_u_sql("q.qv", "c.embedding", "duckdb")
-    nq = SIM.norm_u_sql("q.qv", "duckdb")
-    nc = SIM.norm_u_sql("c.embedding", "duckdb")
-    cos = SIM.cosine_u_sql(dot, nc, nq)
+    c = _ivf_oracle_ctes(n_queries=10, corpus_where=_ANN_FILTER)
     return f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {qd}
-                   FROM embeddings WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, qv, bucket FROM ({probe_union})
-          QUALIFY row_number() OVER (PARTITION BY query_id
-                                     ORDER BY pdist, bucket) <= {IVF_NPROBE}
-        ),
-        cb AS (
-          SELECT vec_id, embedding, {bucket} AS bucket
-          FROM (SELECT vec_id, embedding, {cd} FROM embeddings
-                WHERE {_ANN_FILTER})
-        ),
+        WITH q AS ({c["q"]}),
+        probes AS ({c["probes"]}),
+        cb AS ({c["cb"]}),
         scored AS (
-          SELECT q.query_id, c.vec_id, {cos} AS cos_u
+          SELECT q.query_id, c.vec_id, {c["cos"]} AS cos_u
           FROM cb c JOIN probes q USING (bucket)
         )
         SELECT query_id::BIGINT AS query_id,

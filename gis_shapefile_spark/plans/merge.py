@@ -500,12 +500,13 @@ def mor_delete(spark, path: str, keys_df: DataFrame,
     keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        if not os.path.isdir(final):  # pragma: no cover - real rename error
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)  # lost a same-tag race
+    # pin the key set BEFORE the delete dir becomes visible: a crash
+    # between the two must never leave committed delete files without a
+    # sidecar (readers with key_cols=None would fail, and a later batch
+    # could re-pin a DIFFERENT key set, nulling the orphan's columns in
+    # the union read — the exact hazard the sidecar exists to prevent);
+    # the inverse crash (sidecar without delete files) is merely strict
+    # (it pins future batches' keys) and compaction drops it
     if pinned is None:
         sidecar_tmp = os.path.join(droot, f"._keycols.tmp-{tag}")
         with open(sidecar_tmp, "w") as fh:
@@ -513,6 +514,12 @@ def mor_delete(spark, path: str, keys_df: DataFrame,
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(sidecar_tmp, os.path.join(droot, "_keycols.json"))
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if not os.path.isdir(final):  # pragma: no cover - real rename error
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a same-tag race
     return final
 
 
@@ -648,6 +655,12 @@ def mor_compact(spark, path: str, part_col: str | None = None,
     recover_mor(path)
     dirs = _mor_delete_dirs(path)
     if not dirs:
+        # an orphaned key pin (sidecar committed, delete dir's publish
+        # crashed) has nothing to guard — drop it so future batches may
+        # re-key
+        sidecar = os.path.join(path, _DELETES_DIR, "_keycols.json")
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         return 0
     cols = _mor_keycols(path)
     deletes = spark.read.parquet(*dirs).select(*cols)

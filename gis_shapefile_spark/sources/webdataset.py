@@ -74,15 +74,28 @@ def write_shards(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"{prefix}-{pid:05d}.tar")
-        tmp = path + ".tmp"
+        # tmp is unique PER ATTEMPT: with speculation, two live attempts
+        # of the same task sharing one tmp would interleave writes (and
+        # the loser would keep writing into the published inode after
+        # the winner's rename); per-attempt tmps + last-wins os.replace
+        # of byte-identical output are race-free
+        tmp = f"{path}.tmp-{ctx.taskAttemptId()}"
         n = 0
         nb = 0
         with tarfile.open(tmp, "w") as tar:
             for pdf in pdf_iter:
                 for row in pdf.itertuples(index=False):
                     key = row.image_id
+                    if "." in key:
+                        raise ValueError(
+                            f"write_shards: image_id {key!r} contains '.' — "
+                            "WebDataset keys split on the last dot, so "
+                            "dotted ids would mis-key on read; sanitize "
+                            "ids before export"
+                        )
                     payload = bytes(row.bytes)
                     cap = row.caption.encode("utf-8")
                     meta = json.dumps(
@@ -139,9 +152,16 @@ def read_shards_df(
     shards = list_shards(out_dir, prefix)
     if not shards:
         raise FileNotFoundError(f"no {prefix}-*.tar shards under {out_dir}")
-    paths = spark.createDataFrame([(p,) for p in shards], "path string")
-    # one shard per task: the shard IS the parallel I/O unit
-    paths = paths.repartition(len(shards), "path")
+    # one shard per task: the shard IS the parallel I/O unit — built via
+    # parallelize(numSlices=len(shards)), which slices the list exactly
+    # one-per-partition (a hash repartition on the path string would
+    # routinely double up shards in one task and leave others empty)
+    paths = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in shards], len(shards)
+        ),
+        "path string",
+    )
 
     def unpack(pdf_iter):
         import pandas as pd

@@ -279,6 +279,45 @@ def test_streaming_takedown_sink(spark, tmp_path):
     assert len(M._mor_delete_dirs(path)) == n_files
 
 
+def test_streaming_takedown_survives_checkpoint_wipe(spark, tmp_path):
+    """A wiped-and-recreated stream checkpoint restarts batch ids at 0;
+    the marker tag must follow the checkpoint's persisted query id (new
+    lineage => new tags) so the fresh run's keys are NOT silently
+    swallowed by the old run's batch-0 marker."""
+    import os
+    import shutil
+
+    from gis_shapefile_spark.streaming.takedown_stream import (
+        streaming_takedown_sink,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_flat(spark, path, n=30)
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed, exist_ok=True)
+
+    def run():
+        stream = spark.readStream.schema("k long").option(
+            "recursiveFileLookup", "true"
+        ).parquet(feed)
+        streaming_takedown_sink(spark, stream, path, ["k"], ckpt)
+
+    _keys(spark, [1]).coalesce(1).write.parquet(f"{feed}/part=0")
+    run()
+    assert sorted(r.k for r in M.mor_read(spark, path).collect()) == sorted(
+        set(range(30)) - {1}
+    )
+    # wipe the checkpoint; add NEW takedown keys; the fresh lineage's
+    # batch 0 re-reads everything and MUST apply (old marker must not
+    # short-circuit it)
+    shutil.rmtree(ckpt)
+    _keys(spark, [5, 6]).coalesce(1).write.parquet(f"{feed}/part=1")
+    run()
+    got = sorted(r.k for r in M.mor_read(spark, path).collect())
+    assert got == sorted(set(range(30)) - {1, 5, 6})
+
+
 def test_mor_delete_is_atomic_publish(spark, tmp_path):
     """No .tmp- delete dir may remain after a commit, and the published
     dir name carries the delete- prefix the reader globs."""

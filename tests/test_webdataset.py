@@ -65,7 +65,25 @@ def test_one_shard_per_partition_no_exchange(spark, tmp_path):
     rows = manifest.collect()
     assert len(rows) <= n_parts
     assert len(W.list_shards(out)) == len(rows)
-    assert not any(f.endswith(".tmp") for f in os.listdir(out))
+    assert not any(".tmp" in f for f in os.listdir(out))
+    # the read side assigns exactly one shard per task (parallelize
+    # slicing, not hash repartition — which would double up shards)
+    back = W.read_shards_df(spark, out)
+    assert back.rdd.getNumPartitions() == len(rows)
+
+
+def test_dotted_image_id_rejected(spark, tmp_path):
+    """Ids containing '.' would mis-key on the read side (WebDataset
+    splits member names on the last dot) — the writer must refuse."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("bad.id", b"x", 1, 1, "raw", 0, "c")],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "phash long, caption string",
+    )
+    with pytest.raises(Exception, match="contains '\\.'"):
+        W.write_shards(df, str(tmp_path / "w")).collect()
 
 
 def test_read_missing_dir_raises(spark, tmp_path):
