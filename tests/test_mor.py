@@ -318,6 +318,39 @@ def test_streaming_takedown_survives_checkpoint_wipe(spark, tmp_path):
     assert got == sorted(set(range(30)) - {1, 5, 6})
 
 
+def test_mor_random_op_sequence_matches_set_oracle(spark, tmp_path):
+    """Model-based check of the whole MoR protocol: a deterministic
+    pseudo-random interleaving of delete batches (known, unknown, and
+    repeated keys), compactions, and reads must always equal a plain
+    python set mirror — and a bare scan must equal it right after every
+    compaction."""
+    import random
+
+    rng = random.Random(42)
+    path = str(tmp_path / "t")
+    n = 40
+    _mk_flat(spark, path, n=n)
+    alive = set(range(n))
+    for step in range(12):
+        op = rng.choice(["delete", "delete", "delete", "compact"])
+        if op == "delete":
+            ks = rng.sample(range(n + 10), rng.randint(1, 5))  # some absent
+            M.mor_delete(spark, path, _keys(spark, ks), ["k"])
+            alive -= set(ks)
+        else:
+            M.mor_compact(spark, path)
+            assert sorted(
+                r.k for r in spark.read.parquet(path).collect()
+            ) == sorted(alive), f"bare scan after compact, step {step}"
+            assert M._mor_delete_dirs(path) == []
+        got = sorted(r.k for r in M.mor_read(spark, path).collect())
+        assert got == sorted(alive), f"mor_read at step {step} ({op})"
+    M.mor_compact(spark, path)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == sorted(
+        alive
+    )
+
+
 def test_mor_delete_is_atomic_publish(spark, tmp_path):
     """No .tmp- delete dir may remain after a commit, and the published
     dir name carries the delete- prefix the reader globs."""
