@@ -135,6 +135,8 @@ def _json_safe(v):
 
 
 def list_shards(out_dir: str, prefix: str = "shard") -> list[str]:
+    if not os.path.isdir(out_dir):
+        return []
     return sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
@@ -180,6 +182,14 @@ def read_shards_df(
                 rows = []
                 for key in order:
                     r = recs[key]
+                    missing = {".img", ".txt", ".json"} - set(r)
+                    if missing:
+                        raise ValueError(
+                            f"read_shards_df: sample {key!r} in {path} is "
+                            f"missing members {sorted(missing)} — not a "
+                            "shard this sink wrote (foreign WebDataset "
+                            "layouts need their own member mapping)"
+                        )
                     meta = json.loads(r[".json"].decode("utf-8"))
                     rows.append(
                         {

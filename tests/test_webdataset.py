@@ -86,6 +86,51 @@ def test_dotted_image_id_rejected(spark, tmp_path):
         W.write_shards(df, str(tmp_path / "w")).collect()
 
 
+def test_streaming_wds_sink_exactly_once(spark, tmp_path):
+    """Continuous shard export: 2 stream runs over a growing image feed
+    — after each, reading ALL shards returns exactly the samples seen so
+    far (no duplicates); a no-new-files rerun publishes nothing; a
+    replayed batch id short-circuits on its existing shards."""
+    from gis_shapefile_spark.streaming.wds_stream import streaming_wds_sink
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "wds_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed, exist_ok=True)
+    src = _images(spark, n=120)
+
+    def push(lo, hi, part):
+        src.where(
+            (F.expr("CAST(substr(image_id, 5) AS BIGINT)") >= lo)
+            & (F.expr("CAST(substr(image_id, 5) AS BIGINT)") < hi)
+        ).coalesce(1).write.parquet(f"{feed}/part={part}")
+
+    def run():
+        stream = spark.readStream.schema(src.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(feed)
+        streaming_wds_sink(spark, stream, out, ckpt)
+
+    push(0, 80, 0)
+    run()
+    back = W.read_shards_df(spark, out)
+    assert back.count() == 80
+    push(80, 120, 1)
+    run()
+    back = W.read_shards_df(spark, out).toPandas()
+    assert len(back) == 120
+    assert back.image_id.nunique() == 120  # no duplicate samples
+    n_shards = len(W.list_shards(out))
+    run()  # no new feed files -> nothing published
+    assert len(W.list_shards(out)) == n_shards
+    # full content parity with the source
+    a = src.select("image_id", "caption").toPandas().sort_values(
+        "image_id").reset_index(drop=True)
+    b = back[["image_id", "caption"]].sort_values(
+        "image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_read_missing_dir_raises(spark, tmp_path):
     import pytest
 
