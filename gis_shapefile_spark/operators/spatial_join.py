@@ -161,6 +161,51 @@ class PolygonIndex:
         self.rings_bc = rings_broadcast(spark, features_pdf)
 
 
+def auto_salt_buckets(
+    spark: SparkSession,
+    points: DataFrame,
+    res: int = DEFAULT_RES,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    max_buckets: int = 64,
+    sample_fraction: float | None = None,
+) -> int:
+    """Pick a salt factor from the MEASURED hot-cell share — the
+    "adaptive repartitioning on cell prefix" decision, derived from data
+    instead of guessed.
+
+    Straggler math: with P shuffle partitions, a cell carrying fraction
+    ``f`` of the rows pins one reducer at ≥ f of the total work, so wall
+    clock ≈ max(f, 1/P)·W. Splitting that cell S = ceil(f·P) ways brings
+    its shards back to ~average partition weight; f·P ≤ 1 means no cell
+    exceeds an average partition and salting would only add dimension
+    replication for nothing → returns 0 (broadcast/unsalted path).
+
+    Cost: one cell-histogram partial-agg pass over the points (the same
+    single-shuffle profile shape as ``hotspot_clusters`` /
+    ``profiling.key_skew_profile``). At 10^12 rows pass
+    ``sample_fraction`` (seeded, deterministic plan) or reuse a
+    maintained histogram — the share estimate only steers an integer
+    knob, so sampling error is harmless.
+    """
+    import math
+
+    src = points
+    if sample_fraction is not None:
+        src = points.sample(fraction=sample_fraction, seed=7)
+    counts = src.groupBy(
+        C.cell_col(lng_col, lat_col, res).alias("__cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row = counts.agg(
+        F.max("n").alias("mx"), F.sum("n").alias("total")
+    ).collect()[0]
+    if not row.total:
+        return 0
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = math.ceil(row.mx / row.total * p)
+    return 0 if s <= 1 else min(s, max_buckets)
+
+
 def point_in_polygon_join(
     spark: SparkSession,
     points: DataFrame,
@@ -169,7 +214,7 @@ def point_in_polygon_join(
     lng_col: str = "lng",
     lat_col: str = "lat",
     point_id_col: str = "image_id",
-    salt_buckets: int = 0,
+    salt_buckets: int | str = 0,
     dedup_first: bool = True,
     attrs: list[str] | None = None,
     mode: str = "exact",
@@ -188,6 +233,12 @@ def point_in_polygon_join(
     the commented-out refinement at spatial_index.cpp:367-375) via
     ``operators.ref_parity.point_in_polygon_join_first_hit``; output is
     (point_id, record_number) only.
+
+    ``salt_buckets="auto"`` measures the hot-cell share first
+    (``auto_salt_buckets``) and salts only when a cell actually exceeds
+    an average shuffle partition — skewed tables get the S-way split,
+    uniform tables keep the cheaper unsalted plan, no operator knob to
+    mis-guess. Output rows are identical either way (tested).
     """
     if mode == "ref_first_hit":
         from . import ref_parity as RP
@@ -203,6 +254,10 @@ def point_in_polygon_join(
         )
     if mode != "exact":
         raise ValueError(f"unknown mode {mode!r} (exact | ref_first_hit)")
+    if salt_buckets == "auto":
+        salt_buckets = auto_salt_buckets(
+            spark, points, res=res, lng_col=lng_col, lat_col=lat_col
+        )
     if isinstance(features_pdf, PolygonIndex):
         index = features_pdf
         if index.res != res and res != DEFAULT_RES:

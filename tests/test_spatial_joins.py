@@ -113,6 +113,64 @@ def test_pip_join_salted_same_result(spark, features, points_pdf):
     assert a == b
 
 
+def _skewed_points(spark, n=4000, hot_frac=0.5):
+    """n points, hot_frac of them inside one cell (a planted urban cell),
+    the rest spread across the canvas."""
+    import pandas as pd
+
+    n_hot = int(n * hot_frac)
+    rng = np.random.RandomState(3)
+    hot_lng = -100.0 + rng.rand(n_hot) * 0.01
+    hot_lat = 39.0 + rng.rand(n_hot) * 0.01
+    cold_lng = -120.0 + rng.rand(n - n_hot) * 50.0
+    cold_lat = 25.0 + rng.rand(n - n_hot) * 20.0
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"p{i:06d}" for i in range(n)],
+            "lng": np.concatenate([hot_lng, cold_lng]),
+            "lat": np.concatenate([hot_lat, cold_lat]),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_auto_salt_buckets_measures_skew(spark):
+    """The adaptive salt factor follows the MEASURED hot-cell share:
+    ~uniform points -> 0 (no cell exceeds an average shuffle partition,
+    keep the cheap unsalted plan); a 50%-hot-cell table -> ceil(f*P)
+    capped, > 1."""
+    uniform = _skewed_points(spark, n=4000, hot_frac=0.0)
+    assert SJ.auto_salt_buckets(spark, uniform, res=8) == 0
+    skewed = _skewed_points(spark, n=4000, hot_frac=0.5)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = SJ.auto_salt_buckets(spark, skewed, res=8)
+    import math
+
+    # f is 0.5 plus the few cold points that land in the hot cell, so
+    # ceil(f*P) is P/2 or one above
+    assert s in (math.ceil(0.5 * p), math.ceil(0.5 * p) + 1)
+    # clamp respected
+    assert SJ.auto_salt_buckets(spark, skewed, res=8, max_buckets=2) == 2
+    # sampled profile steers the same knob
+    s2 = SJ.auto_salt_buckets(
+        spark, skewed, res=8, sample_fraction=0.5
+    )
+    assert s2 >= 2
+
+
+def test_pip_join_auto_salt_same_result(spark, features, points_pdf):
+    """salt_buckets='auto' must resolve the knob from data and return
+    identical rows to the broadcast path."""
+    points = spark.createDataFrame(points_pdf)
+    plain = SJ.point_in_polygon_join(spark, points, features, res=8)
+    auto = SJ.point_in_polygon_join(
+        spark, points, features, res=8, salt_buckets="auto"
+    )
+    a = {(r.image_id, r.record_number) for r in plain.collect()}
+    b = {(r.image_id, r.record_number) for r in auto.collect()}
+    assert a == b
+
+
 def test_within_distance_matches_oracle(spark, features, points_pdf):
     d = 2.5
     points = spark.createDataFrame(points_pdf)
