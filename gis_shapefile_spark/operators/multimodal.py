@@ -3,14 +3,18 @@
 The driver-mandated table is ``(image_id: string, bytes: binary, w: int32,
 h: int32, fmt: string, caption: string, phash: int64)`` (BASELINE.json
 ``input_hint``). Images are opaque binary + typed metadata; every stage
-here is ``mapInPandas`` over Arrow batches. Three codecs are supported:
+here is ``mapInPandas`` over Arrow batches. Four codecs are supported:
 ``raw`` (lossless zlib) and ``qz`` (6-bit quantization, PSNR ≈ 47 dB)
-from ``sources/fixtures.py``, plus ``png`` — a REAL standard PNG path
-(ISO/IEC 15948, ``functions/png.py``, stdlib zlib): the same bytes any
-browser renders, decoded with inflate + unfilter inside the Arrow batch.
-Remaining real-world codecs (JPEG/WebP — need DCT/VP8 libs absent from
-this sandbox) plug into the same seam; any unknown ``fmt`` raises
-``NotImplementedError`` loudly rather than guessing.
+from ``sources/fixtures.py``, plus two REAL standard formats — ``png``
+(ISO/IEC 15948, ``functions/png.py``, stdlib zlib; lossless) and
+``jpeg`` (ISO/IEC 10918-1 baseline, ``functions/jpeg.py``, pure-numpy
+DCT; the LOSSY leg of the input_hint invariant, encoded at quality 98
+→ PSNR ≥ 40 dB even on uniform-noise fixtures; the decoder handles
+real-world 4:2:0 camera JPEGs and is validated both directions against
+the JVM's independent javax.imageio decoder in tests/test_jpeg.py).
+Remaining real-world codecs (WebP — needs VP8) plug into the same
+seam; any unknown ``fmt`` raises ``NotImplementedError`` loudly rather
+than guessing.
 
 Per-row invariants (input_hint): decoded-pixel allclose (exact for
 ``raw``, PSNR >= 40 dB for ``qz``), byte-exact caption, recomputed
@@ -77,6 +81,18 @@ def _decode_stacks(
             if stack.shape[1:] != (h, w, 3):
                 raise ValueError(
                     f"PNG shape {stack.shape[1:]} != metadata ({h}, {w}, 3)"
+                )
+            yield np.asarray(poss), fmt, stack
+            continue
+        if fmt == "jpeg":
+            # real baseline JPEG (functions/jpeg.py): per-payload entropy
+            # decode is the sequential part; DCT math is vectorized
+            from ..functions.jpeg import decode_jpeg
+
+            stack = np.stack([decode_jpeg(byts[p]) for p in poss])
+            if stack.shape[1:] != (h, w, 3):
+                raise ValueError(
+                    f"JPEG shape {stack.shape[1:]} != metadata ({h}, {w}, 3)"
                 )
             yield np.asarray(poss), fmt, stack
             continue
@@ -315,6 +331,17 @@ def verify_invariants(
                         rt = ((stack >> 2).astype(np.uint16) * 4 + 2).clip(
                             0, 255
                         ).astype(np.uint8)
+                    elif fmt == "jpeg":
+                        # real lossy roundtrip: re-encode + re-decode; JPEG
+                        # requantization of already-decoded pixels at the
+                        # same quality bottoms out well above min_psnr
+                        rt = np.stack([
+                            FX.decode_image(
+                                FX.encode_image(s, "jpeg"),
+                                s.shape[1], s.shape[0], "jpeg",
+                            )
+                            for s in stack
+                        ])
                     else:
                         rt = stack
                     err = (
