@@ -1001,7 +1001,12 @@ def q_joint_dedup_oracle() -> str:
           SELECT image_id, phash, caption FROM read_parquet('{path}')
         ),
         orig AS (
-          SELECT CAST(substr(image_id, 5) AS BIGINT) AS num, *
+          -- TRY_CAST, not CAST: DuckDB may evaluate the projection on a
+          -- parallel scan chunk before applying the NOT LIKE filter (seen
+          -- once the fixture parquet gained multiple row groups), and a
+          -- plain CAST then throws on the 'img_dup…' rows the filter is
+          -- about to drop. Spark's side is safe (non-ANSI CAST -> NULL).
+          SELECT TRY_CAST(substr(image_id, 5) AS BIGINT) AS num, *
           FROM base WHERE image_id NOT LIKE 'img_dup%'
         ),
         rep AS (

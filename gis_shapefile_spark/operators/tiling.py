@@ -434,9 +434,16 @@ def image_tiling_pipeline(
 
     enriched = assign_cells(pts, res).join(joined, "image_id", "left")
     if verify:
+        # reencode=False: this rollup consumes ONLY phash_ok (decode +
+        # rehash); the re-encode/PSNR leg would be computed and dropped,
+        # and for fmt='jpeg' rows that leg costs ~3x the decode itself
+        # (measured 17 core-s vs 6 for 3k 16x16 jpegs — a 10x wall
+        # regression on this 20k-image pipeline when the v2 fixture added
+        # real-codec rows). PSNR idempotence stays covered where psnr_u is
+        # actually consumed (tests/test_jpeg.py, test_multimodal_tiling.py).
         inv = MM.verify_invariants(images.select(
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-        ))
+        ), reencode=False)
         enriched = enriched.join(inv.select("image_id", "phash_ok"), "image_id")
         phash_agg = F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok")
     else:

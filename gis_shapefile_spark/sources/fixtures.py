@@ -14,10 +14,13 @@ Two tables drive every test and benchmark:
   mixed with a Zipfian hot cluster inside one "urban" cell so join skew is
   real and salting measurable.
 
-Codecs are numpy/zlib only (no Pillow in the sandbox): ``raw`` is lossless,
-``qz`` quantizes to 6 bits/channel (PSNR ≈ 47 dB > 40 dB requirement).
-``phash`` is a 64-bit average-hash of the *decoded* pixels, so recompute
-equality holds through every stage for both codecs.
+Codecs are pure numpy/zlib (no Pillow in the sandbox): ``raw`` is lossless
+zlib, ``qz`` quantizes to 6 bits/channel (PSNR ≈ 47 dB > 40 dB requirement),
+``png`` is a real ISO 15948 PNG (functions/png.py, lossless) and ``jpeg`` a
+real ISO 10918-1 baseline JPEG at quality 98 (functions/jpeg.py, lossy but
+>= 40 dB even on noise fixtures). ``phash`` is a 64-bit average-hash of the
+*decoded* pixels, so recompute equality holds through every stage for all
+four codecs.
 """
 
 from __future__ import annotations
@@ -271,7 +274,16 @@ def make_images(n: int, w: int = 16, h: int = 16, hot_frac: float = 0.2) -> pd.D
     lng[n - n_hot:] = URBAN_CENTER[0] + rng.normal(0, 0.05, n_hot)
     lat[n - n_hot:] = URBAN_CENTER[1] + rng.normal(0, 0.05, n_hot)
 
-    fmts = np.where(rng.random(n) < 0.5, "raw", "qz")
+    # One draw, banded into four codecs (same rng stream as the historical
+    # raw/qz split, so coords and pixel content are unchanged): the mix puts
+    # the REAL codecs (png per ISO 15948, jpeg per ISO 10918-1) on every
+    # driver-oracle decode path that reads this table, not just their own
+    # unit tests. jpeg rows store phash of the lossy DECODE (the invariant
+    # is stored-phash == rehash-of-decode, not == hash-of-source).
+    r = rng.random(n)
+    fmts = np.select(
+        [r < 0.35, r < 0.70, r < 0.85], ["raw", "qz", "png"], default="jpeg"
+    )
     recs = []
     for i in range(n):
         pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -297,14 +309,25 @@ def make_images(n: int, w: int = 16, h: int = 16, hot_frac: float = 0.2) -> pd.D
 def images_parquet_path(n: int, w: int = 16, h: int = 16) -> str:
     """Generate-once cache of the images table as parquet."""
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    path = os.path.join(FIXTURE_DIR, f"images_n{n}_w{w}_h{h}.parquet")
+    # v2: fmt mix gained png/jpeg rows — bust generate-once caches from the
+    # raw/qz-only era (same n/w/h would otherwise serve stale bytes).
+    path = os.path.join(FIXTURE_DIR, f"images_v2_n{n}_w{w}_h{h}.parquet")
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         pdf = make_images(n, w, h)
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        pq.write_table(
+            tbl, path + ".tmp", compression="snappy",
+            # many small row groups: Spark parallelizes a single-file
+            # scan by byte-range splits that snap to row-group
+            # boundaries — one big row group serializes every decode
+            # downstream onto ONE core (measured: the whole 20k-row
+            # table in one split). At production scale files are
+            # plentiful; this keeps the same property at test scale.
+            row_group_size=max(len(pdf) // 32, 64),
+        )
         os.rename(path + ".tmp", path)  # atomic publish
     return path
 
@@ -360,7 +383,16 @@ def varied_images_parquet_path(n: int) -> str:
 
         pdf = make_varied_images(n)
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        pq.write_table(
+            tbl, path + ".tmp", compression="snappy",
+            # many small row groups: Spark parallelizes a single-file
+            # scan by byte-range splits that snap to row-group
+            # boundaries — one big row group serializes every decode
+            # downstream onto ONE core (measured: the whole 20k-row
+            # table in one split). At production scale files are
+            # plentiful; this keeps the same property at test scale.
+            row_group_size=max(len(pdf) // 32, 64),
+        )
         os.rename(path + ".tmp", path)  # atomic publish
     return path
 
@@ -414,7 +446,7 @@ def near_dup_images_parquet_path(
     """Generate-once cache of the images ∪ perturbed-copies table."""
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     path = os.path.join(
-        FIXTURE_DIR, f"images_neardup_n{n}_d{n_dup}_w{w}_h{h}.parquet"
+        FIXTURE_DIR, f"images_neardup_v2_n{n}_d{n_dup}_w{w}_h{h}.parquet"
     )
     if not os.path.exists(path):
         import pyarrow as pa
@@ -422,7 +454,16 @@ def near_dup_images_parquet_path(
 
         pdf = make_near_dup_images(n, n_dup, w, h)
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        pq.write_table(
+            tbl, path + ".tmp", compression="snappy",
+            # many small row groups: Spark parallelizes a single-file
+            # scan by byte-range splits that snap to row-group
+            # boundaries — one big row group serializes every decode
+            # downstream onto ONE core (measured: the whole 20k-row
+            # table in one split). At production scale files are
+            # plentiful; this keeps the same property at test scale.
+            row_group_size=max(len(pdf) // 32, 64),
+        )
         os.rename(path + ".tmp", path)  # atomic publish
     return path
 
@@ -526,6 +567,15 @@ def features_parquet_path() -> str:
 
         pdf = make_features()
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(tbl, path + ".tmp", compression="snappy")
+        pq.write_table(
+            tbl, path + ".tmp", compression="snappy",
+            # many small row groups: Spark parallelizes a single-file
+            # scan by byte-range splits that snap to row-group
+            # boundaries — one big row group serializes every decode
+            # downstream onto ONE core (measured: the whole 20k-row
+            # table in one split). At production scale files are
+            # plentiful; this keeps the same property at test scale.
+            row_group_size=max(len(pdf) // 32, 64),
+        )
         os.rename(path + ".tmp", path)
     return path

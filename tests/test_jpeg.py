@@ -239,13 +239,14 @@ def test_jpeg_rows_through_spark_decode_stages(spark, jpeg_mixed_pdf):
 
     inv = {r.image_id: r for r in MM.verify_invariants(df).collect()}
     assert all(r.phash_ok and r.psnr_ok for r in inv.values())
+    fmt_of = dict(zip(jpeg_mixed_pdf["image_id"], jpeg_mixed_pdf["fmt"]))
     finite = 0
     for iid, r in inv.items():
-        if iid.startswith("jpg_"):
+        if fmt_of[iid] == "jpeg":
             # real lossy codec: roundtrip PSNR >= bar; requantization is
             # exactly idempotent for a few images (legit inf sentinel)
             assert r.psnr_u >= 40_000, iid
-            finite += r.psnr_u < 10**9
+            finite += (r.psnr_u < 10**9) and iid.startswith("jpg_")
         else:
             assert r.psnr_u == 10**9, iid
     # most jpeg rows exercise the finite lossy-PSNR path (measured 28/30)

@@ -138,10 +138,17 @@ def test_png_rows_through_spark_decode_stages(spark, png_mixed_pdf):
 
     inv = MM.verify_invariants(df).collect()
     assert len(inv) == 60
-    # re-encode is idempotent for every codec (png/raw lossless; qz bucket
-    # centers requantize to themselves), so all rows hit the inf sentinel;
-    # the lossy-vs-ORIGINAL PSNR >= 40 dB is asserted at generation
-    assert all(r.phash_ok and r.psnr_ok and r.psnr_u == 10**9 for r in inv)
+    assert all(r.phash_ok and r.psnr_ok for r in inv)
+    # re-encode is idempotent for png/raw (lossless) and qz (bucket centers
+    # requantize to themselves) -> inf sentinel; the fixture's jpeg rows in
+    # the 30:60 slice take the finite lossy leg (covered in depth by
+    # test_jpeg.py) but still clear the >= 40 dB bar
+    fmt_of = dict(zip(png_mixed_pdf["image_id"], png_mixed_pdf["fmt"]))
+    for r in inv:
+        if fmt_of[r.image_id] == "jpeg":
+            assert r.psnr_u >= 40_000
+        else:
+            assert r.psnr_u == 10**9
 
     small = {r.image_id: r for r in MM.resize_images(df, 8, 8).collect()}
     for _, r in png_mixed_pdf.head(30).iterrows():
