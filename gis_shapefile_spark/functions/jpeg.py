@@ -156,9 +156,48 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, inverse of ``_canonical_codes``."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+def _lookahead_table(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) -> 16-bit-lookahead (symbol, code_length) tables.
+
+    Every canonical code of length L owns the 2^(16-L) table slots whose
+    16-bit prefix starts with it, so one peek + one list index decodes a
+    symbol (the classic libjpeg fast path; JPEG codes are <= 16 bits so
+    the table is total). Slots no code owns keep length 0 = invalid.
+    Returned as plain Python lists: per-symbol list indexing is ~3x a
+    numpy scalar index in the sequential entropy loop.
+
+    Memoized on the raw (BITS ‖ HUFFVAL) bytes: building the 65k-slot
+    tables costs ~1 ms, which would dominate SMALL images (measured: it
+    made 16x16 decodes 3x slower than the bit-by-bit path it replaced).
+    Real corpora reuse a handful of tables (our encoder always emits
+    Annex K; cameras ship libjpeg defaults), so this is a standing cache
+    of a few entries, 0.5 MB each.
+    """
+    key = bytes(bits) + bytes(vals)
+    hit = _LOOKAHEAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    out = (sym.tolist(), ln.tolist())
+    if len(_LOOKAHEAD_CACHE) >= 32:  # foreign-table flood guard
+        _LOOKAHEAD_CACHE.clear()
+    _LOOKAHEAD_CACHE[key] = out
+    return out
+
+
+_LOOKAHEAD_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
 
 
 # ---------------------------------------------------------------- color
@@ -281,7 +320,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     for ci in range(3):
         qt = qt_l if ci == 0 else qt_c
         blocks = _to_blocks(ycc[..., ci]) - 128.0
-        coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True)
+        # C @ B @ C.T as two broadcast matmuls — einsum(optimize=True)
+        # re-ran its path planner per call, which dominated small images
+        coef = _C @ blocks @ _C.T
         q = np.round(coef.reshape(-1, 64) / qt.reshape(8, 8).reshape(64).astype(np.float64))
         zz_planes.append(q.astype(np.int64)[:, ZIGZAG])
 
@@ -355,41 +396,86 @@ def _encode_single_block(
 
 # ---------------------------------------------------------------- decoder
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with FF00 un-stuffing.
+def _split_entropy_segments(data: bytes, pos: int) -> list[tuple[bytes, bool]]:
+    """Scan data from ``pos`` into entropy-coded segments split at RSTn.
 
-    Stops (raises ``_AtMarker``) when a real marker (FFxx, xx not 00) is
-    reached; RSTn markers are consumed by ``restart()``.
+    Returns [(unstuffed_bytes, ended_at_marker), ...] — one segment per
+    restart interval (a single segment when there are no restarts).
+    FF00 un-stuffing runs at C speed via ``bytes.replace`` (within a
+    segment a literal FF in the output can only come from a stuffed
+    FF00, and every other FFxx ends the segment first). FF fill bytes
+    before a marker are skipped per B.1.1.2. ``ended_at_marker`` is
+    False only when the data ran out with no terminating marker — the
+    reader then refuses to pad (truncated stream) instead of applying
+    the F.2.2.5 1-bit padding that a real segment boundary gets.
+    """
+    segs: list[tuple[bytes, bool]] = []
+    n = len(data)
+    start = pos
+    p = pos
+    while True:
+        f = data.find(b"\xff", p)
+        if f < 0 or f + 1 >= n:
+            segs.append((data[start:n].replace(b"\xff\x00", b"\xff"), False))
+            return segs
+        nxt = data[f + 1]
+        if nxt == 0x00:  # stuffed data byte
+            p = f + 2
+            continue
+        if nxt == 0xFF:  # fill byte before a marker
+            p = f + 1
+            continue
+        segs.append((data[start:f].replace(b"\xff\x00", b"\xff"), True))
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: next interval follows
+            start = p = f + 2
+            continue
+        return segs  # EOI or next header segment: scan is over
+
+
+class _FastBitReader:
+    """MSB-first bit reader over one un-stuffed entropy segment.
+
+    ``peek16``/``drop`` pair with the 16-bit lookahead Huffman tables so
+    a symbol costs one list index instead of bit-by-bit dict probes.
+    Past the segment end: pads 1-bits (F.2.2.5) when the segment ended
+    at a real marker, raises on a truncated stream.
     """
 
-    __slots__ = ("data", "pos", "acc", "nbits")
+    __slots__ = ("data", "pos", "n", "acc", "nbits", "pad")
 
-    def __init__(self, data: bytes, pos: int) -> None:
+    def __init__(self, data: bytes, pad: bool) -> None:
         self.data = data
-        self.pos = pos
+        self.pos = 0
+        self.n = len(data)
         self.acc = 0
         self.nbits = 0
+        self.pad = pad
 
     def _fill(self) -> None:
-        d = self.data
         p = self.pos
-        if p >= len(d):
-            raise ValueError("truncated JPEG scan")
-        byte = d[p]
-        if byte == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos = p + 2
-            else:
-                # Marker in scan (RST or EOI/next segment): per F.2.2.5 the
-                # decoder pads with 1-bits until the entropy segment ends.
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
+        take = self.n - p
+        if take > 0:
+            if take > 8:
+                take = 8
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                self.data[p : p + take], "big"
+            )
+            self.nbits += 8 * take
+            self.pos = p + take
+        elif self.pad:
+            self.acc = (self.acc << 16) | 0xFFFF
+            self.nbits += 16
         else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
+            raise ValueError("truncated JPEG scan")
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def drop(self, nbits: int) -> None:
+        self.nbits -= nbits
+        self.acc &= (1 << self.nbits) - 1
 
     def get_bits(self, n: int) -> int:
         while self.nbits < n:
@@ -398,28 +484,6 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
-
-    def decode(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.get_bits(1)
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG scan")
-
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        p = self.pos
-        while p + 1 < len(d):
-            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
-                self.pos = p + 2
-                return
-            p += 1
-        raise ValueError("expected RST marker in JPEG scan")
 
 
 def _upsample2(plane: np.ndarray, axis: int) -> np.ndarray:
@@ -442,15 +506,6 @@ def _upsample2(plane: np.ndarray, axis: int) -> np.ndarray:
         out[0::2] = (3.0 * cur + prev) * 0.25
         out[1::2] = (3.0 * cur + nxt) * 0.25
     return out
-
-
-def _receive_extend(reader: _BitReader, size: int) -> int:
-    if size == 0:
-        return 0
-    v = reader.get_bits(size)
-    if v < (1 << (size - 1)):
-        v -= (1 << size) - 1
-    return v
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -503,7 +558,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 nvals = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + nvals])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = _lookahead_table(bits, vals)
                 i += 17 + nvals
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
             h = int.from_bytes(seg[1:3], "big")
@@ -560,44 +615,122 @@ def _decode_scan(
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
 
-    # Entropy-decode everything first (sequential), then dequantize +
-    # IDCT + assemble vectorized over all blocks per component.
-    reader = _BitReader(data, scan_start)
+    # Entropy-decode everything first (sequential; one 16-bit-lookahead
+    # list index per Huffman symbol — see _lookahead_table), then
+    # dequantize + IDCT + assemble vectorized over all blocks per
+    # component. The scan is pre-split at RSTn boundaries and un-stuffed
+    # at C speed so the Python loop never inspects marker bytes.
+    segs = _split_entropy_segments(data, scan_start)
+    seg_i = 0
     coef = []  # per component: (n_mcus * hs * vs, 64) int32 zigzag blocks
     for _cid, hs, vs, _tq in comps:
         coef.append(np.zeros((n_mcus * hs * vs, 64), dtype=np.int32))
+    # (component, block-in-MCU) schedule with tables resolved once
+    sched = []
+    for ci, (cid, hs, vs, _tq) in enumerate(comps):
+        td, ta = scan_tables[cid]
+        dc_sym, dc_len = huff[(0, td)]
+        ac_sym, ac_len = huff[(1, ta)]
+        sched.append((ci, hs * vs, dc_sym, dc_len, ac_sym, ac_len))
     pred = [0] * len(comps)
-    blk = np.zeros(64, dtype=np.int32)
+    # The bit buffer lives in LOCALS (acc/nbits/spos), not a reader object:
+    # this loop runs once per Huffman symbol and the method-call version
+    # spent a third of its time on call overhead (profiled). Invariant at
+    # each symbol start: >= 32 buffered bits (a code is <= 16 bits and its
+    # value field <= 16, so one top-up per symbol suffices).
+    from_bytes = int.from_bytes
+    sdata, pad = segs[0]
+    sn = len(sdata)
+    spos = 0
+    acc = 0
+    nbits = 0
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
-            reader.restart()
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("expected RST marker in JPEG scan")
+            sdata, pad = segs[seg_i]
+            sn = len(sdata)
+            spos = 0
+            acc = 0
+            nbits = 0
             pred = [0] * len(comps)
-        for ci, (cid, hs, vs, _tq) in enumerate(comps):
-            td, ta = scan_tables[cid]
-            dc_tbl = huff[(0, td)]
-            ac_tbl = huff[(1, ta)]
-            for b in range(hs * vs):
-                blk[:] = 0
-                size = reader.decode(dc_tbl)
-                pred[ci] += _receive_extend(reader, size)
-                blk[0] = pred[ci]
+        for ci, nblk, dc_sym, dc_len, ac_sym, ac_len in sched:
+            out = coef[ci]
+            pci = pred[ci]
+            for b in range(nblk):
+                blk = [0] * 64
+                while nbits < 32:
+                    take = sn - spos
+                    if take > 0:
+                        if take > 8:
+                            take = 8
+                        acc = (acc << (8 * take)) | from_bytes(
+                            sdata[spos : spos + take], "big"
+                        )
+                        nbits += 8 * take
+                        spos += take
+                    elif pad:  # F.2.2.5: 1-bit padding past a real marker
+                        acc = (acc << 16) | 0xFFFF
+                        nbits += 16
+                    else:
+                        raise ValueError("truncated JPEG scan")
+                idx = (acc >> (nbits - 16)) & 0xFFFF
+                ln = dc_len[idx]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code in JPEG scan")
+                nbits -= ln
+                size = dc_sym[idx]
+                if size:
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    pci += v
+                blk[0] = pci
                 k = 1
                 while k < 64:
-                    sym = reader.decode(ac_tbl)
+                    while nbits < 32:
+                        take = sn - spos
+                        if take > 0:
+                            if take > 8:
+                                take = 8
+                            acc = (acc << (8 * take)) | from_bytes(
+                                sdata[spos : spos + take], "big"
+                            )
+                            nbits += 8 * take
+                            spos += take
+                        elif pad:
+                            acc = (acc << 16) | 0xFFFF
+                            nbits += 16
+                        else:
+                            raise ValueError("truncated JPEG scan")
+                    idx = (acc >> (nbits - 16)) & 0xFFFF
+                    ln = ac_len[idx]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code in JPEG scan")
+                    nbits -= ln
+                    sym = ac_sym[idx]
                     if sym == 0x00:  # EOB
                         break
-                    run, size = sym >> 4, sym & 15
+                    size = sym & 15
                     if size == 0:
-                        if run != 15:
+                        if sym != 0xF0:
                             raise ValueError("invalid AC symbol")
                         k += 16  # ZRL
                         continue
-                    k += run
+                    k += sym >> 4
                     if k > 63:
                         raise ValueError("AC coefficient index overflow")
-                    blk[k] = _receive_extend(reader, size)
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    blk[k] = v
                     k += 1
-                coef[ci][m * hs * vs + b] = blk
+                acc &= (1 << nbits) - 1  # trim consumed high bits
+                out[m * nblk + b] = blk
+            pred[ci] = pci
 
     planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
@@ -605,7 +738,8 @@ def _decode_scan(
         zz = coef[ci].astype(np.float64)
         raster = zz[:, _UNZIG] * q[None, :]
         blocks = raster.reshape(-1, 8, 8)
-        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T, optimize=True) + 128.0
+        # C.T @ B @ C as two broadcast matmuls (see encoder note on einsum)
+        pix = _C.T @ blocks @ _C + 128.0
         # Assemble MCU-interleaved blocks into the component plane.
         # block index = m * hs*vs + v*hs + hh, m raster over (mcus_y, mcus_x)
         pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
