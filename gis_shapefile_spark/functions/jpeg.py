@@ -432,60 +432,6 @@ def _split_entropy_segments(data: bytes, pos: int) -> list[tuple[bytes, bool]]:
         return segs  # EOI or next header segment: scan is over
 
 
-class _FastBitReader:
-    """MSB-first bit reader over one un-stuffed entropy segment.
-
-    ``peek16``/``drop`` pair with the 16-bit lookahead Huffman tables so
-    a symbol costs one list index instead of bit-by-bit dict probes.
-    Past the segment end: pads 1-bits (F.2.2.5) when the segment ended
-    at a real marker, raises on a truncated stream.
-    """
-
-    __slots__ = ("data", "pos", "n", "acc", "nbits", "pad")
-
-    def __init__(self, data: bytes, pad: bool) -> None:
-        self.data = data
-        self.pos = 0
-        self.n = len(data)
-        self.acc = 0
-        self.nbits = 0
-        self.pad = pad
-
-    def _fill(self) -> None:
-        p = self.pos
-        take = self.n - p
-        if take > 0:
-            if take > 8:
-                take = 8
-            self.acc = (self.acc << (8 * take)) | int.from_bytes(
-                self.data[p : p + take], "big"
-            )
-            self.nbits += 8 * take
-            self.pos = p + take
-        elif self.pad:
-            self.acc = (self.acc << 16) | 0xFFFF
-            self.nbits += 16
-        else:
-            raise ValueError("truncated JPEG scan")
-
-    def peek16(self) -> int:
-        while self.nbits < 16:
-            self._fill()
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def drop(self, nbits: int) -> None:
-        self.nbits -= nbits
-        self.acc &= (1 << self.nbits) - 1
-
-    def get_bits(self, n: int) -> int:
-        while self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
 def _upsample2(plane: np.ndarray, axis: int) -> np.ndarray:
     """2x chroma upsampling with the triangular filter (libjpeg's "fancy
     upsampling": out_even = (3*cur + prev)/4, out_odd = (3*cur + next)/4,

@@ -161,6 +161,47 @@ def test_reject_garbage():
         encode_jpeg(np.zeros((4, 4), dtype=np.uint8))  # wrong shape
 
 
+def test_fill_bytes_before_eoi_are_tolerated():
+    """B.1.1.2: any number of FF fill bytes may precede a marker. The
+    segment splitter leaves a leading fill FF inside the entropy slice,
+    where it reads as the same 1-bits that F.2.2.5 padding supplies — the
+    decode must be unchanged."""
+    img = _noise(16, 16, 3)
+    data = encode_jpeg(img, quality=98)
+    base = decode_jpeg(data)
+    filled = data[:-2] + b"\xff\xff\xff" + data[-2:]
+    assert np.array_equal(decode_jpeg(filled), base)
+
+
+def test_truncated_scan_raises():
+    """A stream cut mid-scan has no terminating marker: the reader must
+    refuse to 1-pad (that padding is only legal at a real segment end)
+    and raise instead of fabricating pixels."""
+    img = _noise(32, 32, 5)
+    data = encode_jpeg(img, quality=98)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(data[: sos + 20])  # SOS header + a sliver of scan
+
+
+def test_lookahead_cache_flood_guard():
+    """Foreign streams could carry unbounded distinct Huffman tables; the
+    memo cache must stay bounded and the tables must stay correct across
+    the clear."""
+    from gis_shapefile_spark.functions.jpeg import (
+        _LOOKAHEAD_CACHE,
+        _lookahead_table,
+    )
+
+    bits = [1] + [0] * 15  # one 1-bit code: slots [0, 0x8000) -> symbol
+    for v in range(40):
+        sym, ln = _lookahead_table(bits, [v])
+        assert ln[0] == 1 and sym[0] == v
+        assert ln[0xFFFF] == 0  # unowned slot stays invalid
+    assert len(_LOOKAHEAD_CACHE) <= 32
+
+
 @pytest.mark.skipif(not KITTENS, reason="Spark mllib images not bundled")
 def test_decode_real_world_jpegs_matches_jvm_imageio(spark):
     """Real 4:2:0 camera JPEGs (Spark's own mllib test images), decoded by
