@@ -194,12 +194,13 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 xi = (np.arange(out_w) * int(w) // out_w).astype(np.int64)
                 small = pix[yi][:, xi]
                 fmt = str(fmt)
-                dec = FX.decode_image(
-                    FX.encode_image(small, fmt), out_w, out_h, fmt
-                )
+                # encode ONCE: the stored bytes and the phash's decode
+                # must come from the same encode anyway (lossy fmts), and
+                # the encoder is the expensive leg on jpeg rows
+                enc = FX.encode_image(small, fmt)
+                dec = FX.decode_image(enc, out_w, out_h, fmt)
                 rows.append(
-                    (iid, FX.encode_image(small, fmt), out_w, out_h, fmt,
-                     cap, FX.phash64(dec))
+                    (iid, enc, out_w, out_h, fmt, cap, FX.phash64(dec))
                 )
             yield pd.DataFrame(
                 rows,
@@ -238,12 +239,12 @@ def resize_to_target(
                 xi = (np.arange(tw) * int(w) // tw).astype(np.int64)
                 small = pix[yi][:, xi]
                 fmt = str(fmt)
-                dec = FX.decode_image(
-                    FX.encode_image(small, fmt), tw, th, fmt
-                )
+                # encode ONCE (see resize_images): bytes and phash decode
+                # share the encode; the encoder dominates on jpeg rows
+                enc = FX.encode_image(small, fmt)
+                dec = FX.decode_image(enc, tw, th, fmt)
                 rows.append(
-                    (iid, FX.encode_image(small, fmt), tw, th, fmt,
-                     cap, FX.phash64(dec))
+                    (iid, enc, tw, th, fmt, cap, FX.phash64(dec))
                 )
             yield pd.DataFrame(
                 rows,
