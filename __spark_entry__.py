@@ -129,6 +129,11 @@ _PRIORITY = [
     # seq_pack; asof_join + interval_join vacated theirs for
     # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
     # all r3-green or better):
+    # added past-cap late in round 4 (no driver row yet — verified by
+    # the local gate + the bruteforce-equality pytest): exact
+    # prefix-filtering Jaccard join, the sketch-free member of the
+    # dedup family
+    "dedup_jaccard",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

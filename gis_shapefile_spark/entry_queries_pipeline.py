@@ -219,6 +219,55 @@ def q_dedup_minhash_oracle() -> str:
     """
 
 
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup join (no sketches): prefix-filtering
+    candidates (each doc's |S|-ceil(t|S|)+1 globally-rarest shingles,
+    provably complete for J >= t — operators/dedup.py
+    ``jaccard_join_prefix``) verified with the same exact 3-gram Jaccard
+    kernel as the MinHash path. The ORACLE is the fully independent
+    brute force — every doc pair sharing at least one shingle, scored —
+    so a prefix filter that misses ANY qualifying pair hash-mismatches.
+    Same corpus/threshold as dedup_minhash: the two queries together
+    expose exactly the pairs LSH's probabilistic recall drops (none at
+    this fixture's band config)."""
+    corpus = _dup_corpus(spark, sf_dir, mangle=True)
+    out = DD.jaccard_join_prefix(corpus, threshold=0.5, shingle_n=3)
+    return out.select(
+        F.col("id_1").cast("long").alias("id_1"),
+        F.col("id_2").cast("long").alias("id_2"),
+        "jaccard_u",
+    )
+
+
+def q_dedup_jaccard_oracle() -> str:
+    toks = TA.tokens_sql("text", "duckdb")
+    sh = TA.shingles_sql(toks, 3, "duckdb")
+    return f"""
+        WITH corpus AS ({_dup_corpus_cte(mangle=True)}),
+        sets AS (
+          SELECT doc_id, list_distinct({sh}) AS ss FROM corpus
+        ),
+        ex AS (SELECT doc_id, unnest(ss) AS sh FROM sets),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.id_1, c.id_2,
+                 CAST(floor(1000000 * (CASE WHEN len(list_distinct(list_concat(s1.ss, s2.ss))) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(s1.ss, s2.ss))) AS DOUBLE) END))
+                      AS BIGINT) AS jaccard_u
+          FROM cand c
+          JOIN sets s1 ON s1.doc_id = c.id_1
+          JOIN sets s2 ON s2.doc_id = c.id_2
+        )
+        SELECT id_1::BIGINT AS id_1, id_2::BIGINT AS id_2, jaccard_u
+        FROM scored WHERE jaccard_u >= 500000
+    """
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document assignment: connected components over the verified
     MinHash near-dup pairs (min-id label propagation; singletons map to
@@ -2656,6 +2705,7 @@ QUERIES = {
     "repetition": q_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "running_windows": q_running_windows,
@@ -2718,6 +2768,7 @@ ORACLES = {
     "repetition": q_repetition_oracle(),
     "dedup_exact": q_dedup_exact_oracle(),
     "dedup_minhash": q_dedup_minhash_oracle(),
+    "dedup_jaccard": q_dedup_jaccard_oracle(),
     "dedup_simhash": q_dedup_simhash_oracle(),
     "dedup_simhash_pairs": q_dedup_simhash_pairs_oracle(),
     "running_windows": q_running_windows_oracle(),

@@ -7,7 +7,9 @@ document-level dedup. Four families, all DataFrame-native:
 * exact        — md5 groupBy (one shuffle, map-side partial min);
 * MinHash+LSH  — shingle → minhash → band → bucket equi-join;
 * SimHash      — pigeonhole block tables for hamming <= k;
-* n-gram Jaccard — exact verify kernel for candidate pairs.
+* n-gram Jaccard — exact verify kernel for candidate pairs, plus a
+  sketch-free prefix-filtering self-join (``jaccard_join_prefix``) whose
+  candidate set is provably complete for Jaccard >= t.
 
 Scale design (10^12 docs, 1000 executors):
 
@@ -247,6 +249,105 @@ def near_duplicate_pairs(
     """
     cand = lsh_candidate_pairs(
         docs, id_col, text_col, bands, rows_per_band, shingle_n, max_bucket
+    )
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+    scored = ngram_jaccard_pairs(cand, docs, id_col, text_col, shingle_n)
+    return scored.where(F.col("jaccard_u") >= int(threshold * 1000000))
+
+
+def jaccard_prefix_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate pairs for an EXACT Jaccard-threshold self-join via
+    prefix filtering (the SSJoin/PPJoin family) — no sketches, no recall
+    loss.
+
+    Principle: J(A,B) >= t implies |A∩B| >= t·|A∪B| >= t·max(|A|,|B|),
+    and the SMALLEST shared shingle in any common total order must sit
+    within the first |S| - ceil(t·|S|) + 1 shingles of BOTH documents
+    (if it sat later in one of them, that document would hold >= ceil(
+    t·|S|) unshared shingles before it, leaving fewer than ceil(t·|S|)
+    shared — contradiction). Ordering shingles by ascending global
+    document frequency makes those prefixes the RAREST shingles, so the
+    prefix-shingle equi-join produces ~no candidates for unrelated
+    documents while provably missing none at or above the threshold —
+    the exact-completeness complement to ``lsh_candidate_pairs``
+    (probabilistic recall, no global frequency pass).
+
+    Scale shape (10^12 docs): explode -> partial-agg document-frequency
+    counts (one shuffle on shingle) -> per-doc rank window (one shuffle
+    on id) -> prefix equi-join on shingle. The PPJoin length filter
+    (100·min(|A|,|B|) >= t·100·max) prunes size-incompatible pairs
+    before verification. Prefix lengths use pure integer arithmetic
+    (ceil(t·s) as (s·t_pct + 99) DIV 100), so the filter is exact for
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    tnum = int(round(threshold * 100))
+    sh_expr = TA.shingles_sql(
+        TA.tokens_sql(text_col, "spark"), shingle_n, "spark"
+    )
+    shs = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(sh_expr))).alias("sh"),
+    )
+    sizes = shs.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = shs.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        shs.join(dfreq, "sh")
+        .join(sizes, id_col)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "sh")
+            ),
+        )
+        .where(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(f"CAST((sz * {tnum} + 99) DIV 100 AS BIGINT)")
+            + F.lit(1)
+        )
+        .select(F.col(id_col), "sh", "sz")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_1"), "sh", F.col("sz").alias("sz1")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_2"), "sh", F.col("sz").alias("sz2")
+    )
+    return (
+        a.join(b, "sh")
+        .where(F.col("id_1") < F.col("id_2"))
+        .where(
+            F.least("sz1", "sz2") * 100 >= F.greatest("sz1", "sz2") * tnum
+        )
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def jaccard_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """``near_duplicate_pairs``' exact twin: prefix-filter candidates ->
+    exact n-gram Jaccard >= threshold. Output (id_1, id_2, jaccard_u).
+    Unlike the MinHash path this returns EVERY pair at or above the
+    threshold (candidate completeness is a theorem, not a recall curve);
+    the price is the global document-frequency aggregation."""
+    cand = jaccard_prefix_candidates(
+        docs, id_col, text_col, threshold, shingle_n
     )
     if materialize:
         cand = cand.localCheckpoint(eager=True)
