@@ -145,6 +145,17 @@ def test_jaccard_prefix_join_matches_bruteforce(spark):
         assert expected, "degenerate fixture: oracle found no pairs"
 
 
+def test_jaccard_prefix_plan_is_equi_join_only(spark, docs_df):
+    """The exact join must never degrade to an all-pairs plan: every join
+    in the physical plan is a hash/sort-merge EQUI join (prefix-shingle
+    key or verify-stage id keys) — no cartesian product, no nested-loop
+    fallback, at any size."""
+    out = DD.jaccard_join_prefix(docs_df, threshold=0.5, materialize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_jaccard_prefix_join_docs_fixture(spark, docs_df):
     """On the shared DOCS fixture the exact join finds the exact-dup and
     the near-dup pair with the same jaccard_u values as the LSH path's
