@@ -462,7 +462,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sampling factors 1-2, 16-bit DQT precision, DRI/RSTn, byte stuffing.
     Grayscale output is replicated to 3 channels to keep the engine's
     (h, w, 3) contract.
+
+    Corruption contract (foreign bytes at corpus scale): malformed input
+    raises ValueError (or NotImplementedError for honest codec gaps) —
+    never an untyped container error, never a corruption-sized
+    allocation. The hot structural hazards are validated explicitly
+    (dimension cap, undefined DQT/DHT ids, DC size); entropy-level
+    corruption that surfaces as a residual KeyError/IndexError/
+    OverflowError in segment parsing is re-raised as ValueError here
+    (4k-trial byte-flip fuzz in tests/test_jpeg.py).
     """
+    try:
+        return _decode_jpeg_checked(data)
+    except (KeyError, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg_checked(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -509,6 +525,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            # cap BEFORE the coefficient allocation: corrupt 2-byte dims
+            # reach 65535x65535 = 4.3 GP, a 17 GB np.zeros — reject like
+            # libjpeg's 65500 limit instead of letting corruption DoS
+            # the executor (67 MP is far beyond this engine's payloads)
+            if h == 0 or w == 0 or h * w > (1 << 26):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             nc = seg[5]
             comps = []
             for c in range(nc):
@@ -574,7 +596,11 @@ def _decode_scan(
     # (component, block-in-MCU) schedule with tables resolved once
     sched = []
     for ci, (cid, hs, vs, _tq) in enumerate(comps):
+        if cid not in scan_tables:
+            raise ValueError(f"JPEG scan missing component id {cid}")
         td, ta = scan_tables[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references undefined Huffman table")
         dc_sym, dc_len = huff[(0, td)]
         ac_sym, ac_len = huff[(1, ta)]
         sched.append((ci, hs * vs, dc_sym, dc_len, ac_sym, ac_len))
@@ -628,6 +654,8 @@ def _decode_scan(
                 nbits -= ln
                 size = dc_sym[idx]
                 if size:
+                    if size > 16:  # corrupt DHT: breaks the 32-bit-buffer invariant
+                        raise ValueError("invalid DC size in JPEG scan")
                     nbits -= size
                     v = (acc >> nbits) & ((1 << size) - 1)
                     if v < (1 << (size - 1)):
@@ -680,6 +708,8 @@ def _decode_scan(
 
     planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"JPEG frame references undefined DQT id {tq}")
         q = qt[tq].astype(np.float64)
         zz = coef[ci].astype(np.float64)
         raster = zz[:, _UNZIG] * q[None, :]

@@ -185,6 +185,36 @@ def test_truncated_scan_raises():
         decode_jpeg(data[: sos + 20])  # SOS header + a sliver of scan
 
 
+def test_byte_flip_fuzz_raises_typed_errors_only():
+    """Corruption contract: random byte flips anywhere after SOI must
+    yield a successful decode, ValueError, or NotImplementedError —
+    never KeyError/IndexError/OverflowError, and never a corruption-
+    sized allocation (the dimension cap rejects 65535x65535 SOF dims
+    BEFORE the coefficient array is allocated)."""
+    rng = np.random.default_rng(17)
+    data = bytearray(encode_jpeg(_noise(32, 32, 9), quality=98))
+    for _ in range(4000):
+        b = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_dimension_cap_rejects_corrupt_sof():
+    """A corrupt SOF claiming 65535x65535 must raise before allocating
+    the 17 GB coefficient table."""
+    data = bytearray(encode_jpeg(_noise(16, 16, 1), quality=98))
+    sof = bytes(data).find(b"\xff\xc0")
+    assert sof > 0
+    data[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"  # h = w = 65535
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(data))
+
+
 def test_lookahead_cache_flood_guard():
     """Foreign streams could carry unbounded distinct Huffman tables; the
     memo cache must stay bounded and the tables must stay correct across
