@@ -134,6 +134,11 @@ _PRIORITY = [
     # prefix-filtering Jaccard join, the sketch-free member of the
     # dedup family
     "dedup_jaccard",
+    # added past-cap late in round 4 (no driver row yet — local gate +
+    # pytest vouching, rotation candidates for round 5): the geodesic
+    # (great-circle km) metric twins of the planar joins, and the
+    # KDE raster smoother
+    "geo_nearest", "geo_within_km", "raster_smooth",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1574,6 +1574,129 @@ def q_snapshot_diff_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# geodesic (great-circle km) joins — the metric twins of the planar joins
+# ---------------------------------------------------------------------------
+
+GEO_WITHIN_KM = 200.0
+
+
+def _grid_centers_cte() -> str:
+    """Feature bbox centers from the VALUES grid — same (minx+maxx)/2.0
+    IEEE op the engine's pandas dimension build performs."""
+    return (
+        f"SELECT record_number, (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy "
+        f"FROM {_grid_values_sql()}"
+    )
+
+
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest grid feature per point by GREAT-CIRCLE km (haversine on the
+    mean sphere) — the geodesic twin of the planar reverse-geocode
+    fallback. Broadcast-scored over the dimension, top-1 window, distance
+    meter-integerized."""
+    from .operators import geodesic as GEO
+
+    out = GEO.geodesic_nearest(
+        spark, _points_df(spark, sf_dir), FX.make_grid_features()
+    )
+    return out.select(
+        "point_id", F.col("record_number").cast("long").alias("record_number"),
+        "gdist_m",
+    )
+
+
+def q_geo_nearest_oracle() -> str:
+    from .functions import geodesy as GD
+
+    hav = GD.haversine_m_u_sql("lng", "lat", "cx", "cy", "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        ctr AS ({_grid_centers_cte()}),
+        scored AS (
+          SELECT p.point_id, c.record_number, c.cx, c.cy, p.lng, p.lat
+          FROM pts p CROSS JOIN ctr c
+        ),
+        dist AS (
+          SELECT point_id, record_number, {hav} AS gdist_m FROM scored
+        ),
+        ranked AS (
+          SELECT point_id, record_number, gdist_m,
+                 row_number() OVER (
+                   PARTITION BY point_id ORDER BY gdist_m, record_number
+                 ) AS rk
+          FROM dist
+        )
+        SELECT point_id, record_number::BIGINT AS record_number, gdist_m
+        FROM ranked WHERE rk = 1
+    """
+
+
+def q_geo_within_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (point, feature) pairs within GEO_WITHIN_KM great-circle km of
+    the feature's bbox center: conservative degree-radius cell cover (a
+    provable superset of the km disc at each feature's latitude band) →
+    broadcast cell equi-join → exact haversine refine. The km version of
+    ``within_distance``."""
+    from .operators import geodesic as GEO
+
+    out = GEO.geodesic_within_km(
+        spark, _points_df(spark, sf_dir), FX.make_grid_features(),
+        km=GEO_WITHIN_KM,
+    )
+    return out.select(
+        "point_id", F.col("record_number").cast("long").alias("record_number"),
+        "gdist_m",
+    )
+
+
+def q_geo_within_km_oracle() -> str:
+    from .functions import geodesy as GD
+
+    hav = GD.haversine_m_u_sql("lng", "lat", "cx", "cy", "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        ctr AS ({_grid_centers_cte()}),
+        scored AS (
+          SELECT p.point_id, c.record_number, c.cx, c.cy, p.lng, p.lat
+          FROM pts p CROSS JOIN ctr c
+        )
+        SELECT point_id, record_number::BIGINT AS record_number,
+               {hav} AS gdist_m
+        FROM scored
+        WHERE {hav} <= {int(GEO_WITHIN_KM * 1000)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# raster kernel smoothing (KDE heatmap)
+# ---------------------------------------------------------------------------
+
+SMOOTH_RES = 8
+SMOOTH_RADIUS = 2
+
+
+def q_raster_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE-style smoothed density raster: res-8 cell histogram (the point
+    table's ONE shuffle) → integer tent-kernel spread over the bounded
+    occupied-cell table → per-cell exact BIGINT density."""
+    from .operators import raster as R
+
+    return R.smooth_density(
+        _points_df(spark, sf_dir), res=SMOOTH_RES, radius=SMOOTH_RADIUS,
+        kernel="tent",
+    )
+
+
+def q_raster_smooth_oracle() -> str:
+    from .operators import raster as R
+
+    return R.smooth_density_oracle_sql(
+        _points_oracle_cte(), res=SMOOTH_RES, radius=SMOOTH_RADIUS,
+        kernel="tent",
+    )
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -1608,6 +1731,9 @@ QUERIES = {
     "cell_skew": q_cell_skew,
     "merge_upsert": q_merge_upsert,
     "snapshot_diff": q_snapshot_diff,
+    "geo_nearest": q_geo_nearest,
+    "geo_within_km": q_geo_within_km,
+    "raster_smooth": q_raster_smooth,
 }
 
 ORACLES = {
@@ -1644,4 +1770,7 @@ ORACLES = {
     "cell_skew": q_cell_skew_oracle(),
     "merge_upsert": q_merge_upsert_oracle(),
     "snapshot_diff": q_snapshot_diff_oracle(),
+    "geo_nearest": q_geo_nearest_oracle(),
+    "geo_within_km": q_geo_within_km_oracle(),
+    "raster_smooth": q_raster_smooth_oracle(),
 }

@@ -1,0 +1,122 @@
+"""Great-circle (geodesic) distance on the WGS84 mean sphere.
+
+The reference is deliberately PLANAR — Euclidean on raw degrees
+(``src/geocoding/geocoder.cpp:463-468``: "not geodesic"), and every
+reference-parity operator in this engine matches that. A global image
+corpus, though, needs real kilometres: "images within 50 km of a road",
+"nearest city by distance a human would recognise" — at lat 50° one
+longitude degree is only 71 km, so degree-space radii are ~40% wrong at
+the top of the CONUS extent and unusable at high latitudes.
+
+This module is the geodesic twin of the planar distance column: the
+haversine great-circle distance on the mean-radius sphere
+(R = 6371.0088 km, the IUGG mean Earth radius), in the repo's three
+synchronized forms:
+
+- ``haversine_km_sql`` — ONE expression string evaluated byte-identically
+  in Spark SQL and DuckDB (the webmercator.py determinism pattern: both
+  engines run libm-quality sin/cos/asin on the same IEEE tree; a
+  last-ulp divergence could only flip an integerized digit on a
+  measure-zero boundary set, the exposure the repo's floor-canon already
+  accepts — integerize at METER granularity, not micro-degree, to keep
+  that exposure ~1e-9/row).
+- ``haversine_km_np`` — numpy twin with the same formula shape, for
+  pytest oracles and driver-side feature math.
+- ``cover_radius_deg`` — the CONSERVATIVE degree radius that turns a
+  km radius into a cell-cover radius for the candidate stage of a
+  geodesic join: 1° of latitude is a constant ~111.195 km on the
+  sphere, 1° of longitude shrinks by cos(lat), so the safe degree
+  radius over a latitude band is km / (111.195 * cos(band edge)).
+  Candidates are superset-safe; the haversine refine is exact.
+
+Formula (angles in radians, d = central angle):
+    hav(d) = sin^2(dlat/2) + cos(lat1) cos(lat2) sin^2(dlng/2)
+    km     = 2 R asin(sqrt(hav))
+The ``least(1.0, ...)`` clamp guards asin against hav > 1 by rounding
+(antipodal points); ``greatest(0.0, ...)`` is unnecessary (both terms
+are squares) and omitted to keep the tree minimal.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .litsql import double_literal as _dlit
+
+#: IUGG mean Earth radius (km) — the scipy/astropy/PostGIS default sphere.
+EARTH_RADIUS_KM = 6371.0088
+
+#: km per degree of latitude on that sphere: pi * R / 180.
+KM_PER_DEG_LAT = math.pi * EARTH_RADIUS_KM / 180.0
+
+
+def haversine_km_sql(
+    lng1: str, lat1: str, lng2: str, lat2: str, dialect: str = "spark"
+) -> str:
+    """Great-circle km between two (lng, lat) degree columns.
+
+    Identical text in both dialects (``dialect`` kept for API symmetry
+    with cells.py/webmercator.py). Every literal is exponent-marked via
+    ``double_literal`` so Spark never routes a bare decimal through
+    DECIMAL arithmetic (CLAUDE.md float-literal rule).
+    """
+    rad = _dlit(math.pi / 180.0)  # one strtod-exact factor, not pi()/180
+    half = _dlit(math.pi / 360.0)
+    r1 = f"(({lat1}) * {rad})"
+    r2 = f"(({lat2}) * {rad})"
+    sdlat = f"sin((({lat2}) - ({lat1})) * {half})"
+    sdlng = f"sin((({lng2}) - ({lng1})) * {half})"
+    hav = f"({sdlat} * {sdlat} + cos({r1}) * cos({r2}) * {sdlng} * {sdlng})"
+    return f"({_dlit(2.0 * EARTH_RADIUS_KM)} * asin(sqrt(least({_dlit(1.0)}, {hav}))))"
+
+
+def haversine_m_u_sql(
+    lng1: str, lat1: str, lng2: str, lat2: str, dialect: str = "spark"
+) -> str:
+    """Meter-integerized great-circle distance (BIGINT): floor(km * 1e3).
+
+    Meter granularity keeps the cross-engine ulp exposure ~1e-9/row (a
+    1-ulp trig divergence at 5,000 km is ~1e-12 km against a 1e-3 km
+    boundary spacing) while staying exact enough for any curation
+    predicate.
+    """
+    km = haversine_km_sql(lng1, lat1, lng2, lat2, dialect)
+    return f"cast(floor({km} * {_dlit(1000.0)}) as bigint)"
+
+
+def haversine_km_np(lng1, lat1, lng2, lat2) -> np.ndarray:
+    """Numpy twin of ``haversine_km_sql`` (same formula shape; pytest
+    oracles compare with tolerance — engine-vs-engine exactness is the
+    oracle gate's job, not numpy's)."""
+    lng1 = np.asarray(lng1, np.float64)
+    lat1 = np.asarray(lat1, np.float64)
+    lng2 = np.asarray(lng2, np.float64)
+    lat2 = np.asarray(lat2, np.float64)
+    rad = math.pi / 180.0
+    half = math.pi / 360.0
+    sdlat = np.sin((lat2 - lat1) * half)
+    sdlng = np.sin((lng2 - lng1) * half)
+    hav = sdlat * sdlat + np.cos(lat1 * rad) * np.cos(lat2 * rad) * sdlng * sdlng
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.minimum(1.0, hav)))
+
+
+def cover_radius_deg(km: float, max_abs_lat: float) -> float:
+    """Conservative degree radius covering a ``km`` great-circle radius
+    anywhere in the latitude band |lat| <= ``max_abs_lat``.
+
+    Latitude axis: 1° is a constant KM_PER_DEG_LAT. Longitude axis: 1°
+    is KM_PER_DEG_LAT * cos(lat), smallest at the band edge — so the
+    degree square of this radius contains the km disc for every point
+    in the band, and the candidate cell cover built from it is a
+    provable superset (the refine is exact, so supersets only cost
+    candidate rows, never correctness). Bands touching the poles have
+    no finite longitude radius; callers cap at 89.9°.
+    """
+    if not 0.0 <= max_abs_lat < 90.0:
+        raise ValueError(f"max_abs_lat must be in [0, 90), got {max_abs_lat}")
+    if km < 0:
+        raise ValueError(f"km must be >= 0, got {km}")
+    shrink = math.cos(math.radians(max_abs_lat))
+    return km / (KM_PER_DEG_LAT * shrink)

@@ -1,0 +1,131 @@
+"""Geodesic (great-circle km) spatial joins — the metric twins of the
+planar-parity joins in ``spatial_join.py``.
+
+Reference parity pins the planar operators to Euclidean-degrees
+(``geocoder.cpp:463-468``); these run the same candidate machinery with
+the REAL metric: nearest-feature and within-radius in kilometres on the
+mean sphere (``functions/geodesy.py``). Same scale shape as their planar
+twins — dimension-scale feature side broadcasts, the point table pays
+one cell equi-join, refine is a native column predicate (zero Python on
+the point side).
+
+Candidate correctness: a km disc is NOT a degree square, so the
+within-km join builds each feature's covering cells from the
+CONSERVATIVE degree radius (``geodesy.cover_radius_deg`` at the
+feature's own band edge) — a provable superset of the disc — and the
+haversine refine makes the final predicate exact. The nearest join is
+broadcast-scored over all features (the reference-parity kNN contract:
+features are dimension-scale), so it needs no cover at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geodesy as GD
+from .spatial_join import _indexed
+
+
+def _centers_dim(spark: SparkSession, features_pdf: pd.DataFrame) -> DataFrame:
+    feats = _indexed(features_pdf)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "record_number": feats["record_number"].astype(np.int64),
+                "cx": ((feats["minx"] + feats["maxx"]) / 2.0).astype(np.float64),
+                "cy": ((feats["miny"] + feats["maxy"]) / 2.0).astype(np.float64),
+            }
+        )
+    )
+
+
+def geodesic_nearest(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    point_id_col: str = "point_id",
+) -> DataFrame:
+    """Nearest feature center per point by great-circle km.
+
+    Output: (point_id, record_number, gdist_m) — distance
+    meter-integerized (BIGINT). Ties break to the lower record_number
+    (deterministic, engine-portable). Broadcast-scored: every (point,
+    feature) pair is a broadcast-join row, top-1 by window — exactly the
+    kNN-bruteforce shape, correct because the feature side is
+    dimension-scale by the same contract.
+    """
+    dim = _centers_dim(spark, features_pdf)
+    gdist = F.expr(
+        GD.haversine_m_u_sql(lng_col, lat_col, "cx", "cy", "spark")
+    ).alias("gdist_m")
+    scored = (
+        points.select(point_id_col, lng_col, lat_col)
+        .crossJoin(F.broadcast(dim))
+        .select(point_id_col, "record_number", gdist)
+    )
+    w = Window.partitionBy(point_id_col).orderBy("gdist_m", "record_number")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def geodesic_within_km(
+    spark: SparkSession,
+    points: DataFrame,
+    features_pdf: pd.DataFrame,
+    km: float,
+    res: int | None = None,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All (point, feature-center) pairs within ``km`` great-circle km.
+
+    Plan: per-feature covering cells from the conservative degree radius
+    at the feature's own latitude band edge (driver-side over the
+    dimension, like ``within_distance_join``) → broadcast → point cell
+    equi-join → exact haversine refine as a native column predicate.
+    Output keeps the point columns + (record_number, gdist_m).
+    """
+    if km <= 0:
+        raise ValueError(f"km must be > 0, got {km}")
+    feats = _indexed(features_pdf).copy()
+    feats["cx"] = (feats["minx"] + feats["maxx"]) / 2.0
+    feats["cy"] = (feats["miny"] + feats["maxy"]) / 2.0
+    # the refine keeps floor(d_km * 1e3) <= km * 1e3, i.e. d < km + 1 m —
+    # pad the cover radius by that meter so it stays a superset of the
+    # integerized predicate, not just of the exact km disc
+    km_pad = km + 1e-3
+    lat_pad = km_pad / GD.KM_PER_DEG_LAT
+    band = np.minimum(89.9, np.abs(feats["cy"].to_numpy()) + lat_pad)
+    deg_r = np.array([GD.cover_radius_deg(km_pad, b) for b in band])
+    if res is None:
+        d = float(deg_r.max())
+        res = C.resolution_for_bbox(2 * d, 2 * d, max_cells=64)
+    rows = []
+    for (_, r), dr in zip(feats.iterrows(), deg_r):
+        for c in C.cover_bbox(
+            r.cx - dr, r.cy - dr, r.cx + dr, r.cy + dr, res
+        ):
+            rows.append((int(c), int(r.record_number), float(r.cx), float(r.cy)))
+    dim = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "record_number", "cx", "cy"])
+    )
+    pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
+    gdist_m = F.expr(
+        GD.haversine_m_u_sql(lng_col, lat_col, "cx", "cy", "spark")
+    ).alias("gdist_m")
+    return (
+        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        .drop("cell", "__cell")
+        .select("*", gdist_m)
+        .where(F.col("gdist_m") <= F.lit(int(km * 1000)))
+        .drop("cx", "cy")
+    )

@@ -1,0 +1,160 @@
+"""Raster kernel smoothing (KDE-style density heatmaps on the cell grid).
+
+Turns a point table into a SMOOTHED density raster: cell histogram →
+each occupied cell spreads its count into its (2r+1)^2 neighborhood with
+integer kernel weights → sum per target cell. This is the grid-KDE every
+heatmap layer runs before tile rendering (``operators/render.py``
+consumes exactly this shape), and the reason it survives 10^12 points is
+the same argument as ``hotspot_clusters``/``zonal_stats``: the point
+table pays exactly ONE partial-agg shuffle (the histogram), and the
+kernel spread fans out only the BOUNDED occupied-cell table by a
+constant (2r+1)^2 — never the points.
+
+Kernels are INTEGER-weighted so the smoothed density is an exact BIGINT
+in both engines (no float hashing anywhere):
+
+- ``tent``: w(dx, dy) = (r+1-|dx|) * (r+1-|dy|) — the separable
+  triangular kernel (iterated-box/linear B-spline), the standard cheap
+  KDE approximation.
+- ``box``:  w = 1 — plain (2r+1)^2 box blur.
+
+Edge semantics: truncation. Offsets falling off the grid are dropped
+(no wraparound, no renormalization) — the provably-no-alias argument
+from ``clustering.py`` does not even arise because out-of-range target
+indices are filtered EXPLICITLY before packing, in both dialects.
+
+Scale note: the spread is an explode over the occupied-cell table, so
+its cost is (occupied cells) x (2r+1)^2 rows into one more partial-agg
+shuffle. For large radii a separable two-pass formulation (spread x,
+aggregate, spread y) drops the fan-out to 2(2r+1) at the price of a
+second bounded shuffle — worth it only for r >~ 8; this implements the
+one-pass form and documents the crossover rather than guessing at it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+
+_KERNELS = ("tent", "box")
+
+
+def kernel_weights(radius: int, kernel: str = "tent") -> list[tuple[int, int, int]]:
+    """(dx, dy, weight) triples of the integer kernel, dy-major order."""
+    if kernel not in _KERNELS:
+        raise ValueError(f"kernel must be one of {_KERNELS}, got {kernel!r}")
+    if not 1 <= radius <= 8:
+        raise ValueError(f"radius must be in [1, 8], got {radius}")
+    out = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            w = (
+                (radius + 1 - abs(dx)) * (radius + 1 - abs(dy))
+                if kernel == "tent"
+                else 1
+            )
+            out.append((dx, dy, w))
+    return out
+
+
+def _offsets_expr(radius: int, kernel: str) -> str:
+    offs = ", ".join(
+        f"struct({dx} as dx, {dy} as dy, {w} as w)"
+        for dx, dy, w in kernel_weights(radius, kernel)
+    )
+    return f"explode(array({offs}))"
+
+
+def smooth_density(
+    points: DataFrame,
+    res: int,
+    radius: int = 2,
+    kernel: str = "tent",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Smoothed point-density raster at cell resolution ``res``.
+
+    Returns (cell BIGINT, xi BIGINT, yi BIGINT, density BIGINT) — one row
+    per cell receiving any kernel mass (occupied cells dilated by
+    ``radius``); ``density`` = sum over contributing cells of
+    n_points * kernel weight, exact integer.
+    """
+    if not 0 <= res <= C.MAX_RES:
+        raise ValueError(f"res must be in [0, {C.MAX_RES}], got {res}")
+    n_axis = 1 << res
+    cell = F.expr(C.cell_sql(lng_col, lat_col, res, "spark"))
+    hist = points.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # bounded occupied-cell table, referenced through a demorton + spread
+    # chain — materialize so Catalyst cannot inline the histogram agg
+    # into the multiplied projection (CLAUDE.md: projection collapse)
+    hist = hist.localCheckpoint(eager=True)
+    ax = hist.select(
+        "n",
+        F.expr(C.cell_axis_sql("cell", "x", "spark")).alias("_x"),
+        F.expr(C.cell_axis_sql("cell", "y", "spark")).alias("_y"),
+    )
+    spread = (
+        ax.select("n", "_x", "_y", F.expr(_offsets_expr(radius, kernel)).alias("_o"))
+        .select(
+            "n",
+            F.col("_o.w").alias("_w"),
+            (F.col("_x") + F.col("_o.dx")).alias("xi"),
+            (F.col("_y") + F.col("_o.dy")).alias("yi"),
+        )
+        .where(
+            (F.col("xi") >= 0)
+            & (F.col("xi") < n_axis)
+            & (F.col("yi") >= 0)
+            & (F.col("yi") < n_axis)
+        )
+    )
+    return (
+        spread.groupBy(
+            F.expr(C.pack_xy_sql("xi", "yi", res, "spark")).alias("cell"),
+            "xi",
+            "yi",
+        )
+        .agg(F.sum(F.col("n") * F.col("_w")).alias("density"))
+        .select("cell", "xi", "yi", "density")
+    )
+
+
+def smooth_density_oracle_sql(
+    pts_cte: str,
+    res: int,
+    radius: int = 2,
+    kernel: str = "tent",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB twin of ``smooth_density`` over a points CTE body (columns
+    ``lng_col``/``lat_col``) — same integer pipeline, VALUES offsets."""
+    n_axis = 1 << res
+    offs = ", ".join(
+        f"({dx}, {dy}, {w})" for dx, dy, w in kernel_weights(radius, kernel)
+    )
+    cell = C.cell_sql(lng_col, lat_col, res, "duckdb")
+    ax_x = C.cell_axis_sql("cell", "x", "duckdb")
+    ax_y = C.cell_axis_sql("cell", "y", "duckdb")
+    pack = C.pack_xy_sql("xi", "yi", res, "duckdb")
+    return f"""
+        WITH pts AS ({pts_cte}),
+        hist AS (
+          SELECT {cell} AS cell, count(*) AS n FROM pts GROUP BY 1
+        ),
+        ax AS (SELECT n, {ax_x} AS x, {ax_y} AS y FROM hist),
+        spread AS (
+          SELECT n, o.w AS w, ax.x + o.dx AS xi, ax.y + o.dy AS yi
+          FROM ax CROSS JOIN (VALUES {offs}) AS o(dx, dy, w)
+          WHERE ax.x + o.dx >= 0 AND ax.x + o.dx < {n_axis}
+            AND ax.y + o.dy >= 0 AND ax.y + o.dy < {n_axis}
+        )
+        SELECT {pack} AS cell, xi, yi,
+               CAST(sum(n * w) AS BIGINT) AS density
+        FROM spread GROUP BY 1, 2, 3
+    """

@@ -136,7 +136,13 @@ def test_overflow_only_prior_green():
     # the local oracle gate (check_correctness green vs the independent
     # all-shared-shingle brute-force SQL) + the == bruteforce pytest at
     # two thresholds. Rotate into the cap in round 5 for a driver row.
-    local_gated_r4 = {"dedup_jaccard"}
+    local_gated_r4 = {
+        "dedup_jaccard",
+        # geodesic metric twins + KDE raster smoother: local gate +
+        # numpy/known-distance pytest vouching (test_geodesic.py,
+        # test_raster_smooth.py); round-5 rotation candidates
+        "geo_nearest", "geo_within_km", "raster_smooth",
+    }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (
         f"queries past the driver cap without a prior driver-green row: "

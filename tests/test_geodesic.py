@@ -1,0 +1,162 @@
+"""Geodesic distance: numpy-twin parity, known great-circle distances,
+brute-force join parity, and candidate-cover completeness at the band
+edge (where the degree square is tightest against the km disc)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.functions import geodesy as GD
+from gis_shapefile_spark.operators import geodesic as GEO
+
+
+def test_known_great_circle_distances():
+    # 1 degree of longitude along the equator == 1 degree of latitude
+    # along a meridian == pi * R / 180
+    d_eq = GD.haversine_km_np(0.0, 0.0, 1.0, 0.0)
+    d_mer = GD.haversine_km_np(10.0, 10.0, 10.0, 11.0)
+    assert d_eq == pytest.approx(GD.KM_PER_DEG_LAT, rel=1e-9)
+    assert d_mer == pytest.approx(GD.KM_PER_DEG_LAT, rel=1e-9)
+    # antipodal points: half the circumference
+    d_anti = GD.haversine_km_np(0.0, 0.0, 180.0, 0.0)
+    assert d_anti == pytest.approx(math.pi * GD.EARTH_RADIUS_KM, rel=1e-9)
+    # identical points
+    assert GD.haversine_km_np(-100.0, 45.0, -100.0, 45.0) == 0.0
+    # longitude shrinks with latitude: 1 deg lng at lat 60 ~ cos(60) ~ 1/2
+    d60 = float(GD.haversine_km_np(0.0, 60.0, 1.0, 60.0))
+    assert d60 == pytest.approx(GD.KM_PER_DEG_LAT * 0.5, rel=1e-3)
+
+
+def test_sql_matches_numpy_twin(spark):
+    rng = np.random.default_rng(7)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "lng1": rng.uniform(-180, 180, n),
+            "lat1": rng.uniform(-89, 89, n),
+            "lng2": rng.uniform(-180, 180, n),
+            "lat2": rng.uniform(-89, 89, n),
+        }
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            F.expr(
+                GD.haversine_km_sql("lng1", "lat1", "lng2", "lat2", "spark")
+            ).alias("km")
+        )
+        .toPandas()["km"]
+        .to_numpy()
+    )
+    want = GD.haversine_km_np(
+        pdf["lng1"], pdf["lat1"], pdf["lng2"], pdf["lat2"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+
+
+def test_cover_radius_deg_properties():
+    # equator: deg radius is km / KM_PER_DEG_LAT exactly
+    assert GD.cover_radius_deg(111.0, 0.0) == pytest.approx(
+        111.0 / GD.KM_PER_DEG_LAT
+    )
+    # monotone nondecreasing in the band edge
+    r = [GD.cover_radius_deg(100.0, lat) for lat in (0, 30, 60, 80, 89)]
+    assert all(a <= b for a, b in zip(r, r[1:]))
+    with pytest.raises(ValueError):
+        GD.cover_radius_deg(10.0, 90.0)
+    with pytest.raises(ValueError):
+        GD.cover_radius_deg(-1.0, 0.0)
+
+
+def _features_pdf(centers):
+    """Zero-area rect features centered on the given (cx, cy)."""
+    rows = []
+    for i, (cx, cy) in enumerate(centers, start=1):
+        rows.append(
+            dict(
+                record_number=i, shape_type=5,
+                minx=cx, maxx=cx, miny=cy, maxy=cy,
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def _points_pdf(rng, n, lng_lo, lng_hi, lat_lo, lat_hi):
+    return pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "lng": rng.uniform(lng_lo, lng_hi, n),
+            "lat": rng.uniform(lat_lo, lat_hi, n),
+        }
+    )
+
+
+def test_geodesic_nearest_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    centers = [(-120.0, 30.0), (-100.0, 40.0), (-80.0, 48.0), (-70.0, 25.0)]
+    pts = _points_pdf(rng, 200, -125, -66, 24, 50)
+    out = (
+        GEO.geodesic_nearest(
+            spark, spark.createDataFrame(pts), _features_pdf(centers)
+        )
+        .toPandas()
+        .sort_values("point_id")
+        .reset_index(drop=True)
+    )
+    cx = np.array([c[0] for c in centers])
+    cy = np.array([c[1] for c in centers])
+    d = GD.haversine_km_np(
+        pts["lng"].to_numpy()[:, None], pts["lat"].to_numpy()[:, None],
+        cx[None, :], cy[None, :],
+    )
+    want_rec = d.argmin(axis=1) + 1
+    assert (out["record_number"].to_numpy() == want_rec).all()
+    want_m = np.floor(d.min(axis=1) * 1000).astype(np.int64)
+    # engine floor happens on the SQL-evaluated double; allow the last
+    # integer digit to differ only where numpy and the JVM disagree by
+    # ulps exactly at a meter boundary (none expected at this scale)
+    assert (out["gdist_m"].to_numpy() == want_m).all()
+
+
+def test_geodesic_within_km_matches_bruteforce_at_band_edge(spark):
+    """Points and features pushed against lat 49.9 — the tightest spot of
+    the fixture canvas for the degree cover — must still find every pair
+    the exact haversine predicate admits."""
+    rng = np.random.default_rng(13)
+    centers = [(-110.0, 49.5), (-109.0, 49.9), (-111.5, 49.0)]
+    pts = _points_pdf(rng, 400, -114, -106, 47.5, 50.0)
+    km = 120.0
+    out = GEO.geodesic_within_km(
+        spark, spark.createDataFrame(pts), _features_pdf(centers), km=km
+    ).toPandas()
+    cx = np.array([c[0] for c in centers])
+    cy = np.array([c[1] for c in centers])
+    d = GD.haversine_km_np(
+        pts["lng"].to_numpy()[:, None], pts["lat"].to_numpy()[:, None],
+        cx[None, :], cy[None, :],
+    )
+    dm = np.floor(d * 1000).astype(np.int64)
+    want = {
+        (int(pts["point_id"][i]), j + 1)
+        for i, j in zip(*np.nonzero(dm <= km * 1000))
+    }
+    got = {
+        (int(r.point_id), int(r.record_number)) for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises pairs
+
+
+def test_geodesic_within_km_rejects_bad_radius(spark):
+    with pytest.raises(ValueError):
+        GEO.geodesic_within_km(
+            spark,
+            spark.createDataFrame(pd.DataFrame({"point_id": [1], "lng": [0.0], "lat": [0.0]})),
+            _features_pdf([(0.0, 0.0)]),
+            km=0.0,
+        )

@@ -1,0 +1,119 @@
+"""Raster kernel smoothing: exact single-point kernel stamps, grid-edge
+truncation, dense numpy-convolution parity, and kernel validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_shapefile_spark.functions import cells as C
+from gis_shapefile_spark.operators import raster as R
+
+RES = 6
+N_AXIS = 1 << RES
+# cell extents at res 6: 360/64 deg in lng, 180/64 deg in lat
+DLNG = 360.0 / N_AXIS
+DLAT = 180.0 / N_AXIS
+
+
+def _cell_center(xi: int, yi: int) -> tuple[float, float]:
+    return (-180.0 + (xi + 0.5) * DLNG, -90.0 + (yi + 0.5) * DLAT)
+
+
+def _pts_df(spark, xy_counts):
+    rows = []
+    for (xi, yi), n in xy_counts.items():
+        lng, lat = _cell_center(xi, yi)
+        rows.extend({"lng": lng, "lat": lat} for _ in range(n))
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _dense_oracle(xy_counts, radius, kernel):
+    grid = np.zeros((N_AXIS, N_AXIS), np.int64)  # [xi, yi]
+    for (xi, yi), n in xy_counts.items():
+        grid[xi, yi] += n
+    out = np.zeros_like(grid)
+    for dx, dy, w in R.kernel_weights(radius, kernel):
+        src = grid
+        shifted = np.zeros_like(grid)
+        xs = slice(max(0, dx), N_AXIS + min(0, dx))
+        ys = slice(max(0, dy), N_AXIS + min(0, dy))
+        xs_src = slice(max(0, -dx), N_AXIS + min(0, -dx))
+        ys_src = slice(max(0, -dy), N_AXIS + min(0, -dy))
+        shifted[xs, ys] = src[xs_src, ys_src]
+        out += w * shifted
+    return out
+
+
+def _collect(df) -> dict[tuple[int, int], int]:
+    pdf = df.toPandas()
+    return {
+        (int(r.xi), int(r.yi)): int(r.density) for r in pdf.itertuples()
+    }
+
+
+def test_single_interior_point_stamps_kernel(spark):
+    xi, yi = 20, 30
+    out = _collect(
+        R.smooth_density(_pts_df(spark, {(xi, yi): 1}), RES, radius=2)
+    )
+    want = {
+        (xi + dx, yi + dy): w for dx, dy, w in R.kernel_weights(2, "tent")
+    }
+    assert out == want
+    # tent kernel total mass: ((r+1)^2)^2 = 81 at r=2
+    assert sum(out.values()) == 81
+
+
+def test_corner_truncation_drops_offgrid_mass(spark):
+    out = _collect(
+        R.smooth_density(_pts_df(spark, {(0, 0): 5}), RES, radius=2)
+    )
+    want = {
+        (dx, dy): 5 * w
+        for dx, dy, w in R.kernel_weights(2, "tent")
+        if dx >= 0 and dy >= 0
+    }
+    assert out == want
+    assert all(x >= 0 and y >= 0 for x, y in out)
+    assert sum(out.values()) < 5 * 81  # mass truncated, not renormalized
+
+
+def test_matches_dense_numpy_convolution(spark):
+    rng = np.random.default_rng(23)
+    xy_counts = {
+        (int(rng.integers(0, N_AXIS)), int(rng.integers(0, N_AXIS))): int(n)
+        for n in rng.integers(1, 9, size=60)
+    }
+    for kernel, radius in (("tent", 2), ("box", 1), ("tent", 3)):
+        out = _collect(
+            R.smooth_density(
+                _pts_df(spark, xy_counts), RES, radius=radius, kernel=kernel
+            )
+        )
+        dense = _dense_oracle(xy_counts, radius, kernel)
+        want = {
+            (x, y): int(dense[x, y])
+            for x, y in zip(*np.nonzero(dense))
+        }
+        assert out == want, f"{kernel} r={radius}"
+
+
+def test_cell_ids_consistent_with_axes(spark):
+    out = R.smooth_density(
+        _pts_df(spark, {(10, 11): 1}), RES, radius=1
+    ).toPandas()
+    cr, cx, cy = C.cell_xy(out["cell"].to_numpy(np.int64))
+    assert (cr == RES).all()
+    assert (cx == out["xi"].to_numpy()).all()
+    assert (cy == out["yi"].to_numpy()).all()
+
+
+def test_kernel_validation():
+    with pytest.raises(ValueError):
+        R.kernel_weights(0, "tent")
+    with pytest.raises(ValueError):
+        R.kernel_weights(2, "gauss")
+    with pytest.raises(ValueError):
+        R.smooth_density(None, res=99)
