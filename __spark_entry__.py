@@ -139,6 +139,10 @@ _PRIORITY = [
     # (great-circle km) metric twins of the planar joins, and the
     # KDE raster smoother
     "geo_nearest", "geo_within_km", "raster_smooth",
+    # image-quality curation stats whose oracle recomputes the stats in
+    # pure integer SQL from the corpus' shared pixel formula — encode ->
+    # decode -> stat kernel value-checked end-to-end, no stored column
+    "image_quality",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

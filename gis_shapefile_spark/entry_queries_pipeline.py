@@ -1276,6 +1276,112 @@ def q_caption_curation_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# image quality stats — encode -> decode -> stats value-checked end-to-end
+# against pure integer SQL (no stored-column crutch)
+# ---------------------------------------------------------------------------
+
+IQ_N, IQ_W, IQ_H = 400, 16, 16
+# shared pixel formula: byte value at flat position p of image i is
+# (i * 2654435761 + p * 40503 + p*p * (i+1)) % 256, p = (y*w+x)*3 + c —
+# pure int64 arithmetic both engines evaluate identically. The quadratic
+# id-coupled term is load-bearing: a plain affine (a*i + b*p) % 256 with
+# gcd(b, 256) = 1 permutes 0..255 over every 256 positions, making the
+# luma sum/min/max/square multisets IDENTICAL across images (only the
+# gradient varied) — per-image distinct stats need the non-affine term
+IQ_MULT_ID, IQ_MULT_POS = 2654435761, 40503
+
+
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-quality curation stats (brightness / contrast /
+    dynamic range / gradient sharpness as exact integers) over a corpus
+    whose pixels are defined by a SHARED integer formula: the engine
+    synthesizes the pixels, ENCODES them with the real raw/PNG codecs,
+    DECODES them back, and computes the stats from the decoded stack —
+    while the oracle computes the same stats in DuckDB directly from the
+    formula. Lossless codecs make the two ends meet exactly, so one hash
+    match value-checks encoder, decoder, and the stat kernel per image
+    (the phash-invariant trick without needing a stored column)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as MM
+
+    def synth(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            pos = np.arange(IQ_W * IQ_H * 3, dtype=np.int64)
+            for iid in pdf["id"]:
+                iid = int(iid)
+                v = (
+                    (iid * IQ_MULT_ID + pos * IQ_MULT_POS + pos * pos * (iid + 1))
+                    % 256
+                ).astype(np.uint8)
+                fmt = "raw" if iid % 2 == 0 else "png"
+                rows.append(
+                    {
+                        "image_id": iid,
+                        "bytes": FX.encode_image(
+                            v.reshape(IQ_H, IQ_W, 3), fmt
+                        ),
+                        "w": IQ_W,
+                        "h": IQ_H,
+                        "fmt": fmt,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    images = spark.range(IQ_N).mapInPandas(
+        synth, "image_id long, bytes binary, w int, h int, fmt string"
+    )
+    return MM.image_quality_stats(images)
+
+
+def q_image_quality_oracle() -> str:
+    def byte(p_expr: str) -> str:
+        return (
+            f"((i.image_id * {IQ_MULT_ID} + ({p_expr}) * {IQ_MULT_POS}"
+            f" + ({p_expr}) * ({p_expr}) * (i.image_id + 1)) % 256)"
+        )
+
+    base = f"(y.range * {IQ_W} + x.range) * 3"
+    luma = (
+        f"2126 * {byte(base)} + 7152 * {byte(base + ' + 1')}"
+        f" + 722 * {byte(base + ' + 2')}"
+    )
+    return f"""
+        WITH ids AS (SELECT range AS image_id FROM range({IQ_N})),
+        px AS (
+          SELECT i.image_id, x.range AS x, y.range AS y, {luma} AS luma_u
+          FROM ids i CROSS JOIN range({IQ_W}) x CROSS JOIN range({IQ_H}) y
+        ),
+        g AS (
+          SELECT image_id, luma_u,
+                 lead(luma_u) OVER (
+                   PARTITION BY image_id, y ORDER BY x
+                 ) AS nx,
+                 lead(luma_u) OVER (
+                   PARTITION BY image_id, x ORDER BY y
+                 ) AS ny
+          FROM px
+        )
+        SELECT image_id,
+               CAST(sum(luma_u) AS BIGINT) AS luma_sum_u,
+               CAST(sum((luma_u // 1000) * (luma_u // 1000)) AS BIGINT)
+                 AS luma_sq_sum_k,
+               CAST(min(luma_u) AS BIGINT) AS luma_min_u,
+               CAST(max(luma_u) AS BIGINT) AS luma_max_u,
+               CAST(sum(CASE WHEN nx IS NULL THEN 0
+                             ELSE abs(nx - luma_u) END)
+                  + sum(CASE WHEN ny IS NULL THEN 0
+                             ELSE abs(ny - luma_u) END) AS BIGINT)
+                 AS grad_sum_u
+        FROM g GROUP BY image_id
+    """
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical tile pyramid (res 8 -> 6 -> 4): coarser levels folded
     from child-level aggregates, one point scan total."""
@@ -2742,6 +2848,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
+    "image_quality": q_image_quality,
     "image_neardup": q_image_neardup,
     "image_canon": q_image_canon,
     "image_takedown": q_image_takedown,
@@ -2805,6 +2912,7 @@ ORACLES = {
     "corpus_curation": q_corpus_curation_oracle(),
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
+    "image_quality": q_image_quality_oracle(),
     "image_neardup": q_image_neardup_oracle(),
     "image_canon": q_image_canon_oracle(),
     "image_takedown": q_image_takedown_oracle(),

@@ -174,6 +174,79 @@ def image_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     return DD.hamming_near_pairs(sig, "image_id", "phash_rec", 64, max_hamming)
 
 
+def image_quality_stats(images: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Per-image quality statistics from DECODED pixels — the LAION-style
+    curation filters (too dark / blown out / flat / blurry) as exact
+    integer columns:
+
+    - ``luma_sum_u``   — sum over pixels of the BT.709 integer luma
+      ``2126*R + 7152*G + 722*B`` (units of 1e-4 luma levels; per-pixel
+      max 2,550,000). Brightness = luma_sum_u / (w*h*1e4).
+    - ``luma_sq_sum_k`` — sum of ``(luma_u div 1000)^2`` (kilounit
+      squares, so the int64 bound holds to >10^10 pixels/image — the
+      raw-unit square would overflow past ~1.4 MP). Contrast/variance =
+      standard E[x^2]-E[x]^2 on these two sums.
+    - ``luma_min_u`` / ``luma_max_u`` — dynamic range.
+    - ``grad_sum_u``   — total absolute horizontal + vertical luma
+      gradient (sum |dL/dx| + |dL/dy| over the pixel lattice), the
+      cheap sharpness/energy proxy: ~0 flags flat/synthetic fills,
+      low-per-pixel flags blur.
+
+    All stats are pure integer reductions over the decoded stack, so
+    they are exactly reproducible by any engine from the same pixels —
+    the ``image_quality`` driver oracle recomputes them in DuckDB from
+    the corpus' shared pixel formula, value-checking the encode → decode
+    → stats loop end-to-end. One Arrow-batched decode pass over source
+    splits, no shuffle; ``carry`` passes metadata through (same
+    no-re-join contract as ``decode_stats``).
+    """
+    fields = {f.name: f.dataType.simpleString() for f in images.schema.fields}
+    schema = (
+        f"image_id {fields['image_id']}, luma_sum_u long, luma_sq_sum_k long,"
+        " luma_min_u long, luma_max_u long, grad_sum_u long"
+    )
+    for c in carry:
+        schema += f", {c} {fields[c]}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            sums = np.zeros(n, np.int64)
+            sqs = np.zeros(n, np.int64)
+            mins = np.zeros(n, np.int64)
+            maxs = np.zeros(n, np.int64)
+            grads = np.zeros(n, np.int64)
+            for poss, _fmt, stack in _decode_stacks(pdf):
+                lum = (
+                    2126 * stack[..., 0].astype(np.int64)
+                    + 7152 * stack[..., 1].astype(np.int64)
+                    + 722 * stack[..., 2].astype(np.int64)
+                )  # (k, h, w) int64
+                sums[poss] = lum.sum(axis=(1, 2))
+                lk = lum // 1000
+                sqs[poss] = (lk * lk).sum(axis=(1, 2))
+                mins[poss] = lum.min(axis=(1, 2))
+                maxs[poss] = lum.max(axis=(1, 2))
+                grads[poss] = np.abs(np.diff(lum, axis=2)).sum(
+                    axis=(1, 2)
+                ) + np.abs(np.diff(lum, axis=1)).sum(axis=(1, 2))
+            out = {
+                "image_id": pdf["image_id"].values,
+                "luma_sum_u": sums,
+                "luma_sq_sum_k": sqs,
+                "luma_min_u": mins,
+                "luma_max_u": maxs,
+                "grad_sum_u": grads,
+            }
+            for c in carry:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-pixel resize on a deterministic integer sample grid,
     re-encoded in the same fmt. Output keeps the full input_hint schema;

@@ -142,6 +142,9 @@ def test_overflow_only_prior_green():
         # numpy/known-distance pytest vouching (test_geodesic.py,
         # test_raster_smooth.py); round-5 rotation candidates
         "geo_nearest", "geo_within_km", "raster_smooth",
+        # encode->decode->stats loop vs pure-integer-SQL pixel formula;
+        # numpy-parity pytest in test_multimodal_tiling.py
+        "image_quality",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -11,6 +11,7 @@ import hashlib
 import zlib
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -70,6 +71,78 @@ def test_decode_stats_matches_numpy(spark, images_df, images_pdf):
         got = out[r["image_id"]]
         assert got.phash_ok and got.phash_rec == r["phash"]
         assert got.mean_r == int(np.floor(pix[:, :, 0].mean() * 1e6))
+
+
+def _luma_stats_np(pix: np.ndarray) -> dict:
+    lum = (
+        2126 * pix[:, :, 0].astype(np.int64)
+        + 7152 * pix[:, :, 1].astype(np.int64)
+        + 722 * pix[:, :, 2].astype(np.int64)
+    )
+    lk = lum // 1000
+    return dict(
+        luma_sum_u=int(lum.sum()),
+        luma_sq_sum_k=int((lk * lk).sum()),
+        luma_min_u=int(lum.min()),
+        luma_max_u=int(lum.max()),
+        grad_sum_u=int(
+            np.abs(np.diff(lum, axis=1)).sum()
+            + np.abs(np.diff(lum, axis=0)).sum()
+        ),
+    )
+
+
+def test_image_quality_stats_matches_numpy(spark, images_df, images_pdf):
+    """All four codecs through the quality kernel: stats are computed from
+    the DECODED pixels, so the numpy oracle decodes independently and
+    must agree exactly — including on lossy qz/jpeg rows."""
+    out = {r.image_id: r for r in MM.image_quality_stats(images_df).collect()}
+    assert len(out) == N_IMG
+    fmts_seen = set()
+    for _, r in images_pdf.iterrows():
+        fmts_seen.add(r["fmt"])
+        pix = FX.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        want = _luma_stats_np(pix)
+        got = out[r["image_id"]]
+        for k, v in want.items():
+            assert getattr(got, k) == v, (r["image_id"], r["fmt"], k)
+    assert fmts_seen == {"raw", "qz", "png", "jpeg"}
+
+
+def test_image_quality_stats_flat_and_tiny(spark):
+    """A flat image has zero gradient and min == max; a 1x1 image has no
+    neighbor pairs at all (empty diffs must sum to 0, not crash)."""
+    flat = np.full((8, 8, 3), 200, np.uint8)
+    tiny = np.array([[[10, 20, 30]]], np.uint8)
+    pdf = pd.DataFrame(
+        [
+            {
+                "image_id": "flat", "bytes": FX.encode_image(flat, "raw"),
+                "w": 8, "h": 8, "fmt": "raw",
+            },
+            {
+                "image_id": "tiny", "bytes": FX.encode_image(tiny, "raw"),
+                "w": 1, "h": 1, "fmt": "raw",
+            },
+        ]
+    )
+    out = {
+        r.image_id: r
+        for r in MM.image_quality_stats(spark.createDataFrame(pdf)).collect()
+    }
+    lum_flat = 200 * (2126 + 7152 + 722)
+    assert out["flat"].grad_sum_u == 0
+    assert out["flat"].luma_min_u == out["flat"].luma_max_u == lum_flat
+    assert out["flat"].luma_sum_u == 64 * lum_flat
+    lum_tiny = 2126 * 10 + 7152 * 20 + 722 * 30
+    assert out["tiny"].grad_sum_u == 0
+    assert out["tiny"].luma_sum_u == lum_tiny
+
+
+def test_image_quality_stats_carry_passthrough(spark, images_df, images_pdf):
+    out = MM.image_quality_stats(images_df, carry=("caption",)).collect()
+    want = dict(zip(images_pdf["image_id"], images_pdf["caption"]))
+    assert all(r.caption == want[r.image_id] for r in out)
 
 
 def test_verify_invariants_stage(spark, images_df, images_pdf):
