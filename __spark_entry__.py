@@ -143,6 +143,10 @@ _PRIORITY = [
     # pure integer SQL from the corpus' shared pixel formula — encode ->
     # decode -> stat kernel value-checked end-to-end, no stored column
     "image_quality",
+    # exact duplicate-SPAN removal at k-token granularity (the Lee et
+    # al. ExactSubstr stage) — the dedup granularity between doc-level
+    # and paragraph-level
+    "substring_dedup",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1277,6 +1277,96 @@ def q_caption_curation_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# exact substring (duplicate-span) dedup — the ExactSubstr stage
+# ---------------------------------------------------------------------------
+
+SSD_K = 8
+# two planted tails injected IN-PLAN by identical SQL in both engines:
+# every 7th doc shares tail A, every 11th shares tail B (doc 0 gets both
+# and, as the global first occurrence, keeps them; every later carrier
+# loses exactly the tail's interior windows' tokens)
+SSD_TAIL_A = "the quick brown fox jumps over the lazy dog again and again"
+SSD_TAIL_B = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+
+
+def _ssd_aug_sql() -> str:
+    return (
+        f"text || CASE WHEN doc_id % 7 = 0 THEN ' {SSD_TAIL_A}' ELSE '' END"
+        f" || CASE WHEN doc_id % 11 = 0 THEN ' {SSD_TAIL_B}' ELSE '' END"
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal at SSD_K-token granularity (the Lee
+    et al. ExactSubstr curation stage): every k-gram occurring earlier
+    anywhere in the corpus marks its tokens dropped, docs re-assemble
+    from survivors. The corpus plants shared tails in every 7th/11th doc
+    so the value hash pins which docs lose which spans — plus whatever
+    natural k-gram repeats the fixture corpus itself carries."""
+    from .operators import dedup as DDo
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(_ssd_aug_sql()).alias("text")
+    )
+    return DDo.substring_dedup(docs, k=SSD_K)
+
+
+def q_substring_dedup_oracle() -> str:
+    k = SSD_K
+    gram = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, k)]
+    )
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, {_ssd_aug_sql()} AS text FROM documents
+        ),
+        tok0 AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM aug
+        ),
+        toks AS (
+          SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                   AS tidx
+          FROM tok0 WHERE length(tok) > 0
+        ),
+        grams AS (
+          SELECT doc_id, tidx, {gram} AS gram,
+                 lead(tok, {k - 1}) OVER w AS last_tok
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY tidx)
+        ),
+        g2 AS (SELECT doc_id, tidx, gram FROM grams
+               WHERE last_tok IS NOT NULL),
+        dup AS (
+          SELECT doc_id, tidx FROM (
+            SELECT doc_id, tidx,
+                   row_number() OVER (
+                     PARTITION BY gram ORDER BY doc_id, tidx
+                   ) AS rn
+            FROM g2
+          ) WHERE rn > 1
+        ),
+        cov AS (
+          SELECT DISTINCT d.doc_id, d.tidx + o.range AS cidx
+          FROM dup d CROSS JOIN range({k}) o
+        )
+        SELECT t.doc_id,
+               coalesce(string_agg(
+                 CASE WHEN c.cidx IS NULL THEN t.tok END, ' '
+                 ORDER BY t.tidx), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE c.cidx IS NULL) AS BIGINT)
+                 AS n_kept,
+               CAST(count(*) FILTER (WHERE c.cidx IS NOT NULL) AS BIGINT)
+                 AS n_dropped
+        FROM toks t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tidx = c.cidx
+        GROUP BY t.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # image quality stats — encode -> decode -> stats value-checked end-to-end
 # against pure integer SQL (no stored-column crutch)
 # ---------------------------------------------------------------------------
@@ -2812,6 +2902,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "substring_dedup": q_substring_dedup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "running_windows": q_running_windows,
@@ -2876,6 +2967,7 @@ ORACLES = {
     "dedup_exact": q_dedup_exact_oracle(),
     "dedup_minhash": q_dedup_minhash_oracle(),
     "dedup_jaccard": q_dedup_jaccard_oracle(),
+    "substring_dedup": q_substring_dedup_oracle(),
     "dedup_simhash": q_dedup_simhash_oracle(),
     "dedup_simhash_pairs": q_dedup_simhash_pairs_oracle(),
     "running_windows": q_running_windows_oracle(),

@@ -738,3 +738,112 @@ def paragraph_dedup(
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal at ``k``-token granularity — the
+    ExactSubstr stage of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (2022), re-expressed relationally: every
+    ``k``-token window that occurred EARLIER anywhere in the corpus
+    (first occurrence = lowest (doc, position), the global order both
+    engines share) marks its tokens as duplicated; documents are
+    re-assembled from the surviving tokens. This is the granularity
+    between document-level (exact/minhash/simhash/jaccard) and
+    paragraph-level dedup: verbatim quotes, license blocks, and
+    templated spans recur INSIDE otherwise-unique documents, where
+    neither coarser stage can see them.
+
+    Plan (the suffix-array alternative, shaped for Spark): ONE token
+    posexplode (O(corpus tokens) rows — pipelined with the scan, the
+    honest cost of exact-substring semantics; the published alternative
+    is a distributed suffix array, which is also O(corpus tokens) but
+    not relational), one per-doc window shuffle shared by the token
+    renumbering AND the k-gram lead() construction, one shuffle on the
+    gram content hash for the first-occurrence window, a k-bounded
+    explode of the DUPLICATE spans only, and one shuffle back per doc
+    for ordered re-assembly. At corpus scale the gram group key would be
+    the 64-bit rolling fingerprint (``fingerprint_sql``) instead of
+    md5-of-string; the oracle-checked form keeps md5 for the same
+    collision-exposure class as ``paragraph_dedup``.
+
+    Tokenization is single-space split with empties dropped (the
+    dual-dialect-safe form). A document shorter than ``k`` tokens has no
+    windows and survives byte-identically (modulo whitespace collapse);
+    a fully-duplicated document still emits a row with empty
+    ``clean_text``. Self-repetition inside one document is removed the
+    same way (the second occurrence is later in the global order).
+
+    Returns (id_col, clean_text, n_kept, n_dropped).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).where(F.length("tok") > 0)
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    toks = toks.withColumn("tidx", F.row_number().over(wdoc) - 1)
+    # same partitioning+sort as the renumber window — one shuffle total
+    wt = Window.partitionBy(id_col).orderBy("tidx")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(wt) for j in range(1, k)]
+    grams = toks.withColumn(
+        "gram",
+        F.when(
+            F.lead("tok", k - 1).over(wt).isNotNull(),
+            F.concat_ws(" ", *parts),
+        ),
+    )  # tail tokens keep a NULL gram — they still need keep flags below
+    # coverage WITHOUT a join: a token is dropped iff some duplicate
+    # k-gram STARTS within its trailing k-1 positions, so keep = (max of
+    # the dup-start flag over a [tidx-k+1, tidx] rows frame) == 0 — one
+    # more window over the SAME per-doc sort instead of a span explode +
+    # self-join, which re-scanned the corpus token pipeline on both join
+    # sides (measured plan: 3 scans / 8 exchanges; this form: 1 scan).
+    # Null grams (the last k-1 tokens of each doc) get a per-row unique
+    # window key — letting them share one null-key partition would put
+    # (k-1) * n_docs rows on a single reducer, a self-inflicted hot key.
+    wg = Window.partitionBy(
+        F.coalesce(
+            F.md5("gram"),
+            F.concat_ws(
+                ":",
+                F.lit("_tail"),
+                F.col(id_col).cast("string"),
+                F.col("tidx").cast("string"),
+            ),
+        )
+    ).orderBy(id_col, "tidx")
+    flagged = (
+        grams.withColumn(
+            "dup_start",
+            (
+                F.col("gram").isNotNull() & (F.row_number().over(wg) > 1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "keep",
+            F.max("dup_start").over(
+                Window.partitionBy(id_col)
+                .orderBy("tidx")
+                .rowsBetween(-(k - 1), 0)
+            )
+            == 0,
+        )
+        .select(id_col, "tidx", "tok", "keep")
+    )
+    kept_sorted = F.expr(
+        "transform(filter(array_sort(collect_list(struct(tidx, tok, keep))),"
+        " x -> x.keep), x -> x.tok)"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(" ", kept_sorted).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )

@@ -145,6 +145,9 @@ def test_overflow_only_prior_green():
         # encode->decode->stats loop vs pure-integer-SQL pixel formula;
         # numpy-parity pytest in test_multimodal_tiling.py
         "image_quality",
+        # ExactSubstr duplicate-span removal; pure-python oracle pytest
+        # in test_pipeline_ops.py
+        "substring_dedup",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

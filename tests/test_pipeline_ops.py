@@ -1352,3 +1352,77 @@ def test_shard_pack_kernel_fuzz_vs_oracle():
         cases.append((sizes, cap))
     for sizes, cap in cases:
         assert kernel(sizes, cap) == _greedy_pack_oracle(sizes, cap), (sizes, cap)
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicate-span) dedup
+# ---------------------------------------------------------------------------
+
+def _ssd_oracle(texts: list[tuple[int, str]], k: int) -> dict:
+    """Sequential reference: first global occurrence (doc order, then
+    position) of every k-gram keeps; every later occurrence's k tokens
+    drop."""
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in texts}
+    seen: set[str] = set()
+    cov: dict[int, set] = {d: set() for d, _ in texts}
+    for d in sorted(toks):
+        tt = toks[d]
+        for i in range(len(tt) - k + 1):
+            g = " ".join(tt[i : i + k])
+            if g in seen:
+                cov[d].update(range(i, i + k))
+            else:
+                seen.add(g)
+    out = {}
+    for d in sorted(toks):
+        kept = [t for i, t in enumerate(toks[d]) if i not in cov[d]]
+        out[d] = (" ".join(kept), len(kept), len(toks[d]) - len(kept))
+    return out
+
+
+def _run_ssd(spark, texts, k):
+    df = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    got = DD.substring_dedup(df, k=k).collect()
+    return {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped) for r in got}
+
+
+def test_substring_dedup_planted_spans(spark):
+    tail = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = [
+        (0, "unique words one " + tail),          # first occurrence keeps
+        (1, "other prefix two three " + tail),    # loses exactly the tail
+        (2, "totally unrelated text with no repeats at all here"),
+        (3, tail),                                # fully duplicated doc
+        (4, "short doc"),                         # < k tokens: untouched
+    ]
+    got = _run_ssd(spark, texts, k=8)
+    assert got == _ssd_oracle(texts, 8)
+    assert got[0][0].endswith(tail)          # first keeps the span
+    assert got[1] == ("other prefix two three", 4, 8)
+    assert got[3] == ("", 0, 8)              # row survives, text empty
+    assert got[4] == ("short doc", 2, 0)
+
+
+def test_substring_dedup_intra_doc_repetition(spark):
+    span = "a1 b2 c3 d4 e5 f6 g7 h8"
+    texts = [(0, span + " filler " + span)]
+    got = _run_ssd(spark, texts, k=8)
+    assert got == _ssd_oracle(texts, 8)
+    # the second occurrence inside the SAME doc drops
+    assert got[0][0] == span + " filler"
+
+
+def test_substring_dedup_fuzz_matches_python_oracle(spark):
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab forces collisions
+    texts = [
+        (d, " ".join(rng.choice(vocab, size=int(rng.integers(3, 40)))))
+        for d in range(60)
+    ]
+    for k in (2, 3, 5):
+        assert _run_ssd(spark, texts, k=k) == _ssd_oracle(texts, k), k
+
+
+def test_substring_dedup_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        DD.substring_dedup(None, k=1)
