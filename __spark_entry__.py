@@ -147,6 +147,9 @@ _PRIORITY = [
     # al. ExactSubstr stage) — the dedup granularity between doc-level
     # and paragraph-level
     "substring_dedup",
+    # isoband contours: KDE raster -> level classify -> run-merge
+    # polygonize, the full raster->vector cartographic composition
+    "density_contours",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1674,6 +1674,10 @@ def q_geo_within_km_oracle() -> str:
 
 SMOOTH_RES = 8
 SMOOTH_RADIUS = 2
+# ascending density thresholds for the contour-band query, chosen from
+# the sf0.01 density distribution (max 166, median 65): bands of ~1172 /
+# 644 / 134 cells
+CONTOUR_THRESHOLDS = (40, 80, 140)
 
 
 def q_raster_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1694,6 +1698,27 @@ def q_raster_smooth_oracle() -> str:
     return R.smooth_density_oracle_sql(
         _points_oracle_cte(), res=SMOOTH_RES, radius=SMOOTH_RADIUS,
         kernel="tent",
+    )
+
+
+def q_density_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filled contour bands (isobands) over the smoothed density: KDE
+    raster -> CASE-sum level classification -> run-merge polygonization.
+    The full cartographic raster -> vector composition in one plan."""
+    from .operators import raster as R
+
+    return R.density_contours(
+        _points_df(spark, sf_dir), res=SMOOTH_RES,
+        thresholds=CONTOUR_THRESHOLDS, radius=SMOOTH_RADIUS, kernel="tent",
+    )
+
+
+def q_density_contours_oracle() -> str:
+    from .operators import raster as R
+
+    return R.density_contours_oracle_sql(
+        _points_oracle_cte(), res=SMOOTH_RES,
+        thresholds=CONTOUR_THRESHOLDS, radius=SMOOTH_RADIUS, kernel="tent",
     )
 
 
@@ -1734,6 +1759,7 @@ QUERIES = {
     "geo_nearest": q_geo_nearest,
     "geo_within_km": q_geo_within_km,
     "raster_smooth": q_raster_smooth,
+    "density_contours": q_density_contours,
 }
 
 ORACLES = {
@@ -1773,4 +1799,5 @@ ORACLES = {
     "geo_nearest": q_geo_nearest_oracle(),
     "geo_within_km": q_geo_within_km_oracle(),
     "raster_smooth": q_raster_smooth_oracle(),
+    "density_contours": q_density_contours_oracle(),
 }

@@ -158,3 +158,87 @@ def smooth_density_oracle_sql(
                CAST(sum(n * w) AS BIGINT) AS density
         FROM spread GROUP BY 1, 2, 3
     """
+
+
+def density_contours(
+    points: DataFrame,
+    res: int,
+    thresholds: tuple[int, ...],
+    radius: int = 2,
+    kernel: str = "tent",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Filled contour bands (isobands) of the smoothed point density —
+    the classic cartographic raster -> vector composition: KDE raster
+    (``smooth_density``) -> integer level classification (level = number
+    of ``thresholds`` at or below the cell's density; level-0 background
+    cells are dropped) -> run-merge polygonization
+    (``tiling.vectorize_raster``) into axis-aligned rectangles per
+    level.
+
+    Output: (level BIGINT, x0, y0, x1, y1, n_cells) — the vectorize
+    contract with ``level`` as the region value. Every stage after the
+    point-table histogram runs on bounded cell/run tables; the whole
+    composition is the smoother's shuffles plus vectorize's two
+    narrow-key exchanges, no Python anywhere.
+    """
+    if not thresholds or list(thresholds) != sorted(thresholds):
+        raise ValueError(
+            f"thresholds must be a non-empty ascending sequence, got {thresholds}"
+        )
+    from .tiling import vectorize_raster
+
+    sm = smooth_density(points, res, radius, kernel, lng_col, lat_col)
+    level = sum(
+        (F.col("density") >= int(t)).cast("long") for t in thresholds
+    ).alias("level")
+    bands = sm.select("xi", "yi", level).where(F.col("level") >= 1)
+    return vectorize_raster(bands, x_col="xi", y_col="yi", value_col="level")
+
+
+def density_contours_oracle_sql(
+    pts_cte: str,
+    res: int,
+    thresholds: tuple[int, ...],
+    radius: int = 2,
+    kernel: str = "tent",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB twin: the smoother's oracle SQL + the same CASE-sum level
+    classification + the identical two-pass gaps-and-islands run merge."""
+    sm = smooth_density_oracle_sql(
+        pts_cte, res, radius, kernel, lng_col, lat_col
+    )
+    lvl = " + ".join(
+        f"CASE WHEN density >= {int(t)} THEN 1 ELSE 0 END" for t in thresholds
+    )
+    return f"""
+        WITH sm AS ({sm}),
+        band AS (
+          SELECT xi, yi, CAST({lvl} AS BIGINT) AS level FROM sm
+        ),
+        lv AS (SELECT * FROM band WHERE level >= 1),
+        runs AS (
+          SELECT yi, level, xi,
+                 xi - row_number() OVER (
+                   PARTITION BY yi, level ORDER BY xi
+                 ) AS grp
+          FROM lv
+        ),
+        r2 AS (
+          SELECT yi, level, grp, min(xi) AS x0, max(xi) AS x1
+          FROM runs GROUP BY 1, 2, 3
+        ),
+        v AS (
+          SELECT level, x0, x1, yi,
+                 yi - row_number() OVER (
+                   PARTITION BY level, x0, x1 ORDER BY yi
+                 ) AS vgrp
+          FROM r2
+        )
+        SELECT level, x0, min(yi) AS y0, x1, max(yi) AS y1,
+               (x1 - x0 + 1) * (max(yi) - min(yi) + 1) AS n_cells
+        FROM v GROUP BY level, x0, x1, vgrp
+    """

@@ -148,6 +148,9 @@ def test_overflow_only_prior_green():
         # ExactSubstr duplicate-span removal; pure-python oracle pytest
         # in test_pipeline_ops.py
         "substring_dedup",
+        # isoband contours (smooth -> classify -> vectorize composition);
+        # numpy-oracle pytest in test_raster_smooth.py
+        "density_contours",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -117,3 +117,41 @@ def test_kernel_validation():
         R.kernel_weights(2, "gauss")
     with pytest.raises(ValueError):
         R.smooth_density(None, res=99)
+
+
+def test_density_contours_matches_dense_oracle(spark):
+    """Rectangles decompose back to exactly the level-classified cells:
+    disjoint cover, every covered cell at the rectangle's level."""
+    rng = np.random.default_rng(41)
+    xy_counts = {
+        (int(rng.integers(5, 40)), int(rng.integers(5, 40))): int(n)
+        for n in rng.integers(1, 20, size=80)
+    }
+    thresholds = (10, 40, 90)
+    out = R.density_contours(
+        _pts_df(spark, xy_counts), RES, thresholds=thresholds, radius=2
+    ).toPandas()
+    dense = _dense_oracle(xy_counts, 2, "tent")
+    want = {}
+    for x, y in zip(*np.nonzero(dense)):
+        lvl = int(sum(dense[x, y] >= t for t in thresholds))
+        if lvl >= 1:
+            want[(int(x), int(y))] = lvl
+    got = {}
+    for r in out.itertuples():
+        for x in range(int(r.x0), int(r.x1) + 1):
+            for y in range(int(r.y0), int(r.y1) + 1):
+                assert (x, y) not in got, "rectangles overlap"
+                got[(x, y)] = int(r.level)
+        assert (int(r.x1) - int(r.x0) + 1) * (int(r.y1) - int(r.y0) + 1) == int(
+            r.n_cells
+        )
+    assert got == want
+    assert len(set(out["level"])) >= 2  # the fixture exercises >1 band
+
+
+def test_density_contours_validates_thresholds(spark):
+    with pytest.raises(ValueError):
+        R.density_contours(None, RES, thresholds=())
+    with pytest.raises(ValueError):
+        R.density_contours(None, RES, thresholds=(50, 10))
