@@ -150,6 +150,9 @@ _PRIORITY = [
     # isoband contours: KDE raster -> level classify -> run-merge
     # polygonize, the full raster->vector cartographic composition
     "density_contours",
+    # adaptive quadtree binning: every leaf bounded by cap, computed
+    # from the histogram pyramid with zero iteration over points
+    "adaptive_grid",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1722,6 +1722,30 @@ def q_density_contours_oracle() -> str:
     )
 
 
+ADAPTIVE_MAX_RES = 9
+ADAPTIVE_CAP = 25
+
+
+def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree binning: the multi-resolution leaf cover where
+    every leaf cell holds <= ADAPTIVE_CAP points (coarse over sparse
+    regions, fine inside dense clusters) — computed from the histogram
+    pyramid alone, one point-table shuffle, no iteration."""
+    from .operators import tiling as TI
+
+    return TI.adaptive_grid(
+        _points_df(spark, sf_dir), max_res=ADAPTIVE_MAX_RES, cap=ADAPTIVE_CAP
+    )
+
+
+def q_adaptive_grid_oracle() -> str:
+    from .operators import tiling as TI
+
+    return TI.adaptive_grid_oracle_sql(
+        _points_oracle_cte(), max_res=ADAPTIVE_MAX_RES, cap=ADAPTIVE_CAP
+    )
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -1760,6 +1784,7 @@ QUERIES = {
     "geo_within_km": q_geo_within_km,
     "raster_smooth": q_raster_smooth,
     "density_contours": q_density_contours,
+    "adaptive_grid": q_adaptive_grid,
 }
 
 ORACLES = {
@@ -1800,4 +1825,5 @@ ORACLES = {
     "geo_within_km": q_geo_within_km_oracle(),
     "raster_smooth": q_raster_smooth_oracle(),
     "density_contours": q_density_contours_oracle(),
+    "adaptive_grid": q_adaptive_grid_oracle(),
 }

@@ -589,3 +589,111 @@ def hull_per_cell(
         .groupBy("cell")
         .applyInPandas(fn, schema)
     )
+
+
+def adaptive_grid(
+    points: DataFrame,
+    max_res: int,
+    cap: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Adaptive quadtree binning: the multi-resolution cell cover where
+    every leaf holds <= ``cap`` points — coarse cells over sparse ocean,
+    fine cells inside dense urban clusters. This is the density-adaptive
+    partitioning that complements the skew machinery (``hotspot_clusters``
+    finds the hot cells, ``auto_salt_buckets`` splits their reducers;
+    this emits a LAYOUT whose every bucket is bounded by construction —
+    the shape behind adaptive tiling/bulk-load partitioning).
+
+    No iteration over data: because an ancestor's count is always >= any
+    descendant's (supersets), "this cell was reached by subdivision"
+    reduces to "its immediate parent is overfull" — so leaves are
+    computable per level from the histogram pyramid alone:
+
+      leaf at res r >= 1  iff  n(parent) > cap AND (n <= cap OR r = max_res)
+      leaf at res 0       iff  n(root cell) <= cap
+
+    (res-``max_res`` cells with n > cap are forced leaves at max depth.)
+    The point table pays exactly ONE shuffle (the finest histogram);
+    every coarser level folds from the child level like ``tile_pyramid``
+    and the per-level parent joins run on bounded (<= 4^r) broadcast
+    tables. Leaves are disjoint and cover every point by construction
+    (property-tested).
+
+    Returns (res BIGINT, cell BIGINT, n_points BIGINT), one row per leaf.
+    """
+    if not 1 <= max_res <= C.MAX_RES:
+        raise ValueError(f"max_res must be in [1, {C.MAX_RES}], got {max_res}")
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    cell = F.expr(C.cell_sql(lng_col, lat_col, max_res, "spark"))
+    hist = points.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # the histogram pyramid is referenced twice per level (as the level
+    # and as the parent of the level below) — materialize each bounded
+    # level once so Catalyst cannot re-derive the whole fold chain (and,
+    # for the finest level, the point-table shuffle) per reference
+    hists = {max_res: hist.localCheckpoint(eager=True)}
+    for r in range(max_res - 1, -1, -1):
+        hists[r] = (
+            hists[r + 1]
+            .groupBy(C.parent_col(F.col("cell"), r + 1, r).alias("cell"))
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    leaves = hists[0].where(F.col("n") <= cap).select(
+        F.lit(0).cast("long").alias("res"), "cell",
+        F.col("n").cast("long").alias("n_points"),
+    )
+    for r in range(1, max_res + 1):
+        over = hists[r - 1].where(F.col("n") > cap).select(
+            F.col("cell").alias("_pcell")
+        )
+        lv = hists[r].join(
+            F.broadcast(over),
+            C.parent_col(F.col("cell"), r, r - 1) == F.col("_pcell"),
+        )
+        if r < max_res:
+            lv = lv.where(F.col("n") <= cap)
+        leaves = leaves.unionByName(
+            lv.select(
+                F.lit(r).cast("long").alias("res"), "cell",
+                F.col("n").cast("long").alias("n_points"),
+            )
+        )
+    return leaves
+
+
+def adaptive_grid_oracle_sql(
+    pts_cte: str,
+    max_res: int,
+    cap: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB twin of ``adaptive_grid``: the same histogram pyramid +
+    per-level leaf conditions, all dual-dialect integer SQL."""
+    cell = C.cell_sql(lng_col, lat_col, max_res, "duckdb")
+    ctes = [f"pts AS ({pts_cte})",
+            f"h{max_res} AS (SELECT {cell} AS cell, count(*) AS n FROM pts GROUP BY 1)"]
+    for r in range(max_res - 1, -1, -1):
+        par = C.parent_sql("cell", r + 1, r, "duckdb")
+        ctes.append(
+            f"h{r} AS (SELECT {par} AS cell, sum(n) AS n FROM h{r + 1} GROUP BY 1)"
+        )
+    arms = [
+        f"SELECT CAST(0 AS BIGINT) AS res, cell, CAST(n AS BIGINT) AS n_points "
+        f"FROM h0 WHERE n <= {cap}"
+    ]
+    for r in range(1, max_res + 1):
+        par = C.parent_sql("c.cell", r, r - 1, "duckdb")
+        extra = f" AND c.n <= {cap}" if r < max_res else ""
+        arms.append(
+            f"SELECT CAST({r} AS BIGINT) AS res, c.cell, "
+            f"CAST(c.n AS BIGINT) AS n_points "
+            f"FROM h{r} c JOIN h{r - 1} p ON {par} = p.cell "
+            f"WHERE p.n > {cap}{extra}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(arms)

@@ -151,6 +151,9 @@ def test_overflow_only_prior_green():
         # isoband contours (smooth -> classify -> vectorize composition);
         # numpy-oracle pytest in test_raster_smooth.py
         "density_contours",
+        # adaptive quadtree binning; disjoint-cover + python-recursion
+        # oracle pytest in test_raster_smooth.py
+        "adaptive_grid",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -155,3 +155,88 @@ def test_density_contours_validates_thresholds(spark):
         R.density_contours(None, RES, thresholds=())
     with pytest.raises(ValueError):
         R.density_contours(None, RES, thresholds=(50, 10))
+
+
+# ---------------------------------------------------------------------------
+# adaptive quadtree binning
+# ---------------------------------------------------------------------------
+
+def _quadtree_oracle(pts, max_res, cap):
+    """Recursive reference: subdivide any overfull occupied cell until
+    cap or max depth. Returns {(res, cell): n}."""
+    from gis_shapefile_spark.functions import cells as CC
+
+    lng = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    out = {}
+
+    def rec(res, mask):
+        n = int(mask.sum())
+        cells = CC.cell_of_numpy(lng[mask], lat[mask], res)
+        for c in np.unique(cells):
+            m2 = np.zeros(len(lng), bool)
+            m2[np.flatnonzero(mask)[cells == c]] = True
+            nc = int(m2.sum())
+            if nc <= cap or res == max_res:
+                out[(res, int(c))] = nc
+            else:
+                rec(res + 1, m2)
+
+    root_n = len(pts)
+    if root_n <= cap:
+        cells = CC.cell_of_numpy(lng, lat, 0)
+        for c in np.unique(cells):
+            out[(0, int(c))] = int((cells == c).sum())
+    else:
+        rec(1, np.ones(len(lng), bool))
+    return out
+
+
+def test_adaptive_grid_matches_recursive_oracle(spark):
+    from gis_shapefile_spark.operators import tiling as TI
+
+    rng = np.random.default_rng(47)
+    # dense cluster + sparse scatter: forces mixed leaf depths
+    pts = [(float(g), float(t)) for g, t in zip(
+        np.concatenate([rng.uniform(-100.2, -100.0, 300), rng.uniform(-125, -66, 60)]),
+        np.concatenate([rng.uniform(40.0, 40.2, 300), rng.uniform(24, 50, 60)]),
+    )]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["lng", "lat"]))
+    out = TI.adaptive_grid(df, max_res=8, cap=20)
+    got = {(int(r.res), int(r.cell)): int(r.n_points) for r in out.collect()}
+    assert got == _quadtree_oracle(pts, 8, 20)
+    # mixed depths actually exercised
+    assert len({r for r, _ in got}) >= 3
+
+
+def test_adaptive_grid_disjoint_cover_and_cap(spark):
+    from gis_shapefile_spark.functions import cells as CC
+    from gis_shapefile_spark.operators import tiling as TI
+
+    rng = np.random.default_rng(53)
+    lng = rng.uniform(-125, -66, 500)
+    lat = rng.uniform(24, 50, 500)
+    df = spark.createDataFrame(pd.DataFrame({"lng": lng, "lat": lat}))
+    leaves = {
+        (int(r.res), int(r.cell)): int(r.n_points)
+        for r in TI.adaptive_grid(df, max_res=9, cap=30).collect()
+    }
+    # every point has EXACTLY one leaf ancestor
+    for g, t in zip(lng, lat):
+        hits = [
+            (r, c) for (r, c) in leaves
+            if int(CC.cell_of_numpy(np.array([g]), np.array([t]), r)[0]) == c
+        ]
+        assert len(hits) == 1, (g, t, hits)
+    # cap respected except at max depth; totals conserve
+    assert all(n <= 30 for (r, _), n in leaves.items() if r < 9)
+    assert sum(leaves.values()) == 500
+
+
+def test_adaptive_grid_validation(spark):
+    from gis_shapefile_spark.operators import tiling as TI
+
+    with pytest.raises(ValueError):
+        TI.adaptive_grid(None, max_res=0, cap=5)
+    with pytest.raises(ValueError):
+        TI.adaptive_grid(None, max_res=5, cap=0)
