@@ -153,6 +153,9 @@ _PRIORITY = [
     # adaptive quadtree binning: every leaf bounded by cap, computed
     # from the histogram pyramid with zero iteration over points
     "adaptive_grid",
+    # LARGE x LARGE spatial self-join: unordered pairs within d via the
+    # 3x3 neighbor-cell equi-join, each pair exactly once
+    "point_pairs",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

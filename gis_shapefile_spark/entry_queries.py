@@ -1725,6 +1725,36 @@ def q_density_contours_oracle() -> str:
 ADAPTIVE_MAX_RES = 9
 ADAPTIVE_CAP = 25
 
+# 1.0 deg: the fixture's point synthesis is a low-discrepancy lattice
+# whose MIN pairwise distance is 0.566 deg — 0.5 returns zero pairs;
+# 1.0 yields 3161, an informative candidate set
+PAIR_DIST = 1.0
+
+
+def q_point_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE x LARGE spatial self-join: all unordered point pairs within
+    PAIR_DIST Euclidean degrees (GPS-proximity candidate pairs). 3x3
+    neighbor-cell equi-join + exact refine; each pair exactly once."""
+    from .operators import spatial_join as SJ
+
+    return SJ.within_distance_self_join(
+        _points_df(spark, sf_dir), distance=PAIR_DIST
+    )
+
+
+def q_point_pairs_oracle() -> str:
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT a.point_id AS id_1, b.point_id AS id_2,
+               CAST(floor({d2} * 1000000.0) AS BIGINT) AS dist_u
+        FROM pts a JOIN pts b ON a.point_id < b.point_id
+        WHERE {d2} <= {PAIR_DIST}
+    """
+
 
 def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree binning: the multi-resolution leaf cover where
@@ -1785,6 +1815,7 @@ QUERIES = {
     "raster_smooth": q_raster_smooth,
     "density_contours": q_density_contours,
     "adaptive_grid": q_adaptive_grid,
+    "point_pairs": q_point_pairs,
 }
 
 ORACLES = {
@@ -1826,4 +1857,5 @@ ORACLES = {
     "raster_smooth": q_raster_smooth_oracle(),
     "density_contours": q_density_contours_oracle(),
     "adaptive_grid": q_adaptive_grid_oracle(),
+    "point_pairs": q_point_pairs_oracle(),
 }

@@ -771,3 +771,99 @@ def knn_join_ring_expansion(
         scored.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
     )
+
+
+def within_distance_self_join(
+    points: DataFrame,
+    distance: float,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All UNORDERED point pairs within Euclidean-degrees ``distance`` —
+    the LARGE x LARGE spatial self-join (every other distance join here
+    is point x broadcast-dimension). The pipeline use is GPS-proximity
+    candidate pairing: "image pairs shot within d of each other" feeding
+    location-based dedup/attribution, where both sides are the corpus.
+
+    Plan (the textbook big-big spatial join): pick ``res`` so one cell is
+    at least ``distance`` on both axes (then a pair within ``distance``
+    is always in the SAME or 8-ADJACENT cells); the left side explodes to
+    its 3x3 cell neighborhood IN-PLAN (demorton -> offset -> re-pack
+    integer codegen, the ``clustering.py`` shape — 9x fan-out of narrow
+    key rows, never payloads), the right side keys by its own cell, and
+    one shuffled cell equi-join + exact distance refine does the rest.
+    Each unordered pair materializes EXACTLY once — (a.id < b.id) keeps
+    one of the two symmetric (expanded, plain) matches, and a's nine
+    expanded cells are distinct so (a, b) cannot match through two of
+    them — no post-join dedup pass. Out-of-range edge neighbors spread
+    to bit patterns no real cell at res <= 25 carries (no wraparound).
+
+    Skew: a hot cell (urban cluster) concentrates both sides of the
+    equi-join; AQE skew-join splitting applies as-is, and the salting
+    guidance from ``point_in_polygon_join`` transfers — measured on this
+    host, AQE handles the fixture's Zipfian cell without manual salt.
+
+    Output: (id_1, id_2, dist_u) with id_1 < id_2, dist_u = floor(dist *
+    1e6) (IEEE-exact on identical inputs, the within_distance canon).
+    """
+    import math
+
+    if distance <= 0:
+        raise ValueError(f"distance must be > 0, got {distance}")
+    if res is None:
+        # largest res whose cell is >= distance on the tighter (lat) axis
+        res = min(25, int(math.floor(math.log2(180.0 / distance))))
+    if not 0 <= res <= 25:
+        raise ValueError(f"res must be in [0, 25], got {res}")
+    if 180.0 / (1 << res) < distance or 360.0 / (1 << res) < distance:
+        raise ValueError(
+            f"cell at res {res} is smaller than distance {distance}; "
+            "the 3x3 neighborhood would miss pairs"
+        )
+    pts = points.select(
+        F.col(id_col), F.col(lng_col), F.col(lat_col)
+    ).withColumn("cell", C.cell_col(lng_col, lat_col, res))
+    ax = pts.select(
+        F.col(id_col).alias("id_1"),
+        F.col(lng_col).alias("_lng1"),
+        F.col(lat_col).alias("_lat1"),
+        F.expr(C.cell_axis_sql("cell", "x", "spark")).alias("_x"),
+        F.expr(C.cell_axis_sql("cell", "y", "spark")).alias("_y"),
+    )
+    offs = ", ".join(
+        f"struct({dx} as dx, {dy} as dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    left = ax.select(
+        "id_1", "_lng1", "_lat1",
+        F.expr(f"explode(array({offs}))").alias("_o"),
+        "_x", "_y",
+    ).select(
+        "id_1", "_lng1", "_lat1",
+        F.expr(
+            C.pack_xy_sql("(_x + _o.dx)", "(_y + _o.dy)", res, "spark")
+        ).alias("_nb"),
+    )
+    right = pts.select(
+        F.col(id_col).alias("id_2"),
+        F.col(lng_col).alias("_lng2"),
+        F.col(lat_col).alias("_lat2"),
+        F.col("cell").alias("_nb"),
+    )
+    dist = F.sqrt(
+        (F.col("_lng1") - F.col("_lng2")) * (F.col("_lng1") - F.col("_lng2"))
+        + (F.col("_lat1") - F.col("_lat2")) * (F.col("_lat1") - F.col("_lat2"))
+    )
+    return (
+        left.join(right, "_nb")
+        .where(F.col("id_1") < F.col("id_2"))
+        .withColumn("_d", dist)
+        .where(F.col("_d") <= F.lit(distance))
+        .select(
+            "id_1", "id_2",
+            F.floor(F.col("_d") * 1e6).cast("long").alias("dist_u"),
+        )
+    )

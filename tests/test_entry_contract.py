@@ -154,6 +154,8 @@ def test_overflow_only_prior_green():
         # adaptive quadtree binning; disjoint-cover + python-recursion
         # oracle pytest in test_raster_smooth.py
         "adaptive_grid",
+        # big-big self-join; == bruteforce pytest in test_spatial_joins.py
+        "point_pairs",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

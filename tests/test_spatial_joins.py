@@ -395,3 +395,71 @@ def test_knn_res_guard_bounds_driver_and_stays_exact(spark, features, points_pdf
     )
     c = {(r.image_id, r.knn_rank, r.record_number) for r in ring.collect()}
     assert a == c
+
+
+# ---------------------------------------------------------------------------
+# LARGE x LARGE within-distance self-join
+# ---------------------------------------------------------------------------
+
+def _pair_brute(pdf, d):
+    xy = pdf[["lng", "lat"]].to_numpy()
+    ids = pdf["point_id"].to_numpy()
+    out = set()
+    for i in range(len(ids)):
+        dx = xy[:, 0] - xy[i, 0]
+        dy = xy[:, 1] - xy[i, 1]
+        close = np.sqrt(dx * dx + dy * dy) <= d
+        for j in np.nonzero(close)[0]:
+            if ids[i] < ids[j]:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_self_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(61)
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(400, dtype=np.int64),
+            "lng": rng.uniform(-125, -66, 400),
+            "lat": rng.uniform(24, 50, 400),
+        }
+    )
+    for d in (0.7, 2.5):
+        out = SJ.within_distance_self_join(
+            spark.createDataFrame(pdf), distance=d
+        ).toPandas()
+        got = list(zip(out["id_1"], out["id_2"]))
+        assert len(got) == len(set(got)), "pair emitted more than once"
+        assert set((int(a), int(b)) for a, b in got) == _pair_brute(pdf, d)
+        # dist_u integerization matches the brute distance
+        for r in out.itertuples():
+            a = pdf.loc[pdf.point_id == r.id_1].iloc[0]
+            b = pdf.loc[pdf.point_id == r.id_2].iloc[0]
+            dd = np.sqrt((a.lng - b.lng) ** 2 + (a.lat - b.lat) ** 2)
+            assert r.dist_u == int(np.floor(dd * 1e6))
+
+
+def test_self_join_grid_edges_no_wraparound(spark):
+    """Points hugging opposite grid edges must never pair through the
+    neighbor offsets wrapping the morton space."""
+    pdf = pd.DataFrame(
+        {
+            "point_id": [1, 2, 3, 4],
+            "lng": [-179.9, 179.9, -179.9, -179.8],
+            "lat": [0.0, 0.0, 0.1, 0.05],
+        }
+    )
+    out = SJ.within_distance_self_join(
+        spark.createDataFrame(pdf), distance=1.0
+    ).toPandas()
+    got = set(zip(out["id_1"], out["id_2"]))
+    # 1-3, 1-4, 3-4 are genuinely close; 2 is across the antimeridian
+    # (planar-parity contract: NOT adjacent)
+    assert got == {(1, 3), (1, 4), (3, 4)}
+
+
+def test_self_join_validation(spark):
+    with pytest.raises(ValueError):
+        SJ.within_distance_self_join(None, distance=0.0)
+    with pytest.raises(ValueError):
+        SJ.within_distance_self_join(None, distance=5.0, res=12)
