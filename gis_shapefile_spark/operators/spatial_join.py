@@ -805,6 +805,14 @@ def within_distance_self_join(
     guidance from ``point_in_polygon_join`` transfers — measured on this
     host, AQE handles the fixture's Zipfian cell without manual salt.
 
+    Join-strategy note (measured, BENCH/BASELINE.md): at 2M points AQE's
+    compressed-size heuristic still picks a broadcast join and loses 3x
+    to the forced SortMergeJoin (8.9 vs 2.8 s warm, identical output) —
+    per-task hash probing of an ~80 MB side is worse than partitioned
+    merge. At corpus scale the sides exceed any broadcast threshold and
+    the fast path is the default; for mid-size inputs set
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold=-1``.
+
     Output: (id_1, id_2, dist_u) with id_1 < id_2, dist_u = floor(dist *
     1e6) (IEEE-exact on identical inputs, the within_distance canon).
     """
