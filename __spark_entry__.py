@@ -156,6 +156,9 @@ _PRIORITY = [
     # LARGE x LARGE spatial self-join: unordered pairs within d via the
     # 3x3 neighbor-cell equi-join, each pair exactly once
     "point_pairs",
+    # geodesic trajectory cleaning: hops in great-circle meters, jumps
+    # flagged against a physical m/s cap
+    "trajectory_geo",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -622,6 +622,60 @@ def q_trajectory_oracle() -> str:
     """
 
 
+# geodesic speed cap: ~100 µdeg/s planar ≈ 10 m/s at these latitudes,
+# but the whole point of the geodesic twin is that the flag fires on
+# PHYSICAL speed rather than the latitude-distorted planar proxy
+TRAJ_V_MAX_GEO = 10  # meters per second
+
+
+def q_trajectory_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic GPS-jump cleaning: hops in great-circle METERS, implied
+    speed flagged against a physical m/s cap (multiply, never divide)."""
+    from .operators import trajectory as TJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return TJ.trajectory_stats_geo(ev, v_max_m_per_s=TRAJ_V_MAX_GEO)
+
+
+def q_trajectory_geo_oracle() -> str:
+    from .functions import geodesy as GD
+
+    dist = GD.haversine_m_u_sql("xp", "yp", "lng", "lat", "duckdb")
+    return f"""
+        WITH pos AS (
+          SELECT user_id, event_id, ts,
+                 {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat
+          FROM events
+        ),
+        lagged AS (
+          SELECT user_id, lng, lat,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 lag(lng) OVER w AS xp, lag(lat) OVER w AS yp,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS epp
+          FROM pos
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hops AS (
+          SELECT user_id, {dist} AS gdist_m,
+                 CASE WHEN {dist} > {TRAJ_V_MAX_GEO} * (ep - epp)
+                      THEN 1 ELSE 0 END AS is_jump
+          FROM lagged
+        )
+        SELECT user_id, count(*) AS n_events, count(gdist_m) AS n_hops,
+               CAST(coalesce(sum(is_jump), 0) AS BIGINT) AS n_jumps,
+               CAST(coalesce(sum(CASE WHEN is_jump = 0 THEN gdist_m
+                                      ELSE 0 END), 0) AS BIGINT)
+                   AS clean_dist_m
+        FROM hops GROUP BY user_id
+    """
+
+
 MAP_MATCH_RADIUS = 1.0
 
 
@@ -2918,6 +2972,7 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "trajectory": q_trajectory,
+    "trajectory_geo": q_trajectory_geo,
     "map_match": q_map_match,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -2983,6 +3038,7 @@ ORACLES = {
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),
     "trajectory": q_trajectory_oracle(),
+    "trajectory_geo": q_trajectory_geo_oracle(),
     "map_match": q_map_match_oracle(),
     "asof_join": q_asof_join_oracle(),
     "interval_join": q_interval_join_oracle(),

@@ -69,7 +69,15 @@ def haversine_km_sql(
     sdlat = f"sin((({lat2}) - ({lat1})) * {half})"
     sdlng = f"sin((({lng2}) - ({lng1})) * {half})"
     hav = f"({sdlat} * {sdlat} + cos({r1}) * cos({r2}) * {sdlng} * {sdlng})"
-    return f"({_dlit(2.0 * EARTH_RADIUS_KM)} * asin(sqrt(least({_dlit(1.0)}, {hav}))))"
+    # the asin clamp is a CASE, NOT least(): both engines' least/greatest
+    # IGNORE nulls, so least(1.0, NULL) = 1.0 would turn a NULL input
+    # (e.g. the lag() before a device's first fix) into a phantom
+    # half-circumference distance — CASE propagates NULL like every
+    # other arithmetic op in the tree (caught by trajectory_geo's first
+    # driver gate: both engines agreed on the phantom 20,015,114 m hop
+    # but then split on the NULL jump flag)
+    clamped = f"(CASE WHEN {hav} > {_dlit(1.0)} THEN {_dlit(1.0)} ELSE {hav} END)"
+    return f"({_dlit(2.0 * EARTH_RADIUS_KM)} * asin(sqrt({clamped})))"
 
 
 def haversine_m_u_sql(

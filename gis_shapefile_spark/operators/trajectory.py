@@ -80,3 +80,63 @@ def trajectory_stats(
         .cast("long")
         .alias("clean_dist_u"),
     )
+
+
+def trajectory_stats_geo(
+    events: DataFrame,
+    v_max_m_per_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Geodesic twin of ``trajectory_stats``: hops measured in REAL
+    great-circle meters (``functions/geodesy.py``), so ``v_max`` is a
+    physical speed (m/s) instead of the planar µdeg/s proxy — at lat 50°
+    a µdeg of longitude is 40% shorter than at the equator, so the
+    planar flag over- or under-fires with latitude while this one
+    doesn't.
+
+    The jump predicate stays pure-integer (``gdist_m > v_max * dt``):
+    the meter integerization happens once per hop inside the haversine
+    column (the geodesy canon), after which flagging and summing are
+    BIGINT arithmetic — same determinism story as the planar operator,
+    same one-window + one-agg plan.
+
+    Output: user_id, n_events, n_hops, n_jumps, clean_dist_m.
+    """
+    from ..functions import geodesy as GD
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lagged = (
+        events.withColumn("__ep", F.unix_timestamp(F.col(ts_col)))
+        .withColumn("__xp", F.lag(lng_col).over(w))
+        .withColumn("__yp", F.lag(lat_col).over(w))
+        .withColumn("__epp", F.lag("__ep").over(w))
+    )
+    dist = F.expr(
+        GD.haversine_m_u_sql("__xp", "__yp", lng_col, lat_col, "spark")
+    )
+    hops = lagged.withColumn("__gdist_m", dist).withColumn(
+        "__is_jump",
+        (
+            F.col("__gdist_m")
+            > F.lit(int(v_max_m_per_s)) * (F.col("__ep") - F.col("__epp"))
+        ).cast("int"),
+    )
+    return hops.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gdist_m").alias("n_hops"),
+        F.coalesce(F.sum("__is_jump"), F.lit(0)).cast("long").alias("n_jumps"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__is_jump") == 0, F.col("__gdist_m")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("clean_dist_m"),
+    )

@@ -156,6 +156,9 @@ def test_overflow_only_prior_green():
         "adaptive_grid",
         # big-big self-join; == bruteforce pytest in test_spatial_joins.py
         "point_pairs",
+        # geodesic trajectory twin; micro-oracle pytest in
+        # test_trajectory.py
+        "trajectory_geo",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -78,3 +78,41 @@ def test_trajectory_ties_break_on_event_id(spark):
     assert out.n_hops[0] == 2
     assert out.n_jumps[0] == 1
     assert out.clean_dist_u[0] == 0
+
+
+def test_trajectory_stats_geo_micro(spark):
+    """Geodesic twin vs numpy haversine: known hops in meters, a planted
+    teleport, and the first fix contributing NO hop (the least()-ignores-
+    NULL hazard: a NULL lag must yield a NULL distance, not a phantom
+    half-circumference — caught by the driver gate, pinned here)."""
+    from gis_shapefile_spark.functions import geodesy as GD
+
+    rows = [
+        # device 1: two 100 s hops at lat 48 (lng shrink matters), then
+        # a teleport across the canvas in 1 s
+        (1, 1, _ts(0), -100.000, 48.0),
+        (1, 2, _ts(100), -100.010, 48.0),
+        (1, 3, _ts(200), -100.020, 48.0),
+        (1, 4, _ts(201), -70.0, 30.0),
+        # device 2: a single fix — no hops at all
+        (2, 5, _ts(0), -80.0, 40.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "lng", "lat"]
+    )
+    out = {
+        r.user_id: r
+        for r in TJ.trajectory_stats_geo(
+            spark.createDataFrame(pdf), v_max_m_per_s=10
+        ).collect()
+    }
+    hop = int(np.floor(
+        float(GD.haversine_km_np(-100.000, 48.0, -100.010, 48.0)) * 1000
+    ))
+    # ~0.01 deg lng at lat 48: ~744 m over 100 s -> 7.4 m/s, clean
+    assert 700 < hop < 800
+    d1 = out[1]
+    assert (d1.n_events, d1.n_hops, d1.n_jumps) == (4, 3, 1)
+    assert d1.clean_dist_m == 2 * hop  # teleport excluded, first fix no hop
+    d2 = out[2]
+    assert (d2.n_events, d2.n_hops, d2.n_jumps, d2.clean_dist_m) == (1, 0, 0, 0)
