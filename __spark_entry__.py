@@ -159,6 +159,8 @@ _PRIORITY = [
     # geodesic trajectory cleaning: hops in great-circle meters, jumps
     # flagged against a physical m/s cap
     "trajectory_geo",
+    # radius-bounded kNN self-join: pair join mirrored + top-k window
+    "knn_self",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1730,6 +1730,45 @@ ADAPTIVE_CAP = 25
 # 1.0 yields 3161, an informative candidate set
 PAIR_DIST = 1.0
 
+KNN_SELF_K = 3
+KNN_SELF_RADIUS = 2.0
+
+
+def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded kNN SELF-join: each point's 3 nearest OTHER points
+    within 2.0 deg — pair join mirrored to both directions + per-point
+    top-k window (map-side WindowGroupLimit partial top-k)."""
+    from .operators import spatial_join as SJ
+
+    return SJ.knn_self_join(
+        _points_df(spark, sf_dir), k=KNN_SELF_K, radius=KNN_SELF_RADIUS
+    )
+
+
+def q_knn_self_oracle() -> str:
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        cand AS (
+          SELECT a.point_id, b.point_id AS neighbor_id,
+                 CAST(floor({d2} * 1000000.0) AS BIGINT) AS dist_u
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+          WHERE {d2} <= {KNN_SELF_RADIUS}
+        ),
+        ranked AS (
+          SELECT point_id, neighbor_id, dist_u,
+                 row_number() OVER (
+                   PARTITION BY point_id ORDER BY dist_u, neighbor_id
+                 ) AS nn_rank
+          FROM cand
+        )
+        SELECT point_id, neighbor_id, nn_rank, dist_u
+        FROM ranked WHERE nn_rank <= {KNN_SELF_K}
+    """
+
 
 def q_point_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LARGE x LARGE spatial self-join: all unordered point pairs within
@@ -1816,6 +1855,7 @@ QUERIES = {
     "density_contours": q_density_contours,
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
+    "knn_self": q_knn_self,
 }
 
 ORACLES = {
@@ -1858,4 +1898,5 @@ ORACLES = {
     "density_contours": q_density_contours_oracle(),
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),
+    "knn_self": q_knn_self_oracle(),
 }

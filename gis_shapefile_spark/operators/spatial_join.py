@@ -875,3 +875,55 @@ def within_distance_self_join(
             F.floor(F.col("_d") * 1e6).cast("long").alias("dist_u"),
         )
     )
+
+
+def knn_self_join(
+    points: DataFrame,
+    k: int,
+    radius: float,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """k nearest neighbors per point FROM THE CORPUS ITSELF, bounded by
+    ``radius`` — the self-join member of the kNN family (``knn_join``
+    ranks against a broadcast feature dimension; this ranks every point
+    against every other point). The radius bound is what makes the
+    big-big formulation exact AND scalable: candidates come from the
+    3x3-neighbor cell cover (``within_distance_self_join``), so a
+    point's k-th neighbor beyond ``radius`` is out of contract rather
+    than silently missed — the GPS-neighborhood semantics pipelines
+    actually want ("nearest co-located images within 5 km"), not
+    unbounded kNN whose tail neighbor may be a continent away.
+
+    Plan: the pair join (each unordered pair once) → mirror to both
+    directions (pure projection union, no shuffle) → per-point top-k
+    window, ties by neighbor id. Spark plans the rank filter as a
+    map-side WindowGroupLimit partial top-k before the window shuffle.
+    Points with no neighbor within ``radius`` emit no row (documented).
+
+    Output: (id_col, neighbor_id, nn_rank, dist_u).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = within_distance_self_join(
+        points, radius, res, id_col, lng_col, lat_col
+    )
+    fwd = pairs.select(
+        F.col("id_1").alias(id_col),
+        F.col("id_2").alias("neighbor_id"),
+        "dist_u",
+    )
+    rev = pairs.select(
+        F.col("id_2").alias(id_col),
+        F.col("id_1").alias("neighbor_id"),
+        "dist_u",
+    )
+    both = fwd.unionByName(rev)
+    w = Window.partitionBy(id_col).orderBy("dist_u", "neighbor_id")
+    return (
+        both.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select(id_col, "neighbor_id", "nn_rank", "dist_u")
+    )

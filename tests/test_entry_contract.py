@@ -159,6 +159,9 @@ def test_overflow_only_prior_green():
         # geodesic trajectory twin; micro-oracle pytest in
         # test_trajectory.py
         "trajectory_geo",
+        # radius-bounded kNN self-join; == bruteforce pytest in
+        # test_spatial_joins.py
+        "knn_self",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -463,3 +463,43 @@ def test_self_join_validation(spark):
         SJ.within_distance_self_join(None, distance=0.0)
     with pytest.raises(ValueError):
         SJ.within_distance_self_join(None, distance=5.0, res=12)
+
+
+def test_knn_self_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(67)
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(200, dtype=np.int64),
+            "lng": rng.uniform(-110, -100, 200),
+            "lat": rng.uniform(30, 40, 200),
+        }
+    )
+    k, radius = 3, 1.5
+    out = SJ.knn_self_join(
+        spark.createDataFrame(pdf), k=k, radius=radius
+    ).toPandas()
+    xy = pdf[["lng", "lat"]].to_numpy()
+    want = set()
+    for i in range(len(pdf)):
+        d = np.sqrt(((xy - xy[i]) ** 2).sum(axis=1))
+        du = np.floor(d * 1e6).astype(np.int64)
+        cand = [
+            (int(du[j]), j) for j in range(len(pdf))
+            if j != i and d[j] <= radius
+        ]
+        for rank, (dd, j) in enumerate(sorted(cand)[:k], start=1):
+            want.add((i, j, rank, dd))
+    got = {
+        (int(r.point_id), int(r.neighbor_id), int(r.nn_rank), int(r.dist_u))
+        for r in out.itertuples()
+    }
+    assert got == want
+    # isolated points emit nothing; ranks dense from 1
+    per = out.groupby("point_id")["nn_rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()
+
+
+def test_knn_self_join_validates_k(spark):
+    with pytest.raises(ValueError):
+        SJ.knn_self_join(None, k=0, radius=1.0)
