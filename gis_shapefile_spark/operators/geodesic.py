@@ -30,8 +30,13 @@ from ..functions import geodesy as GD
 from .spatial_join import _indexed
 
 
+_DIM_SCHEMA = "record_number long, cx double, cy double"
+
+
 def _centers_dim(spark: SparkSession, features_pdf: pd.DataFrame) -> DataFrame:
     feats = _indexed(features_pdf)
+    # explicit schema: an all-null-shape feature table filters to zero
+    # rows and createDataFrame cannot infer a schema from an empty frame
     return spark.createDataFrame(
         pd.DataFrame(
             {
@@ -39,7 +44,8 @@ def _centers_dim(spark: SparkSession, features_pdf: pd.DataFrame) -> DataFrame:
                 "cx": ((feats["minx"] + feats["maxx"]) / 2.0).astype(np.float64),
                 "cy": ((feats["miny"] + feats["maxy"]) / 2.0).astype(np.float64),
             }
-        )
+        ),
+        schema=_DIM_SCHEMA,
     )
 
 
@@ -99,16 +105,42 @@ def geodesic_within_km(
     feats = _indexed(features_pdf).copy()
     feats["cx"] = (feats["minx"] + feats["maxx"]) / 2.0
     feats["cy"] = (feats["miny"] + feats["maxy"]) / 2.0
-    # the refine keeps floor(d_km * 1e3) <= km * 1e3, i.e. d < km + 1 m —
-    # pad the cover radius by that meter so it stays a superset of the
+    # the refine keeps floor(d_km * 1e3) <= round(km * 1e3) meters — the
+    # threshold integer is ROUNDED (int() would truncate binary-float km
+    # one meter short: 0.29 * 1000 == 289.99999999999994) — and the
+    # cover radius pads by that same meter so it stays a superset of the
     # integerized predicate, not just of the exact km disc
-    km_pad = km + 1e-3
+    thresh_m = int(round(km * 1000))
+    km_pad = (thresh_m + 1) / 1000.0
     lat_pad = km_pad / GD.KM_PER_DEG_LAT
-    band = np.minimum(89.9, np.abs(feats["cy"].to_numpy()) + lat_pad)
+    band = np.abs(feats["cy"].to_numpy()) + lat_pad
+    # PLANAR-CANVAS CONTRACT (same no-wraparound stance as the cell
+    # index and the self-join): the degree-square cover cannot express a
+    # disc that crosses the antimeridian or a pole — the haversine
+    # refine WRAPS there while cover_bbox CLAMPS, which would silently
+    # drop qualifying cross-meridian / trans-polar pairs. Refuse loudly
+    # instead of returning a wrong subset.
+    if (band >= 90.0).any():
+        raise ValueError(
+            "geodesic_within_km: a feature's km disc reaches a pole "
+            "(|lat| + radius >= 90); the planar cell canvas cannot "
+            "cover trans-polar discs"
+        )
     deg_r = np.array([GD.cover_radius_deg(km_pad, b) for b in band])
+    if len(feats) and (
+        (feats["cx"].to_numpy() - deg_r < -180.0).any()
+        or (feats["cx"].to_numpy() + deg_r > 180.0).any()
+    ):
+        raise ValueError(
+            "geodesic_within_km: a feature's km disc crosses the "
+            "antimeridian; the planar cell canvas does not wrap"
+        )
     if res is None:
-        d = float(deg_r.max())
-        res = C.resolution_for_bbox(2 * d, 2 * d, max_cells=64)
+        if len(feats) == 0:
+            res = 0
+        else:
+            d = float(deg_r.max())
+            res = C.resolution_for_bbox(2 * d, 2 * d, max_cells=64)
     rows = []
     for (_, r), dr in zip(feats.iterrows(), deg_r):
         for c in C.cover_bbox(
@@ -116,7 +148,8 @@ def geodesic_within_km(
         ):
             rows.append((int(c), int(r.record_number), float(r.cx), float(r.cy)))
     dim = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["cell", "record_number", "cx", "cy"])
+        pd.DataFrame(rows, columns=["cell", "record_number", "cx", "cy"]),
+        schema="cell long, record_number long, cx double, cy double",
     )
     pts = points.withColumn("__cell", C.cell_col(lng_col, lat_col, res))
     gdist_m = F.expr(
@@ -126,6 +159,6 @@ def geodesic_within_km(
         pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
         .drop("cell", "__cell")
         .select("*", gdist_m)
-        .where(F.col("gdist_m") <= F.lit(int(km * 1000)))
+        .where(F.col("gdist_m") <= F.lit(thresh_m))
         .drop("cx", "cy")
     )

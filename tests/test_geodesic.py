@@ -160,3 +160,56 @@ def test_geodesic_within_km_rejects_bad_radius(spark):
             _features_pdf([(0.0, 0.0)]),
             km=0.0,
         )
+
+
+def test_within_km_planar_canvas_contract(spark):
+    """Discs crossing the antimeridian or a pole are refused loudly: the
+    degree-square cover clamps where the haversine refine wraps, so
+    proceeding would silently drop qualifying pairs (code-review finding,
+    pinned)."""
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1], "lng": [-179.9], "lat": [0.0]})
+    )
+    with pytest.raises(ValueError, match="antimeridian"):
+        GEO.geodesic_within_km(
+            spark, pts, _features_pdf([(179.95, 0.0)]), km=200.0
+        )
+    with pytest.raises(ValueError, match="pole"):
+        GEO.geodesic_within_km(
+            spark, pts, _features_pdf([(0.0, 89.95)]), km=10.0
+        )
+
+
+def test_within_km_threshold_rounds_not_truncates(spark):
+    """km=0.29: int(0.29*1000) == 289 would exclude a point at 290.x m;
+    the documented predicate floor(d_m) <= round(km*1e3) includes it."""
+    from gis_shapefile_spark.functions import geodesy as GD
+
+    dlat = 0.2905 / GD.KM_PER_DEG_LAT  # ~290.5 m due north
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1], "lng": [10.0], "lat": [20.0 + dlat]})
+    )
+    out = GEO.geodesic_within_km(
+        spark, pts, _features_pdf([(10.0, 20.0)]), km=0.29
+    ).toPandas()
+    assert len(out) == 1
+    assert out["gdist_m"][0] == 290
+
+
+def test_geodesic_ops_empty_feature_table(spark):
+    """All-null-shape feature tables filter to an empty dimension; both
+    operators must return empty frames with stable schemas, not crash on
+    schema inference / zero-size reductions."""
+    empty = pd.DataFrame(
+        [dict(record_number=1, shape_type=0, minx=np.nan, maxx=np.nan,
+              miny=np.nan, maxy=np.nan)]
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1], "lng": [0.0], "lat": [0.0]})
+    )
+    near = GEO.geodesic_nearest(spark, pts, empty)
+    assert near.count() == 0
+    assert near.columns == ["point_id", "record_number", "gdist_m"]
+    within = GEO.geodesic_within_km(spark, pts, empty, km=10.0)
+    assert within.count() == 0
+    assert "gdist_m" in within.columns
