@@ -161,6 +161,9 @@ _PRIORITY = [
     "trajectory_geo",
     # radius-bounded kNN self-join: pair join mirrored + top-k window
     "knn_self",
+    # geodesic big-big self-join: measured-band cell sizing + haversine
+    # refine
+    "geo_pairs",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1733,6 +1733,32 @@ PAIR_DIST = 1.0
 KNN_SELF_K = 3
 KNN_SELF_RADIUS = 2.0
 
+GEO_PAIR_KM = 90.0
+
+
+def q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic big-big self-join: all unordered point pairs within 90
+    great-circle km. Resolution derives from the MEASURED latitude band
+    edge (one narrow max(abs(lat)) aggregate) so the 3x3-neighbor cover
+    stays a provable superset under the cos(lat) longitude shrink."""
+    from .operators import geodesic as GEO
+
+    return GEO.geodesic_pairs_within_km(
+        _points_df(spark, sf_dir), km=GEO_PAIR_KM
+    )
+
+
+def q_geo_pairs_oracle() -> str:
+    from .functions import geodesy as GD
+
+    hav = GD.haversine_m_u_sql("a.lng", "a.lat", "b.lng", "b.lat", "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT a.point_id AS id_1, b.point_id AS id_2, {hav} AS gdist_m
+        FROM pts a JOIN pts b ON a.point_id < b.point_id
+        WHERE {hav} <= {int(round(GEO_PAIR_KM * 1000))}
+    """
+
 
 def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-bounded kNN SELF-join: each point's 3 nearest OTHER points
@@ -1856,6 +1882,7 @@ QUERIES = {
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
     "knn_self": q_knn_self,
+    "geo_pairs": q_geo_pairs,
 }
 
 ORACLES = {
@@ -1899,4 +1926,5 @@ ORACLES = {
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),
     "knn_self": q_knn_self_oracle(),
+    "geo_pairs": q_geo_pairs_oracle(),
 }

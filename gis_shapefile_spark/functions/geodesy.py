@@ -114,17 +114,33 @@ def cover_radius_deg(km: float, max_abs_lat: float) -> float:
     """Conservative degree radius covering a ``km`` great-circle radius
     anywhere in the latitude band |lat| <= ``max_abs_lat``.
 
-    Latitude axis: 1° is a constant KM_PER_DEG_LAT. Longitude axis: 1°
-    is KM_PER_DEG_LAT * cos(lat), smallest at the band edge — so the
-    degree square of this radius contains the km disc for every point
-    in the band, and the candidate cell cover built from it is a
-    provable superset (the refine is exact, so supersets only cost
-    candidate rows, never correctness). Bands touching the poles have
-    no finite longitude radius; callers cap at 89.9°.
+    PROOF SHAPE (this is the bound the candidate covers rely on, so it
+    must be a theorem, not an approximation): for two points in the
+    band, hav(d) >= cos(lat1) cos(lat2) sin^2(dlng/2) >=
+    cos^2(band) sin^2(dlng/2), so d <= km forces
+    dlng <= 2 asin(min(1, km / (2 R cos(band)))). The naive LINEAR
+    inversion km / (111.195 cos(band)) is smaller than this (asin(x) >=
+    x), i.e. NOT conservative — it undercovers by ~(dlng/2)^2/6
+    relative, invisibly small at fixture radii but a wrongness class at
+    continental ones. The latitude axis needs no such correction:
+    hav(d) >= sin^2(dlat/2) gives d >= R*dlat exactly, so the linear
+    km / KM_PER_DEG_LAT latitude radius is exact.
+
+    Returns the asin-form longitude-axis radius, which dominates the
+    latitude radius for every band >= 0 — a degree square of this
+    radius contains the km disc for every point in the band, making any
+    cell cover built from it a provable superset (the refine is exact,
+    so supersets only cost candidate rows, never correctness). If the
+    disc spans beyond any finite longitude radius (km >= the band's
+    antipodal reach), returns 360.0 — callers' canvas contracts refuse
+    such discs anyway.
     """
     if not 0.0 <= max_abs_lat < 90.0:
         raise ValueError(f"max_abs_lat must be in [0, 90), got {max_abs_lat}")
     if km < 0:
         raise ValueError(f"km must be >= 0, got {km}")
     shrink = math.cos(math.radians(max_abs_lat))
-    return km / (KM_PER_DEG_LAT * shrink)
+    x = km / (2.0 * EARTH_RADIUS_KM * shrink)
+    if x >= 1.0:
+        return 360.0
+    return math.degrees(2.0 * math.asin(x))

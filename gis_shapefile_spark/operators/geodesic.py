@@ -162,3 +162,109 @@ def geodesic_within_km(
         .where(F.col("gdist_m") <= F.lit(thresh_m))
         .drop("cx", "cy")
     )
+
+
+def geodesic_pairs_within_km(
+    points: DataFrame,
+    km: float,
+    max_abs_lat: float | None = None,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All unordered point pairs within ``km`` great-circle km — the
+    geodesic member of the big-big self-join pair
+    (``spatial_join.within_distance_self_join`` is the planar twin).
+
+    The 3x3-neighbor candidate argument needs one cell to dominate the
+    km radius on BOTH axes, and the longitude axis shrinks by cos(lat) —
+    so the resolution comes from the corpus' latitude band edge:
+    ``max_abs_lat=None`` (default) MEASURES it with one narrow
+    max(abs(lat)) aggregate (the auto_salt_buckets pattern: derive the
+    knob from data); pass the band explicitly to skip that pass at
+    corpus scale. Points outside an explicitly-passed band would break
+    the cover guarantee, so the measured path is the safe default.
+
+    Antimeridian: same planar-canvas contract as the planar self-join's
+    pinned test — cells do not wrap, so cross-meridian pairs are out of
+    contract by the canvas (not silently *approximated*: the refine
+    only sees candidates the cover admits).
+
+    Output: (id_1, id_2, gdist_m) with id_1 < id_2, meter-integerized.
+    """
+    import math
+
+    from .spatial_join import within_distance_self_join  # noqa: F401  (doc xref)
+
+    if km <= 0:
+        raise ValueError(f"km must be > 0, got {km}")
+    thresh_m = int(round(km * 1000))
+    km_pad = (thresh_m + 1) / 1000.0
+    if max_abs_lat is None:
+        max_abs_lat = float(
+            points.agg(F.max(F.abs(F.col(lat_col)))).first()[0] or 0.0
+        )
+    band = max_abs_lat + km_pad / GD.KM_PER_DEG_LAT
+    if band >= 90.0:
+        raise ValueError(
+            "geodesic_pairs_within_km: the km disc of a band-edge point "
+            "reaches a pole; the planar cell canvas cannot cover "
+            "trans-polar discs"
+        )
+    lat_r = km_pad / GD.KM_PER_DEG_LAT
+    lng_r = GD.cover_radius_deg(km_pad, band)
+    if res is None:
+        res = min(
+            25,
+            int(math.floor(math.log2(180.0 / lat_r))),
+            int(math.floor(math.log2(360.0 / lng_r))),
+        )
+    if not 0 <= res <= 25:
+        raise ValueError(f"res must be in [0, 25], got {res}")
+    if 180.0 / (1 << res) < lat_r or 360.0 / (1 << res) < lng_r:
+        raise ValueError(
+            f"cell at res {res} is smaller than the band-edge cover "
+            f"radius; the 3x3 neighborhood would miss pairs"
+        )
+    pts = points.select(
+        F.col(id_col), F.col(lng_col), F.col(lat_col)
+    ).withColumn("cell", C.cell_col(lng_col, lat_col, res))
+    ax = pts.select(
+        F.col(id_col).alias("id_1"),
+        F.col(lng_col).alias("_lng1"),
+        F.col(lat_col).alias("_lat1"),
+        F.expr(C.cell_axis_sql("cell", "x", "spark")).alias("_x"),
+        F.expr(C.cell_axis_sql("cell", "y", "spark")).alias("_y"),
+    )
+    offs = ", ".join(
+        f"struct({dx} as dx, {dy} as dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    left = ax.select(
+        "id_1", "_lng1", "_lat1",
+        F.expr(f"explode(array({offs}))").alias("_o"),
+        "_x", "_y",
+    ).select(
+        "id_1", "_lng1", "_lat1",
+        F.expr(
+            C.pack_xy_sql("(_x + _o.dx)", "(_y + _o.dy)", res, "spark")
+        ).alias("_nb"),
+    )
+    right = pts.select(
+        F.col(id_col).alias("id_2"),
+        F.col(lng_col).alias("_lng2"),
+        F.col(lat_col).alias("_lat2"),
+        F.col("cell").alias("_nb"),
+    )
+    gdist = F.expr(
+        GD.haversine_m_u_sql("_lng1", "_lat1", "_lng2", "_lat2", "spark")
+    )
+    return (
+        left.join(right, "_nb")
+        .where(F.col("id_1") < F.col("id_2"))
+        .withColumn("gdist_m", gdist)
+        .where(F.col("gdist_m") <= F.lit(thresh_m))
+        .select("id_1", "id_2", "gdist_m")
+    )

@@ -162,6 +162,9 @@ def test_overflow_only_prior_green():
         # radius-bounded kNN self-join; == bruteforce pytest in
         # test_spatial_joins.py
         "knn_self",
+        # geodesic big-big self-join; == bruteforce pytest in
+        # test_geodesic.py
+        "geo_pairs",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

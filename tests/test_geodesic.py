@@ -60,13 +60,26 @@ def test_sql_matches_numpy_twin(spark):
 
 
 def test_cover_radius_deg_properties():
-    # equator: deg radius is km / KM_PER_DEG_LAT exactly
-    assert GD.cover_radius_deg(111.0, 0.0) == pytest.approx(
-        111.0 / GD.KM_PER_DEG_LAT
-    )
+    # the asin form strictly dominates the naive linear inversion (the
+    # linear form UNDERCOVERS — asin(x) >= x), and converges to it for
+    # small radii
+    for km, lat in ((111.0, 0.0), (500.0, 45.0), (50.0, 80.0)):
+        linear = km / (GD.KM_PER_DEG_LAT * math.cos(math.radians(lat)))
+        got = GD.cover_radius_deg(km, lat)
+        assert got >= linear
+        assert got == pytest.approx(linear, rel=5e-3)
+    # the covered dlng is genuinely sufficient: a pair separated by
+    # exactly the returned radius in lng (both at the band edge) is at
+    # LEAST km apart
+    for km, lat in ((111.0, 0.0), (800.0, 60.0)):
+        r = GD.cover_radius_deg(km, lat)
+        d = float(GD.haversine_km_np(0.0, lat, r, lat))
+        assert d >= km - 1e-6
     # monotone nondecreasing in the band edge
     r = [GD.cover_radius_deg(100.0, lat) for lat in (0, 30, 60, 80, 89)]
     assert all(a <= b for a, b in zip(r, r[1:]))
+    # beyond the band's antipodal reach: full-canvas sentinel
+    assert GD.cover_radius_deg(25000.0, 60.0) == 360.0
     with pytest.raises(ValueError):
         GD.cover_radius_deg(10.0, 90.0)
     with pytest.raises(ValueError):
@@ -213,3 +226,46 @@ def test_geodesic_ops_empty_feature_table(spark):
     within = GEO.geodesic_within_km(spark, pts, empty, km=10.0)
     assert within.count() == 0
     assert "gdist_m" in within.columns
+
+
+def test_geodesic_pairs_matches_bruteforce_high_lat(spark):
+    """Self-join vs numpy haversine brute force at lat 62-66 (strong
+    cos-shrink: the lng cover must widen or pairs go missing) and at a
+    radius whose lng span crosses several cells."""
+    rng = np.random.default_rng(71)
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(300, dtype=np.int64),
+            "lng": rng.uniform(10, 30, 300),
+            "lat": rng.uniform(62, 66, 300),
+        }
+    )
+    for km in (40.0, 150.0):
+        out = GEO.geodesic_pairs_within_km(
+            spark.createDataFrame(pdf), km=km
+        ).toPandas()
+        d = GD.haversine_km_np(
+            pdf["lng"].to_numpy()[:, None], pdf["lat"].to_numpy()[:, None],
+            pdf["lng"].to_numpy()[None, :], pdf["lat"].to_numpy()[None, :],
+        )
+        dm = np.floor(d * 1000).astype(np.int64)
+        thresh = int(round(km * 1000))
+        want = {
+            (i, j) for i in range(300) for j in range(i + 1, 300)
+            if dm[i, j] <= thresh
+        }
+        got = list(zip(out["id_1"], out["id_2"]))
+        assert len(got) == len(set(got))
+        assert {(int(a), int(b)) for a, b in got} == want, km
+    assert len(want) > 0
+
+
+def test_geodesic_pairs_band_contract(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1, 2], "lng": [0.0, 0.1],
+                      "lat": [89.5, 89.6]})
+    )
+    with pytest.raises(ValueError, match="pole"):
+        GEO.geodesic_pairs_within_km(pts, km=100.0)
+    with pytest.raises(ValueError):
+        GEO.geodesic_pairs_within_km(pts, km=0.0)
