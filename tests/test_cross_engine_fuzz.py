@@ -370,3 +370,48 @@ def test_ar_bucket_builder_agrees_across_engines(spark):
         expect = AR.assign_ar_buckets_py(w, h)
         assert got_spark[i] == expect, ("spark", i, w, h)
         assert got_duck[i] == expect, ("duckdb", i, w, h)
+
+
+def test_haversine_agrees_across_engines(spark):
+    """Meter-integerized haversine: Spark == DuckDB EXACTLY on a large
+    adversarial coordinate set. This is the empirical check behind the
+    geodesy canon's ulp argument (both engines run libm-quality trig on
+    the same IEEE tree; a divergence could only flip floor(km*1e3) on a
+    ~1e-9/row boundary set) — 2,000 pairs including antipodal,
+    identical, pole-touching, antimeridian, and epsilon-separated points
+    must produce zero mismatches."""
+    import numpy as np
+
+    from gis_shapefile_spark.functions import geodesy as GD
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    lng1 = rng.uniform(-180, 180, n)
+    lat1 = rng.uniform(-90, 90, n)
+    lng2 = rng.uniform(-180, 180, n)
+    lat2 = rng.uniform(-90, 90, n)
+    # adversarial rows: identical, antipodal, poles, antimeridian,
+    # epsilon separations
+    lng1[:6] = [0.0, 10.0, 0.0, 179.999999, -180.0, 50.0]
+    lat1[:6] = [0.0, 45.0, 90.0, 0.0, 0.0, 50.0]
+    lng2[:6] = [0.0, -170.0, 0.0, -179.999999, 180.0, 50.0 + 1e-12]
+    lat2[:6] = [0.0, -45.0, -90.0, 0.0, 0.0, 50.0]
+    pdf = pd.DataFrame(
+        {"i": range(n), "lng1": lng1, "lat1": lat1, "lng2": lng2, "lat2": lat2}
+    )
+    sp = {
+        r.i: r.m
+        for r in spark.createDataFrame(pdf).selectExpr(
+            "i",
+            f"{GD.haversine_m_u_sql('lng1', 'lat1', 'lng2', 'lat2', 'spark')} AS m",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    du = con.sql(
+        "SELECT i, "
+        f"{GD.haversine_m_u_sql('lng1', 'lat1', 'lng2', 'lat2', 'duckdb')}"
+        " AS m FROM t"
+    ).df().set_index("i")["m"]
+    mismatches = [i for i in range(n) if sp[i] != int(du.loc[i])]
+    assert mismatches == [], mismatches[:10]
