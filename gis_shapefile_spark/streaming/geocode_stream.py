@@ -124,3 +124,32 @@ def streaming_geocode_to_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_geofence_matches(
+    spark: SparkSession,
+    points_stream: DataFrame,
+    features_pdf,
+    km: float,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Continuous geodesic geofencing: every streamed point within ``km``
+    great-circle km of a feature center emits (point cols,
+    record_number, gdist_m) — the "alert when an upload appears near a
+    sensitive site / POI" stream.
+
+    Pure stream-static join, exactly the ``streaming_pip_matches``
+    scale shape: the feature side's covering-cell dimension is computed
+    once on the driver and broadcast (``operators/geodesic.
+    geodesic_within_km`` — conservative asin-form degree cover at each
+    feature's band edge), the point stream pays one stateless equi-join
+    + the native haversine refine. Append mode, no state store, no
+    shuffle on the stream side.
+    """
+    from ..operators import geodesic as GEO
+
+    return GEO.geodesic_within_km(
+        spark, points_stream, features_pdf, km=km,
+        lng_col=lng_col, lat_col=lat_col,
+    )

@@ -174,3 +174,32 @@ def test_streaming_merge_sink_applies_batches_and_resumes(spark, tmp_path):
     v = table.manifest()["version"]
     run()
     assert table.manifest()["version"] == v
+
+
+def test_streaming_geofence_matches_batch(spark, points_dir, tmp_path):
+    """Geodesic geofence stream == the batch within-km join over the
+    full replayed input (stateless stream-static shape)."""
+    from gis_shapefile_spark.operators import geodesic as GEO
+
+    feats = FX.make_grid_features()
+    km = 150.0
+    stream = GS.read_points_stream(spark, points_dir, max_files_per_trigger=1)
+    alerts = GS.streaming_geofence_matches(spark, stream, feats, km=km)
+    EV.run_to_memory(
+        alerts.select("point_id", "record_number", "gdist_m"),
+        "geofence_stream", str(tmp_path / "ckpt_geo"), output_mode="append",
+    )
+    got = {
+        (r.point_id, r.record_number, r.gdist_m)
+        for r in spark.sql(
+            "SELECT point_id, record_number, gdist_m FROM geofence_stream"
+        ).collect()
+    }
+    batch = GEO.geodesic_within_km(
+        spark, spark.read.parquet(points_dir), feats, km=km
+    )
+    exp = {
+        (r.point_id, r.record_number, r.gdist_m)
+        for r in batch.select("point_id", "record_number", "gdist_m").collect()
+    }
+    assert got == exp and len(got) > 0
