@@ -83,3 +83,65 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_col(
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    res: int = 16,
+):
+    """Z-order (morton-interleaved) sort key over two numeric columns,
+    normalized to the given value ranges — the generic data-skipping
+    clustering key (Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+    shape), built from the same bit-interleave SQL as the spatial cell
+    index but over ARBITRARY numeric columns."""
+    x0, x1 = x_range
+    y0, y1 = y_range
+    if not (x1 > x0 and y1 > y0):
+        raise ValueError("ranges must be non-degenerate (hi > lo)")
+    xi = C.axis_index_sql(x_col, -x0, x1 - x0, res, "spark")
+    yi = C.axis_index_sql(y_col, -y0, y1 - y0, res, "spark")
+    return F.expr(C.pack_xy_sql(xi, yi, res, "spark"))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float] | None = None,
+    y_range: tuple[float, float] | None = None,
+    res: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` Z-ORDER-clustered on (x_col, y_col): rows are
+    range-partitioned + sorted by the interleaved-bit morton key before
+    the parquet write, so each file/row-group's min-max stats span a
+    small rectangle of the 2-D value space instead of the whole domain —
+    parquet row-group skipping (and Spark's scan-level min-max pruning)
+    then prunes selective predicates on EITHER column at the source.
+    This is the lakehouse data-skipping layout (Delta's OPTIMIZE ZORDER
+    BY, Iceberg's sort orders) expressed with the engine's own morton
+    machinery; measured row-group-overlap evidence in
+    ``tests/test_zorder_layout.py``.
+
+    Value ranges default to one measured min/max aggregate over the
+    input (derive-the-knob-from-data); pass them explicitly to skip the
+    pass at corpus scale. Rows outside an explicit range still land in
+    the edge cells (``axis_index_sql`` clamps) — correctness never
+    depends on the ranges, only skipping effectiveness does.
+    """
+    if x_range is None or y_range is None:
+        row = df.agg(
+            F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+        ).first()
+        x_range = x_range or (float(row[0]), float(row[1]))
+        y_range = y_range or (float(row[2]), float(row[3]))
+    z = zorder_col(x_col, y_col, x_range, y_range, res).alias("__z")
+    out = df.select("*", z).repartitionByRange(
+        *( [num_files] if num_files else [] ), F.col("__z")
+    ).sortWithinPartitions("__z").drop("__z")
+    out.write.mode(mode).parquet(path)
