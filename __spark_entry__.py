@@ -164,6 +164,9 @@ _PRIORITY = [
     # geodesic big-big self-join: measured-band cell sizing + haversine
     # refine
     "geo_pairs",
+    # scale-invariant image near-dup: 2x copies canonicalized back via
+    # the real codecs before the phash block join
+    "cross_scale_neardup",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -970,6 +970,56 @@ def q_image_neardup_oracle() -> str:
     """
 
 
+def q_cross_scale_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-invariant image near-dup: the corpus is the 2000-image
+    fixture PLUS a 2x-upscaled copy of every lossless/idempotent-codec
+    row (raw/qz/png — resize_images re-encodes with the REAL codecs at
+    32x32), and duplicates are found by CANONICALIZING every off-size
+    image back to 16x16 before the phash block join. The nearest-pixel
+    grid makes 16->32->16 an exact identity and the non-jpeg codecs
+    round-trip pixels exactly (raw/png) or idempotently (qz), so each
+    up_<id> copy's recomputed canonical phash must land bit-for-bit on
+    <id>'s STORED phash — the oracle brute-forces pairs from stored
+    phashes alone, and any drift in decode, resize grid, re-encode, or
+    hash breaks the match. This is the dedup a mixed-resolution crawl
+    needs: same-size-only hashing misses every rescaled repost."""
+    from .operators import multimodal as MM
+
+    path = FX.images_parquet_path(n=2000)
+    images = spark.read.parquet(path).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )
+    ups = MM.resize_images(
+        images.where(F.col("fmt") != "jpeg"), 32, 32
+    ).withColumn("image_id", F.concat(F.lit("up_"), F.col("image_id")))
+    # canonicalize ONLY the off-size rows (identity re-encode of the
+    # jpeg originals would second-generation-requantize their pixels and
+    # drift recomputed phashes off the stored column)
+    canon = images.unionByName(MM.resize_images(ups, 16, 16))
+    out = MM.image_near_pairs(canon, max_hamming=6)
+    return out.select(
+        "id_1", "id_2", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_cross_scale_neardup_oracle() -> str:
+    path = FX.images_parquet_path(n=2000)
+    return f"""
+        WITH src AS (SELECT image_id, phash, fmt FROM read_parquet('{path}')),
+        corpus AS (
+          SELECT image_id, phash FROM src
+          UNION ALL
+          SELECT 'up_' || image_id AS image_id, phash FROM src
+          WHERE fmt <> 'jpeg'
+        )
+        SELECT least(a.image_id, b.image_id) AS id_1,
+               greatest(a.image_id, b.image_id) AS id_2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM corpus a JOIN corpus b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+
 def q_image_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-image assignment — the stage AFTER image_neardup: every
     image maps to the min image_id reachable through its phash-hamming
@@ -2995,6 +3045,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "image_tiling": q_image_tiling,
     "image_quality": q_image_quality,
+    "cross_scale_neardup": q_cross_scale_neardup,
     "image_neardup": q_image_neardup,
     "image_canon": q_image_canon,
     "image_takedown": q_image_takedown,
@@ -3061,6 +3112,7 @@ ORACLES = {
     "train_val_split": q_train_val_split_oracle(),
     "image_tiling": q_image_tiling_oracle(),
     "image_quality": q_image_quality_oracle(),
+    "cross_scale_neardup": q_cross_scale_neardup_oracle(),
     "image_neardup": q_image_neardup_oracle(),
     "image_canon": q_image_canon_oracle(),
     "image_takedown": q_image_takedown_oracle(),

@@ -165,6 +165,9 @@ def test_overflow_only_prior_green():
         # geodesic big-big self-join; == bruteforce pytest in
         # test_geodesic.py
         "geo_pairs",
+        # scale-invariant image near-dup; identity-round-trip pytest in
+        # test_multimodal_tiling.py
+        "cross_scale_neardup",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -139,6 +139,23 @@ def test_image_quality_stats_flat_and_tiny(spark):
     assert out["tiny"].luma_sum_u == lum_tiny
 
 
+def test_cross_scale_canonical_phash_identity(spark, images_df, images_pdf):
+    """16 -> 32 -> 16 through the REAL codecs lands bit-for-bit on the
+    stored phash for every non-jpeg row (nearest grid identity + exact
+    raw/png round trip + idempotent qz requantization) — the invariant
+    the cross_scale_neardup oracle rests on."""
+    non_jpeg = images_df.where(F.col("fmt") != "jpeg")
+    up = MM.resize_images(non_jpeg, 32, 32)
+    back = MM.resize_images(up, 16, 16)
+    got = {r.image_id: r.phash for r in back.select("image_id", "phash").collect()}
+    want = {
+        r["image_id"]: int(r["phash"])
+        for _, r in images_pdf.iterrows()
+        if r["fmt"] != "jpeg"
+    }
+    assert got == want and len(got) > 0
+
+
 def test_image_quality_stats_carry_passthrough(spark, images_df, images_pdf):
     out = MM.image_quality_stats(images_df, carry=("caption",)).collect()
     want = dict(zip(images_pdf["image_id"], images_pdf["caption"]))
