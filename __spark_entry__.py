@@ -167,6 +167,8 @@ _PRIORITY = [
     # scale-invariant image near-dup: 2x copies canonicalized back via
     # the real codecs before the phash block join
     "cross_scale_neardup",
+    # geodesic radius-bounded kNN self-join
+    "geo_knn_self",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1735,6 +1735,42 @@ KNN_SELF_RADIUS = 2.0
 
 GEO_PAIR_KM = 90.0
 
+GEO_KNN_K = 3
+GEO_KNN_KM = 150.0
+
+
+def q_geo_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic radius-bounded kNN self-join: each point's 3 nearest
+    corpus points within 150 great-circle km."""
+    from .operators import geodesic as GEO
+
+    return GEO.geodesic_knn_self(
+        _points_df(spark, sf_dir), k=GEO_KNN_K, km=GEO_KNN_KM
+    )
+
+
+def q_geo_knn_self_oracle() -> str:
+    from .functions import geodesy as GD
+
+    hav = GD.haversine_m_u_sql("a.lng", "a.lat", "b.lng", "b.lat", "duckdb")
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        cand AS (
+          SELECT a.point_id, b.point_id AS neighbor_id, {hav} AS gdist_m
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+          WHERE {hav} <= {int(round(GEO_KNN_KM * 1000))}
+        ),
+        ranked AS (
+          SELECT point_id, neighbor_id, gdist_m,
+                 row_number() OVER (
+                   PARTITION BY point_id ORDER BY gdist_m, neighbor_id
+                 ) AS nn_rank
+          FROM cand
+        )
+        SELECT point_id, neighbor_id, nn_rank, gdist_m
+        FROM ranked WHERE nn_rank <= {GEO_KNN_K}
+    """
+
 
 def q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic big-big self-join: all unordered point pairs within 90
@@ -1883,6 +1919,7 @@ QUERIES = {
     "point_pairs": q_point_pairs,
     "knn_self": q_knn_self,
     "geo_pairs": q_geo_pairs,
+    "geo_knn_self": q_geo_knn_self,
 }
 
 ORACLES = {
@@ -1927,4 +1964,5 @@ ORACLES = {
     "point_pairs": q_point_pairs_oracle(),
     "knn_self": q_knn_self_oracle(),
     "geo_pairs": q_geo_pairs_oracle(),
+    "geo_knn_self": q_geo_knn_self_oracle(),
 }

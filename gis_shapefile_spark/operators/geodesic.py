@@ -268,3 +268,45 @@ def geodesic_pairs_within_km(
         .where(F.col("gdist_m") <= F.lit(thresh_m))
         .select("id_1", "id_2", "gdist_m")
     )
+
+
+def geodesic_knn_self(
+    points: DataFrame,
+    k: int,
+    km: float,
+    max_abs_lat: float | None = None,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """k nearest corpus points per point by GREAT-CIRCLE meters, bounded
+    by ``km`` — the geodesic member of the kNN-self pair
+    (``spatial_join.knn_self_join`` is the planar twin; same mirror +
+    top-k window over the pair join, same radius-bound contract that
+    keeps the big-big formulation exact).
+
+    Output: (id_col, neighbor_id, nn_rank, gdist_m).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = geodesic_pairs_within_km(
+        points, km, max_abs_lat, res, id_col, lng_col, lat_col
+    )
+    fwd = pairs.select(
+        F.col("id_1").alias(id_col),
+        F.col("id_2").alias("neighbor_id"),
+        "gdist_m",
+    )
+    rev = pairs.select(
+        F.col("id_2").alias(id_col),
+        F.col("id_1").alias("neighbor_id"),
+        "gdist_m",
+    )
+    w = Window.partitionBy(id_col).orderBy("gdist_m", "neighbor_id")
+    return (
+        fwd.unionByName(rev)
+        .withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select(id_col, "neighbor_id", "nn_rank", "gdist_m")
+    )

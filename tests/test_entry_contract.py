@@ -168,6 +168,8 @@ def test_overflow_only_prior_green():
         # scale-invariant image near-dup; identity-round-trip pytest in
         # test_multimodal_tiling.py
         "cross_scale_neardup",
+        # geodesic kNN self-join; == bruteforce pytest in test_geodesic.py
+        "geo_knn_self",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -269,3 +269,37 @@ def test_geodesic_pairs_band_contract(spark):
         GEO.geodesic_pairs_within_km(pts, km=100.0)
     with pytest.raises(ValueError):
         GEO.geodesic_pairs_within_km(pts, km=0.0)
+
+
+def test_geodesic_knn_self_matches_bruteforce(spark):
+    rng = np.random.default_rng(79)
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(250, dtype=np.int64),
+            "lng": rng.uniform(-10, 10, 250),
+            "lat": rng.uniform(55, 60, 250),
+        }
+    )
+    k, km = 3, 120.0
+    out = GEO.geodesic_knn_self(
+        spark.createDataFrame(pdf), k=k, km=km
+    ).toPandas()
+    d = GD.haversine_km_np(
+        pdf["lng"].to_numpy()[:, None], pdf["lat"].to_numpy()[:, None],
+        pdf["lng"].to_numpy()[None, :], pdf["lat"].to_numpy()[None, :],
+    )
+    dm = np.floor(d * 1000).astype(np.int64)
+    thresh = int(round(km * 1000))
+    want = set()
+    for i in range(250):
+        cand = sorted(
+            (int(dm[i, j]), j) for j in range(250)
+            if j != i and dm[i, j] <= thresh
+        )
+        for rank, (dd, j) in enumerate(cand[:k], start=1):
+            want.add((i, j, rank, dd))
+    got = {
+        (int(r.point_id), int(r.neighbor_id), int(r.nn_rank), int(r.gdist_m))
+        for r in out.itertuples()
+    }
+    assert got == want and len(want) > 0
