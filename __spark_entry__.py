@@ -169,6 +169,9 @@ _PRIORITY = [
     "cross_scale_neardup",
     # geodesic radius-bounded kNN self-join
     "geo_knn_self",
+    # spherical polygon area/perimeter (Chamberlain-Duquette + haversine
+    # edges)
+    "geo_polygon_area",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

@@ -1410,6 +1410,52 @@ def q_polygon_stats_oracle() -> str:
     """
 
 
+def q_geo_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic polygon measures over the jittered+holed state rings:
+    TRUE km^2 area (Chamberlain-Duquette spherical formula — the planar
+    shoelace in deg^2 distorts by cos(lat) across the CONUS band) and
+    great-circle perimeter km, both per-edge integerized, positional
+    shell-minus-holes."""
+    from .functions import geodesy as GD
+
+    rings = spark.createDataFrame(
+        _ring_rows(),
+        "record_number long, ring_idx int, xs array<double>, ys array<double>",
+    )
+    per_ring = rings.select(
+        "record_number",
+        "ring_idx",
+        F.expr(GD.ring_area_sph_sql("xs", "ys", "spark")).alias("ga"),
+        F.expr(GD.ring_perim_geo_sql("xs", "ys", "spark")).alias("gp"),
+    )
+    return per_ring.groupBy("record_number").agg(
+        F.sum(
+            F.when(F.col("ring_idx") == 0, F.col("ga")).otherwise(-F.col("ga"))
+        ).alias("garea_u"),
+        F.sum("gp").alias("gperim_u"),
+        F.count(F.lit(1)).cast("long").alias("n_rings"),
+    )
+
+
+def q_geo_polygon_area_oracle() -> str:
+    from .functions import geodesy as GD
+
+    ga = GD.ring_area_sph_sql("xs", "ys", "duckdb")
+    gp = GD.ring_perim_geo_sql("xs", "ys", "duckdb")
+    return f"""
+        SELECT record_number::BIGINT AS record_number,
+               CAST(sum(CASE WHEN ring_idx = 0 THEN ga ELSE -ga END)
+                    AS BIGINT) AS garea_u,
+               CAST(sum(gp) AS BIGINT) AS gperim_u,
+               count(*)::BIGINT AS n_rings
+        FROM (
+            SELECT record_number, ring_idx, {ga} AS ga, {gp} AS gp
+            FROM {_ring_values_sql()}
+        ) t
+        GROUP BY record_number
+    """
+
+
 # ---------------------------------------------------------------------------
 # key-skew profiling (the measurement behind the salting policy)
 # ---------------------------------------------------------------------------
@@ -1920,6 +1966,7 @@ QUERIES = {
     "knn_self": q_knn_self,
     "geo_pairs": q_geo_pairs,
     "geo_knn_self": q_geo_knn_self,
+    "geo_polygon_area": q_geo_polygon_area,
 }
 
 ORACLES = {
@@ -1965,4 +2012,5 @@ ORACLES = {
     "knn_self": q_knn_self_oracle(),
     "geo_pairs": q_geo_pairs_oracle(),
     "geo_knn_self": q_geo_knn_self_oracle(),
+    "geo_polygon_area": q_geo_polygon_area_oracle(),
 }

@@ -144,3 +144,60 @@ def cover_radius_deg(km: float, max_abs_lat: float) -> float:
     if x >= 1.0:
         return 360.0
     return math.degrees(2.0 * math.asin(x))
+
+
+def ring_area_sph_sql(xs: str, ys: str, dialect: str = "spark") -> str:
+    """Signed SPHERICAL ring area over a closed (lng, lat) ring, in
+    integerized 1e-6 km^2 units — the Chamberlain & Duquette (JPL
+    07-03) formula every web-GIS area tool uses (turf.js ringArea):
+
+        area = R^2/2 * sum over edges of
+               (lng2 - lng1)_rad * (2 + sin(lat1_rad) + sin(lat2_rad))
+
+    This is the geodesic twin of ``geometry.ring_area2_sql``'s planar
+    shoelace: per-edge terms are floor-integerized so the sum is exact
+    and order-free in both engines, sign follows vertex order, and
+    callers combine rings positionally (shell minus holes). Accuracy is
+    that of the published formula (exact for edges along parallels and
+    meridians, second-order in edge length otherwise) — the right tool
+    for "how many km^2 does this footprint really cover", where the
+    planar shoelace in deg^2 distorts by cos(lat).
+    """
+    from .litsql import double_literal as dl
+
+    rad = dl(math.pi / 180.0)
+    half_r2 = dl(EARTH_RADIUS_KM * EARTH_RADIUS_KM / 2.0)
+    term = (
+        f"((({{x2}}) - ({{x1}})) * {rad})"
+        f" * ({dl(2.0)} + sin(({{y1}}) * {rad}) + sin(({{y2}}) * {rad}))"
+        f" * {half_r2}"
+    )
+    from . import geometry as G
+
+    return G._edge_sum_sql(xs, ys, term, dialect)
+
+
+def ring_perim_geo_sql(xs: str, ys: str, dialect: str = "spark") -> str:
+    """Ring perimeter in great-circle km (integerized 1e-6 km units):
+    the haversine over every edge of the closed ring, floor-integerized
+    per edge — the geodesic twin of ``geometry.ring_perim_sql``."""
+    from . import geometry as G
+
+    term = haversine_km_sql("{x1}", "{y1}", "{x2}", "{y2}", dialect)
+    return G._edge_sum_sql(xs, ys, term, dialect)
+
+
+def ring_area_sph_np(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Numpy twin of ``ring_area_sph_sql`` (same per-edge floor-sum)."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) < 2:
+        return 0.0
+    rad = math.pi / 180.0
+    half_r2 = EARTH_RADIUS_KM * EARTH_RADIUS_KM / 2.0
+    t = (
+        (xs[1:] - xs[:-1]) * rad
+        * (2.0 + np.sin(ys[:-1] * rad) + np.sin(ys[1:] * rad))
+        * half_r2
+    )
+    return int(np.floor(t * 1e6).astype(np.int64).sum())

@@ -170,6 +170,9 @@ def test_overflow_only_prior_green():
         "cross_scale_neardup",
         # geodesic kNN self-join; == bruteforce pytest in test_geodesic.py
         "geo_knn_self",
+        # spherical polygon area; exact-quad + numpy-twin pytest in
+        # test_geodesic.py
+        "geo_polygon_area",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

@@ -303,3 +303,41 @@ def test_geodesic_knn_self_matches_bruteforce(spark):
         for r in out.itertuples()
     }
     assert got == want and len(want) > 0
+
+
+def test_spherical_ring_area_known_values(spark):
+    """The Chamberlain-Duquette formula is EXACT for parallel/meridian-
+    bounded quads: a 1x1-deg square at the equator must give
+    R^2 * (pi/180) * sin(1 deg), and the same square at lat 60 the
+    sin-difference shrink; SQL == numpy twin; holes subtract."""
+    xs = [0.0, 1.0, 1.0, 0.0, 0.0]
+    ys = [0.0, 0.0, 1.0, 1.0, 0.0]
+    rad = math.pi / 180.0
+    exact_eq = (
+        GD.EARTH_RADIUS_KM ** 2 * rad * (math.sin(rad) - 0.0)
+    )
+    a_np = abs(GD.ring_area_sph_np(np.array(xs), np.array(ys))) / 1e6
+    assert a_np == pytest.approx(exact_eq, rel=1e-6)
+    ys60 = [y + 60 for y in ys]
+    exact_60 = GD.EARTH_RADIUS_KM ** 2 * rad * (
+        math.sin(61 * rad) - math.sin(60 * rad)
+    )
+    a60 = abs(GD.ring_area_sph_np(np.array(xs), np.array(ys60))) / 1e6
+    assert a60 == pytest.approx(exact_60, rel=1e-6)
+    # SQL twin: same integerized value in Spark
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"xs": [xs], "ys": [ys]}),
+        "xs array<double>, ys array<double>",
+    )
+    got = df.selectExpr(
+        f"{GD.ring_area_sph_sql('xs', 'ys', 'spark')} AS a"
+    ).first().a
+    assert got == GD.ring_area_sph_np(np.array(xs), np.array(ys))
+    # perimeter: 4 edges of ~1 deg at the equator (two meridian edges
+    # exactly KM_PER_DEG_LAT, two parallel edges exactly the same at 0)
+    gp = df.selectExpr(
+        f"{GD.ring_perim_geo_sql('xs', 'ys', 'spark')} AS p"
+    ).first().p
+    assert gp / 1e6 == pytest.approx(4 * GD.KM_PER_DEG_LAT, rel=1e-4)
