@@ -172,6 +172,8 @@ _PRIORITY = [
     # spherical polygon area/perimeter (Chamberlain-Duquette + haversine
     # edges)
     "geo_polygon_area",
+    # stay-point detection: gaps-and-islands over geodesic hop breaks
+    "stay_points",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

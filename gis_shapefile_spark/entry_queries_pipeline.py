@@ -676,6 +676,81 @@ def q_trajectory_geo_oracle() -> str:
     """
 
 
+STAY_HOP_M = 15000
+STAY_MIN_S = 120
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection over the geotagged event fixture: maximal
+    runs of consecutive fixes with successive hops <= 15 km, dwelling
+    >= 120 s — per-stay span + integerized centroid."""
+    from .operators import trajectory as TJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return TJ.stay_points(
+        ev, max_hop_m=STAY_HOP_M, min_duration_s=STAY_MIN_S
+    )
+
+
+def q_stay_points_oracle() -> str:
+    from .functions import geodesy as GD
+
+    hop = GD.haversine_m_u_sql("xp", "yp", "lng", "lat", "duckdb")
+    return f"""
+        WITH pos AS (
+          SELECT user_id, event_id, ts,
+                 {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat
+          FROM events
+        ),
+        lagged AS (
+          SELECT user_id, lng, lat,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 lag(lng) OVER w AS xp, lag(lat) OVER w AS yp,
+                 row_number() OVER w AS rn
+          FROM pos
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        flagged AS (
+          SELECT user_id, lng, lat, ep, rn,
+                 CASE WHEN {hop} IS NULL OR {hop} > {STAY_HOP_M}
+                      THEN 1 ELSE 0 END AS brk
+          FROM lagged
+        ),
+        isl AS (
+          SELECT user_id, lng, lat, ep,
+                 sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                 ) - 1 AS island
+          FROM flagged
+        ),
+        stays AS (
+          SELECT user_id, island,
+                 count(*) AS n_fixes,
+                 min(ep) AS t_start_ep,
+                 max(ep) AS t_end_ep,
+                 max(ep) - min(ep) AS duration_s,
+                 sum(CAST(floor(lng * 1000000) AS BIGINT)) AS sx,
+                 sum(CAST(floor(lat * 1000000) AS BIGINT)) AS sy
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY t_start_ep, island
+               ) - 1 AS BIGINT) AS stay_idx,
+               n_fixes, t_start_ep, t_end_ep, duration_s,
+               CAST(floor(sx / n_fixes) AS BIGINT) AS clng_u,
+               CAST(floor(sy / n_fixes) AS BIGINT) AS clat_u
+        FROM stays
+        WHERE duration_s >= {STAY_MIN_S}
+    """
+
+
 MAP_MATCH_RADIUS = 1.0
 
 
@@ -3023,6 +3098,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "trajectory": q_trajectory,
     "trajectory_geo": q_trajectory_geo,
+    "stay_points": q_stay_points,
     "map_match": q_map_match,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -3090,6 +3166,7 @@ ORACLES = {
     "sessionize": q_sessionize_oracle(),
     "trajectory": q_trajectory_oracle(),
     "trajectory_geo": q_trajectory_geo_oracle(),
+    "stay_points": q_stay_points_oracle(),
     "map_match": q_map_match_oracle(),
     "asof_join": q_asof_join_oracle(),
     "interval_join": q_interval_join_oracle(),

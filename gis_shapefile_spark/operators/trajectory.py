@@ -140,3 +140,94 @@ def trajectory_stats_geo(
         .cast("long")
         .alias("clean_dist_m"),
     )
+
+
+def stay_points(
+    events: DataFrame,
+    max_hop_m: int,
+    min_duration_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Stay-point detection (the Li/Zheng GPS-mining stage): a stay is a
+    maximal run of consecutive fixes whose successive great-circle hops
+    are all <= ``max_hop_m`` meters, lasting >= ``min_duration_s`` —
+    "where did this device dwell", the signal behind home/work/POI
+    attribution that raw fix streams can't answer.
+
+    Relational formulation (windows only, no sequential scan): the
+    geodesic hop (``functions/geodesy``) flags BREAKS (hop > max_hop_m
+    or first fix), a running sum over the same per-device sort turns
+    breaks into island ids (gaps-and-islands, the ``vectorize_raster``
+    trick on the time axis), and one aggregate per (device, island)
+    yields dwell span + integerized centroid. One window shuffle + one
+    partial agg — linear in fixes, the same plan family as
+    ``trajectory_stats``. Semantics note (documented difference from the
+    original anchor-based scan): runs are chained by SUCCESSIVE hops, so
+    a slow drift of many small hops can exceed ``max_hop_m`` end-to-end
+    inside one stay — the relational trade every distributed
+    re-formulation of this algorithm makes.
+
+    Returns (user_col, stay_idx, n_fixes, t_start_ep, t_end_ep,
+    duration_s, clng_u, clat_u): stay_idx numbers a device's stays in
+    time order from 0; centroid is the fix mean, integerized floor(x *
+    1e6) with an exact integer-sum/count division in BOTH engines.
+    """
+    from ..functions import geodesy as GD
+
+    if max_hop_m < 1:
+        raise ValueError(f"max_hop_m must be >= 1, got {max_hop_m}")
+    if min_duration_s < 0:
+        raise ValueError(f"min_duration_s must be >= 0, got {min_duration_s}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lagged = (
+        events.withColumn("__ep", F.unix_timestamp(F.col(ts_col)))
+        .withColumn("__xp", F.lag(lng_col).over(w))
+        .withColumn("__yp", F.lag(lat_col).over(w))
+    )
+    hop = F.expr(
+        GD.haversine_m_u_sql("__xp", "__yp", lng_col, lat_col, "spark")
+    )
+    # first fix (NULL hop) starts an island; so does any over-radius hop
+    brk = F.when(
+        hop.isNull() | (hop > F.lit(int(max_hop_m))), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = lagged.withColumn("__brk", brk).withColumn(
+        "__island", F.sum("__brk").over(w) - 1
+    )
+    # integerize coordinates BEFORE summing so the centroid division is
+    # exact integer arithmetic in both engines (floor-sum/count, never an
+    # IEEE mean whose accumulation order could differ)
+    stays = isl.groupBy(user_col, "__island").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.min("__ep").alias("t_start_ep"),
+        F.max("__ep").alias("t_end_ep"),
+        F.sum(F.floor(F.col(lng_col) * 1000000).cast("long")).alias("__sx"),
+        F.sum(F.floor(F.col(lat_col) * 1000000).cast("long")).alias("__sy"),
+    )
+    return (
+        stays.withColumn(
+            "duration_s", F.col("t_end_ep") - F.col("t_start_ep")
+        )
+        .where(F.col("duration_s") >= int(min_duration_s))
+        .withColumn(
+            "stay_idx",
+            F.row_number().over(
+                Window.partitionBy(user_col).orderBy("t_start_ep", "__island")
+            )
+            - 1,
+        )
+        .select(
+            user_col,
+            F.col("stay_idx").cast("long").alias("stay_idx"),
+            "n_fixes",
+            "t_start_ep",
+            "t_end_ep",
+            "duration_s",
+            F.floor(F.col("__sx") / F.col("n_fixes")).cast("long").alias("clng_u"),
+            F.floor(F.col("__sy") / F.col("n_fixes")).cast("long").alias("clat_u"),
+        )
+    )

@@ -173,6 +173,8 @@ def test_overflow_only_prior_green():
         # spherical polygon area; exact-quad + numpy-twin pytest in
         # test_geodesic.py
         "geo_polygon_area",
+        # stay-point detection; micro-oracle pytest in test_trajectory.py
+        "stay_points",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (

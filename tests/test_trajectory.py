@@ -116,3 +116,37 @@ def test_trajectory_stats_geo_micro(spark):
     assert d1.clean_dist_m == 2 * hop  # teleport excluded, first fix no hop
     d2 = out[2]
     assert (d2.n_events, d2.n_hops, d2.n_jumps, d2.clean_dist_m) == (1, 0, 0, 0)
+
+
+def test_stay_points_micro(spark):
+    """Hand-built device: two dwell clusters separated by a teleport,
+    plus a too-short island and a single-fix device."""
+    rows = [
+        # device 1: 3 fixes ~200 m apart over 300 s (stay A) -> teleport
+        # -> 2 fixes over 400 s (stay B)
+        (1, 1, _ts(0), -100.000, 40.000),
+        (1, 2, _ts(100), -100.002, 40.000),
+        (1, 3, _ts(300), -100.001, 40.001),
+        (1, 4, _ts(400), -90.0, 30.0),
+        (1, 5, _ts(800), -90.001, 30.001),
+        # device 2: two fixes 10 s apart -> island too short for 120 s
+        (2, 6, _ts(0), -80.0, 35.0),
+        (2, 7, _ts(10), -80.001, 35.0),
+        # device 3: one fix (island duration 0 < 120)
+        (3, 8, _ts(0), -70.0, 45.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "lng", "lat"]
+    )
+    out = TJ.stay_points(
+        spark.createDataFrame(pdf), max_hop_m=1000, min_duration_s=120
+    ).collect()
+    got = {(r.user_id, r.stay_idx): r for r in out}
+    assert set(got) == {(1, 0), (1, 1)}
+    a = got[(1, 0)]
+    assert (a.n_fixes, a.t_start_ep - a.t_end_ep) == (3, -300)
+    assert a.clng_u == int(
+        (sum(int(np.floor(x * 1e6)) for x in (-100.000, -100.002, -100.001))) // 3
+    )
+    b = got[(1, 1)]
+    assert (b.n_fixes, b.duration_s) == (2, 400)
