@@ -174,6 +174,8 @@ _PRIORITY = [
     "geo_polygon_area",
     # stay-point detection: gaps-and-islands over geodesic hop breaks
     "stay_points",
+    # ANALYZE-style per-column stats (one pass, long format)
+    "table_stats",
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",

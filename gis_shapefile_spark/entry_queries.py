@@ -1456,6 +1456,47 @@ def q_geo_polygon_area_oracle() -> str:
     """
 
 
+_PROFILE_NUM = {"o_orderkey": 0, "o_custkey": 0, "o_totalprice": 2}
+_PROFILE_STR = ("o_orderpriority", "o_orderstatus")
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics over orders (row/null/NDV counts,
+    integerized min/max; LENGTH min/max for strings) — one aggregate
+    pass, long-format output, the stats layer a lakehouse maintains."""
+    from .operators import profiling as PF
+
+    return PF.table_profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        numeric_cols=_PROFILE_NUM,
+        string_cols=_PROFILE_STR,
+    )
+
+
+def q_table_stats_oracle() -> str:
+    arms = []
+    for c, scale in _PROFILE_NUM.items():
+        m = 10 ** scale
+        arms.append(f"""
+          SELECT '{c}' AS col, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(floor(min({c}) * {m}) AS BIGINT) AS min_u,
+                 CAST(floor(max({c}) * {m}) AS BIGINT) AS max_u
+          FROM orders""")
+    for c in _PROFILE_STR:
+        arms.append(f"""
+          SELECT '{c}' AS col, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(min(length({c})) AS BIGINT) AS min_u,
+                 CAST(max(length({c})) AS BIGINT) AS max_u
+          FROM orders""")
+    return "\nUNION ALL".join(arms)
+
+
 # ---------------------------------------------------------------------------
 # key-skew profiling (the measurement behind the salting policy)
 # ---------------------------------------------------------------------------
@@ -1967,6 +2008,7 @@ QUERIES = {
     "geo_pairs": q_geo_pairs,
     "geo_knn_self": q_geo_knn_self,
     "geo_polygon_area": q_geo_polygon_area,
+    "table_stats": q_table_stats,
 }
 
 ORACLES = {
@@ -2013,4 +2055,5 @@ ORACLES = {
     "geo_pairs": q_geo_pairs_oracle(),
     "geo_knn_self": q_geo_knn_self_oracle(),
     "geo_polygon_area": q_geo_polygon_area_oracle(),
+    "table_stats": q_table_stats_oracle(),
 }

@@ -132,3 +132,58 @@ def boilerplate_profile(
             .alias("boiler_ppm"),
         )
     )
+
+
+def table_profile(
+    df,
+    numeric_cols: dict[str, int],
+    string_cols: tuple[str, ...] = (),
+):
+    """ANALYZE-style per-column statistics — the stats layer every
+    optimizer and lakehouse maintains (row counts, null counts, NDV,
+    min/max): one long-format row per column,
+    (col, n_rows, n_nulls, n_distinct, min_u, max_u).
+
+    ``numeric_cols`` maps column -> decimal scale: min/max are
+    integerized ``floor(x * 10^scale)`` so the output is exact BIGINT in
+    any engine. String columns report LENGTH min/max (the stat a pruner
+    can actually use cross-engine; raw string min/max collation differs
+    between engines and is deliberately not emitted).
+
+    Plan shape: ONE aggregate pass over the table. Exact
+    ``count(distinct)`` over k columns makes Catalyst plan an Expand
+    (k× the shuffle rows) — the right price for an exact oracle-checked
+    profile at gate scale; at corpus scale swap ``exact_ndv=False``-
+    style HLL sketches (``approx_count_distinct``) per the
+    percentile_bins precedent (sketch scale path, exact oracle twin).
+    The long-format pivot is a zero-shuffle array-explode of the single
+    agg row.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, scale in numeric_cols.items():
+        m = 10 ** scale
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.floor(F.min(c) * m).cast("long").alias(f"__mn_{c}"),
+            F.floor(F.max(c) * m).cast("long").alias(f"__mx_{c}"),
+        ]
+    for c in string_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.length(c)).cast("long").alias(f"__mn_{c}"),
+            F.max(F.length(c)).cast("long").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    cols = list(numeric_cols) + list(string_cols)
+    entries = ", ".join(
+        f"struct('{c}' as col, __n as n_rows, __nn_{c} as n_nulls, "
+        f"__nd_{c} as n_distinct, __mn_{c} as min_u, __mx_{c} as max_u)"
+        for c in cols
+    )
+    return one.select(
+        F.explode(F.expr(f"array({entries})")).alias("s")
+    ).select("s.*")

@@ -175,6 +175,9 @@ def test_overflow_only_prior_green():
         "geo_polygon_area",
         # stay-point detection; micro-oracle pytest in test_trajectory.py
         "stay_points",
+        # ANALYZE profile; oracle is a fully independent per-column
+        # UNION ALL — no pytest needed beyond the contract suite
+        "table_stats",
     }
     unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
     assert not unvouched, (
