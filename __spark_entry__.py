@@ -38,144 +38,54 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_CAP = 50
 
 _PRIORITY = [
-    # spatial core (SURVEY J/P/A rows with no other oracle;
-    # hotspot_clusters added late in round 4 — grid-DBSCAN skew-cell
-    # discovery, never driver-verified, taking the slot events_window
-    # vacates: TRIPLE-green r1+r2+r3, temporal family stays in-cap via
-    # running_windows + sessionize)
-    "pip_grid_join", "pip_first_hit", "within_distance", "knn3",
-    "bbox_join", "reverse_geocode", "tile_bounds", "tile_pyramid",
-    "render_tiles", "vectorize_raster", "hotspot_clusters",
-    # road-network / trajectory family (round-3 late additions, rotated
-    # in-cap for round 4 — never driver-verified before)
-    "nearest_road", "nearest_road_big", "road_buffer", "map_match",
-    "trajectory", "vector_outline", "zonal_stats",
-    # geocoder / text functions (F rows); top1_per_group + normalize
-    # moved past the cap in r3 (driver-green in r1+r2; W1's argmax and
-    # the F1/F2 normalize+tokenize path stay in-cap via geocode_forward)
-    "state_confidence", "geocode_forward", "http_requests",
-    # storage layer
-    "merge_upsert", "snapshot_diff",
-    # text analysis / quality (token_count + quality_score moved past the
-    # cap: driver-green in BOTH r1+r2 artifacts, and their SQL builders
-    # stay driver-exercised in-cap via caption_curation)
-    # (lang_id vacated its cap slot late in round 4 for
-    # mm_interleave_pack: r3-green, and its lang-ID builder stays
-    # driver-exercised in-cap via corpus_curation's lang_pred filter)
-    "boilerplate", "decontaminate",
-    # interleaved multimodal packing (round-4 late addition, never
-    # driver-verified)
-    "mm_interleave_pack",
-    # dedup family (dedup_components vacated its cap slot late in round
-    # 4 for image_canon: r3-green, and the connected-components kernel
-    # stays driver-exercised in-cap THROUGH image_canon, which composes
-    # the same operator over image near-dup pairs; dedup_exact vacated
-    # its slot late in round 4 for image_takedown: TRIPLE-green r1+r2+r3,
-    # and the exact hash-group-by kernel stays driver-exercised in-cap
-    # via paragraph_dedup's exact paragraph-hash grouping)
-    # (joint_dedup added late in round 4 — cross-modal edge-union
-    # components, never driver-verified, taking the slot train_val_split
-    # vacates: r1+r3-green, and the splits SQL-builder family stays
-    # in-cap via quality_deciles/mixture_sample/seq_pack)
-    "dedup_minhash", "dedup_simhash_pairs",
-    "image_neardup", "image_canon", "image_takedown", "joint_dedup",
-    # embeddings / ANN (ann_ivf_delta added round 4 — the O(batch)
-    # incremental index-maintenance proof, never driver-verified, so it
-    # takes the cap slot vocab_topk vacates; ann_filtered added late in
-    # round 4 — metadata-filtered ANN over the carry-cols index, never
-    # driver-verified, taking the slot doc_fingerprint vacates:
-    # TRIPLE-green r1+r2+r3, and the rolling-hash fingerprint builder
-    # stays covered by the cross-engine fuzz suite)
-    # (ann_recall added late in round 4 — measured recall@k of IVF vs
-    # brute, never driver-verified, taking the slot ann_topk vacates:
-    # TRIPLE-green r1+r2+r3, and the brute cosine_topk kernel stays
-    # driver-exercised in-cap THROUGH ann_recall, which composes it as
-    # the ground-truth arm)
+    # ---- slots 1-50: the driver-gate window ----
+    # Late-round-4 FULL rotation: every query that has never had a
+    # driver-green artifact row (37 of them) moves in-cap, alongside 13
+    # flagship anchors that span the SURVEY §2 / pipeline families. The
+    # 17 displaced queries are all green in CORRECTNESS_r03.json (rows +
+    # schema + value hash) and each one's operator family stays
+    # driver-exercised by an in-cap sibling — ledger in COVERAGE.md.
+    #
+    # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
+    "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
+    # round-3 late additions + grid-DBSCAN (never driver-verified)
+    "hotspot_clusters", "nearest_road", "nearest_road_big", "road_buffer",
+    "map_match", "trajectory", "vector_outline", "zonal_stats",
+    # big-big planar self-joins (never driver-verified)
+    "point_pairs", "knn_self",
+    # geodesic (great-circle) family (never driver-verified)
+    "geo_nearest", "geo_within_km", "geo_pairs", "geo_knn_self",
+    "geo_polygon_area", "trajectory_geo", "stay_points",
+    # raster / density family (never driver-verified)
+    "raster_smooth", "density_contours", "adaptive_grid",
+    # geocoder + storage anchors
+    "geocode_forward", "merge_upsert",
+    # curation / dedup additions (never driver-verified)
+    "mm_interleave_pack", "seq_pack", "pii_scrub", "paragraph_dedup",
+    "substring_dedup", "dedup_jaccard",
+    # image family additions (never driver-verified)
+    "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
+    "image_quality",
+    # ANN family (ann_ivf anchor + never-driver-verified members)
     "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
-    "embedding_neardup", "crossmodal_align",
-    # multimodal flagships + composite pipeline (ar_bucket added late in
-    # round 4 — SDXL-style aspect-ratio bucket assignment, never
-    # driver-verified; it takes the cap slot embedding_quantize vacates:
-    # r3-green, and the embedding family stays in-cap 5 ways via
-    # ann_topk/ann_ivf/ann_ivf_delta/embedding_neardup/crossmodal_align)
-    # (wds_roundtrip added late in round 4 — WebDataset tar shard
-    # sink/source losslessness, never driver-verified, taking the slot
-    # repetition vacates: r2+r3-green, and the text-quality family stays
-    # in-cap via boilerplate + caption_curation)
+    # multimodal flagships + shard sink (wds_roundtrip + ar_bucket never
+    # driver-verified)
     "image_tiling", "caption_curation", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
-    # events / temporal (hourly_gapfill rotated out: r3-green; the
-    # gapfill dtype mirror stays pytest-covered; asof_join +
-    # interval_join rotated out mid-round-4 for pii_scrub + seq_pack,
-    # and events_window late in round 4 for hotspot_clusters — all
-    # TRIPLE-green r1+r2+r3; the temporal family stays in-cap via
-    # running_windows + sessionize, the tumbling-window builder via the
-    # streaming batch-parity pytest suite)
-    "running_windows", "sessionize",
-    # data mixing / splits (epoch_mix + source_cap rotated out:
-    # r3-green; stratified_sample vacated its slot mid-round-4 for
-    # paragraph_dedup — the splits SQL-builder family stays in-cap 4
-    # ways via train_val_split/quality_deciles/mixture_sample/seq_pack,
-    # the round-4 concat-and-chunk packing member)
-    "quality_deciles", "mixture_sample", "seq_pack",
-    # curation (round-4 additions, never driver-verified)
-    "pii_scrub", "paragraph_dedup",
-    # --- position 51+ from here: every entry below has a driver-green
-    # row in a named prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
-    # COVERAGE.md) ---
-    # rotated out in round 4 (driver-green in r03; vocab_topk vacated
-    # its slot for ann_ivf_delta — the splits SQL-builder family stays
-    # in-cap via train_val_split/quality_deciles/mixture_sample/
-    # seq_pack; asof_join + interval_join vacated theirs for
-    # pii_scrub + seq_pack, and stratified_sample for paragraph_dedup —
-    # all r3-green or better):
-    # added past-cap late in round 4 (no driver row yet — verified by
-    # the local gate + the bruteforce-equality pytest): exact
-    # prefix-filtering Jaccard join, the sketch-free member of the
-    # dedup family
-    "dedup_jaccard",
-    # added past-cap late in round 4 (no driver row yet — local gate +
-    # pytest vouching, rotation candidates for round 5): the geodesic
-    # (great-circle km) metric twins of the planar joins, and the
-    # KDE raster smoother
-    "geo_nearest", "geo_within_km", "raster_smooth",
-    # image-quality curation stats whose oracle recomputes the stats in
-    # pure integer SQL from the corpus' shared pixel formula — encode ->
-    # decode -> stat kernel value-checked end-to-end, no stored column
-    "image_quality",
-    # exact duplicate-SPAN removal at k-token granularity (the Lee et
-    # al. ExactSubstr stage) — the dedup granularity between doc-level
-    # and paragraph-level
-    "substring_dedup",
-    # isoband contours: KDE raster -> level classify -> run-merge
-    # polygonize, the full raster->vector cartographic composition
-    "density_contours",
-    # adaptive quadtree binning: every leaf bounded by cap, computed
-    # from the histogram pyramid with zero iteration over points
-    "adaptive_grid",
-    # LARGE x LARGE spatial self-join: unordered pairs within d via the
-    # 3x3 neighbor-cell equi-join, each pair exactly once
-    "point_pairs",
-    # geodesic trajectory cleaning: hops in great-circle meters, jumps
-    # flagged against a physical m/s cap
-    "trajectory_geo",
-    # radius-bounded kNN self-join: pair join mirrored + top-k window
-    "knn_self",
-    # geodesic big-big self-join: measured-band cell sizing + haversine
-    # refine
-    "geo_pairs",
-    # scale-invariant image near-dup: 2x copies canonicalized back via
-    # the real codecs before the phash block join
-    "cross_scale_neardup",
-    # geodesic radius-bounded kNN self-join
-    "geo_knn_self",
-    # spherical polygon area/perimeter (Chamberlain-Duquette + haversine
-    # edges)
-    "geo_polygon_area",
-    # stay-point detection: gaps-and-islands over geodesic hop breaks
-    "stay_points",
-    # ANALYZE-style per-column stats (one pass, long format)
+    # temporal + splits anchors
+    "sessionize", "quality_deciles", "mixture_sample",
+    # ANALYZE-style column profile (never driver-verified)
     "table_stats",
+    # ---- position 51+ from here: every entry below has a driver-green
+    # row in a NAMED prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
+    # COVERAGE.md); all remain runnable via tools/check_correctness.py ----
+    # displaced by the late-round-4 full rotation (all r3-green):
+    "pip_first_hit", "within_distance", "reverse_geocode", "tile_bounds",
+    "render_tiles", "vectorize_raster", "state_confidence",
+    "http_requests", "snapshot_diff", "boilerplate", "decontaminate",
+    "dedup_minhash", "dedup_simhash_pairs", "image_neardup",
+    "embedding_neardup", "crossmodal_align", "running_windows",
+    # rotated out earlier in round 4 (green in named prior rounds):
     "vocab_topk", "asof_join", "interval_join", "stratified_sample",
     "embedding_quantize", "lang_id", "dedup_components", "dedup_exact",
     "doc_fingerprint", "events_window", "repetition", "ann_topk",
