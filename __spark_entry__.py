@@ -51,6 +51,7 @@ _PRIORITY = [
     # round-3 late additions + grid-DBSCAN (never driver-verified)
     "hotspot_clusters", "nearest_road", "nearest_road_big", "road_buffer",
     "map_match", "trajectory", "vector_outline", "zonal_stats",
+    "road_crossings",
     # big-big planar self-joins (never driver-verified)
     "point_pairs", "knn_self",
     # geodesic (great-circle) family (never driver-verified)
@@ -73,7 +74,7 @@ _PRIORITY = [
     "image_tiling", "caption_curation", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
     # temporal + splits anchors
-    "sessionize", "quality_deciles", "mixture_sample",
+    "sessionize", "quality_deciles",
     # ANALYZE-style column profile (never driver-verified)
     "table_stats",
     # ---- position 51+ from here: every entry below has a driver-green
@@ -92,6 +93,7 @@ _PRIORITY = [
     "train_val_split",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
+    "mixture_sample",
     # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",

@@ -1964,6 +1964,32 @@ def q_adaptive_grid_oracle() -> str:
     )
 
 
+ROAD_CROSSING_RES = 5
+
+
+def q_road_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-network crossing detection (segment x segment overlay): all
+    intersecting segment pairs from different roads via the PBSM
+    cell-blocked self-join — in-plan bbox covers, reference-point dedup
+    (each pair refined in exactly ONE cell, no DISTINCT pass), and an
+    exact-BIGINT four-orientation refine shared verbatim with the
+    oracle. Proper crossings also report the junction point at 1 µdeg
+    (one textually-identical double expression). The fixture's 40
+    canvas-spanning roads yield a few hundred crossings."""
+    from .operators import lines as LN
+
+    segs = spark.createDataFrame(
+        LN.polyline_segments(FX.make_road_features())
+    )
+    return LN.segment_self_intersections(segs, res=ROAD_CROSSING_RES)
+
+
+def q_road_crossings_oracle() -> str:
+    from .operators import lines as LN
+
+    return LN.segment_intersections_oracle_sql(_road_segment_values_sql())
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -1992,6 +2018,7 @@ QUERIES = {
     "nearest_road": q_nearest_road,
     "nearest_road_big": q_nearest_road_big,
     "road_buffer": q_road_buffer,
+    "road_crossings": q_road_crossings,
     "zonal_stats": q_zonal_stats,
     "vector_outline": q_vector_outline,
     "polygon_stats": q_polygon_stats,
@@ -2039,6 +2066,7 @@ ORACLES = {
     "nearest_road": q_nearest_road_oracle(),
     "nearest_road_big": q_nearest_road_oracle(),
     "road_buffer": q_road_buffer_oracle(),
+    "road_crossings": q_road_crossings_oracle(),
     "zonal_stats": q_zonal_stats_oracle(),
     "vector_outline": q_vector_outline_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),

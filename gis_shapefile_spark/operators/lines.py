@@ -318,3 +318,243 @@ def nearest_segment_join_big(
     )
     return _score_and_topk(joined, radius, k, lng_col, lat_col,
                            point_id_col, carry_cols)
+
+
+# ---------------------------------------------------------------------------
+# Segment x segment intersection (road-network overlay / crossings)
+# ---------------------------------------------------------------------------
+
+_UDEG = "CAST(1000000 AS DOUBLE)"
+_HALF = "CAST(0.5 AS DOUBLE)"
+
+# Integer-exact segment-intersection SQL, shared verbatim by the Spark
+# plan and the DuckDB oracle. Coordinates quantize to exact BIGINT
+# micro-degrees first (the fixture's coordinates ARE 1e-6-degree
+# rationals, so round-half-up recovers the intended integers; for
+# arbitrary inputs this is a documented 1 µdeg snap — the same
+# quantization OSM itself stores). Every orientation test is then pure
+# BIGINT arithmetic: deltas are bounded by the candidate pairing (two
+# bbox-overlapping segments) at <= ~6e7 µdeg, so cross products stay
+# under ~4e15 — exact in int64 AND exactly representable as doubles
+# (< 2^53) where the intersection-point expression casts them.
+
+
+def seg_u_sql(coord: str) -> str:
+    """Quantize a degree coordinate to exact BIGINT micro-degrees
+    (round-half-up; identical text in both dialects)."""
+    return f"CAST(floor({coord} * {_UDEG} + {_HALF}) AS BIGINT)"
+
+
+# column names produced by the integerize layer (both engines)
+_SEG_U_COLS = {
+    "x1a": "ax1", "y1a": "ay1", "x1b": "bx1", "y1b": "by1",
+    "x2a": "ax2", "y2a": "ay2", "x2b": "bx2", "y2b": "by2",
+}
+
+
+def seg_int_u_exprs() -> list[str]:
+    """The integerize layer: 8 micro-degree BIGINT columns."""
+    return [f"{seg_u_sql(src)} AS {dst}" for dst, src in _SEG_U_COLS.items()]
+
+
+def seg_int_d_exprs() -> list[str]:
+    """The orientation layer: r = B1-A1, s = B2-A2, and the four cross
+    products d1..d4 (all exact BIGINT)."""
+    return [
+        "(x1b - x1a) AS rx", "(y1b - y1a) AS ry",
+        "(x2b - x2a) AS sx", "(y2b - y2a) AS sy",
+        "((x1b - x1a) * (y2a - y1a) - (y1b - y1a) * (x2a - x1a)) AS d1",
+        "((x1b - x1a) * (y2b - y1a) - (y1b - y1a) * (x2b - x1a)) AS d2",
+        "((x2b - x2a) * (y1a - y2a) - (y2b - y2a) * (x1a - x2a)) AS d3",
+        "((x2b - x2a) * (y1b - y2a) - (y2b - y2a) * (x1b - x2a)) AS d4",
+    ]
+
+
+SEG_PROPER_SQL = (
+    "(((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))"
+    " AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))"
+)
+
+# collinear / endpoint-touch arm: a zero cross product certifies
+# collinearity of the third point with the segment, after which the
+# on-segment test is a pure bbox membership (BETWEEN on BIGINTs)
+SEG_TOUCH_SQL = (
+    "((d1 = 0 AND x2a BETWEEN least(x1a, x1b) AND greatest(x1a, x1b)"
+    "  AND y2a BETWEEN least(y1a, y1b) AND greatest(y1a, y1b))"
+    " OR (d2 = 0 AND x2b BETWEEN least(x1a, x1b) AND greatest(x1a, x1b)"
+    "  AND y2b BETWEEN least(y1a, y1b) AND greatest(y1a, y1b))"
+    " OR (d3 = 0 AND x1a BETWEEN least(x2a, x2b) AND greatest(x2a, x2b)"
+    "  AND y1a BETWEEN least(y2a, y2b) AND greatest(y2a, y2b))"
+    " OR (d4 = 0 AND x1b BETWEEN least(x2a, x2b) AND greatest(x2a, x2b)"
+    "  AND y1b BETWEEN least(y2a, y2b) AND greatest(y2a, y2b)))"
+)
+
+SEG_INTERSECTS_SQL = f"({SEG_PROPER_SQL} OR {SEG_TOUCH_SQL})"
+
+
+def seg_ixy_u_sql(axis: str) -> str:
+    """Micro-degree intersection coordinate for PROPER crossings (NULL
+    for collinear/endpoint touches, which have no unique point).
+
+    X = A1 + t*r with t = cross(C-A, s) / cross(r, s). Numerator,
+    denominator, and r are exact BIGINTs below 2^53, so the CASTs are
+    exact and the one double divide+multiply evaluates from identical
+    inputs through identical expression TEXT in both engines — the
+    litsql IEEE rule."""
+    a0, rr = ("x1a", "rx") if axis == "x" else ("y1a", "ry")
+    t_num = "((x2a - x1a) * sy - (y2a - y1a) * sx)"
+    den = "(rx * sy - ry * sx)"
+    return (
+        f"CASE WHEN {SEG_PROPER_SQL} THEN "
+        f"CAST(floor(CAST({a0} AS DOUBLE) + CAST({t_num} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE) * CAST({rr} AS DOUBLE)) AS BIGINT)"
+        f" END"
+    )
+
+
+SEG_BBOX_OVERLAP_SQL = (
+    "(least(ax1, bx1) <= greatest(ax2, bx2)"
+    " AND least(ax2, bx2) <= greatest(ax1, bx1)"
+    " AND least(ay1, by1) <= greatest(ay2, by2)"
+    " AND least(ay2, by2) <= greatest(ay1, by1))"
+)
+
+
+def segment_self_intersections(
+    segments: DataFrame, res: int
+) -> DataFrame:
+    """All intersecting segment pairs from DIFFERENT roads — the
+    road-network overlay/crossing detector (missing-junction QA, grade-
+    separation inference, network conflation), and the engine's first
+    LARGE x LARGE line-line join.
+
+    The reference only ever runs point probes against its R-tree
+    (``src/spatial/spatial_index.cpp``); line-line overlay is an engine
+    addition in the family of ``nearest_segment_join_big``.
+
+    Plan (PBSM — Patel & DeWitt's partition-based spatial merge):
+
+    * both sides enumerate covering cells of their segment bbox IN the
+      plan (``segment_cover_df`` with radius 0 — sequence-explode +
+      integer pack, pure codegen);
+    * one shuffled cell equi-join with ``road_1 < road_2`` — never a
+      cross join; fan-out is the cover factor (O(1) cells for
+      OSM-length segments at res 12-14, bounded by res policy);
+    * duplicate elimination is PBSM's REFERENCE-POINT rule, evaluated
+      scan-side with zero extra shuffle: a candidate pair survives only
+      in the one cell containing (max of the two bbox minima) — that
+      point lies in both bboxes whenever they overlap, so exactly one
+      of the shared cover cells keeps the pair and no post-join
+      DISTINCT pass is needed;
+    * the refine is the classical four-orientation test in EXACT BIGINT
+      micro-degree arithmetic (proper crossings + collinear/endpoint
+      touches), shared verbatim with the DuckDB oracle; proper
+      crossings also report the junction point at 1 µdeg.
+
+    Output: (road_1, seg_1, road_2, seg_2, proper_i, ix_u, iy_u) with
+    road_1 < road_2, one row per intersecting segment pair. Intra-road
+    adjacency (consecutive segments share endpoints by construction) is
+    out of scope by the road_1 < road_2 guard.
+    """
+    cov = segment_cover_df(
+        segments.select("road_id", "seg_id", "ax", "ay", "bx", "by"),
+        0.0, res,
+    )
+    a = cov.select(
+        F.col("road_id").alias("road_1"), F.col("seg_id").alias("seg_1"),
+        F.col("ax").alias("ax1"), F.col("ay").alias("ay1"),
+        F.col("bx").alias("bx1"), F.col("by").alias("by1"),
+        "cell",
+    )
+    b = cov.select(
+        F.col("road_id").alias("road_2"), F.col("seg_id").alias("seg_2"),
+        F.col("ax").alias("ax2"), F.col("ay").alias("ay2"),
+        F.col("bx").alias("bx2"), F.col("by").alias("by2"),
+        "cell",
+    )
+    ref_xi = C.axis_index_sql(
+        "greatest(least(ax1, bx1), least(ax2, bx2))", 180.0, 360.0, res,
+        "spark",
+    )
+    ref_yi = C.axis_index_sql(
+        "greatest(least(ay1, by1), least(ay2, by2))", 90.0, 180.0, res,
+        "spark",
+    )
+    ref_cell = C.pack_xy_sql(ref_xi, ref_yi, res, "spark")
+    return (
+        a.join(b, "cell")
+        .where(F.col("road_1") < F.col("road_2"))
+        .where(F.expr(SEG_BBOX_OVERLAP_SQL))
+        .where(F.expr(f"cell = {ref_cell}"))
+        .selectExpr(
+            "road_1", "seg_1", "road_2", "seg_2",
+            "ax1", "ay1", "bx1", "by1", "ax2", "ay2", "bx2", "by2",
+        )
+        .selectExpr(
+            "road_1", "seg_1", "road_2", "seg_2", *seg_int_u_exprs()
+        )
+        .selectExpr(
+            "road_1", "seg_1", "road_2", "seg_2",
+            "x1a", "y1a", "x1b", "y1b", "x2a", "y2a", "x2b", "y2b",
+            *seg_int_d_exprs(),
+        )
+        .where(F.expr(SEG_INTERSECTS_SQL))
+        .selectExpr(
+            "CAST(road_1 AS BIGINT) AS road_1",
+            "CAST(seg_1 AS BIGINT) AS seg_1",
+            "CAST(road_2 AS BIGINT) AS road_2",
+            "CAST(seg_2 AS BIGINT) AS seg_2",
+            f"CAST(CASE WHEN {SEG_PROPER_SQL} THEN 1 ELSE 0 END"
+            " AS BIGINT) AS proper_i",
+            f"{seg_ixy_u_sql('x')} AS ix_u",
+            f"{seg_ixy_u_sql('y')} AS iy_u",
+        )
+    )
+
+
+def segment_intersections_oracle_sql(segment_values_sql: str) -> str:
+    """Brute-force DuckDB twin: cross join over the VALUES segment table
+    (dimension-scale at the gate), identical bbox prefilter text,
+    identical integerize/orientation/refine SQL.
+
+    ``AS MATERIALIZED`` is load-bearing: DuckDB 1.x hits an INTERNAL
+    assertion ("Operation requires a flat vector") when the inlined
+    VALUES list self-joins under the least/greatest bbox predicate;
+    materializing the CTE flattens the vectors first. Oracle-side-only
+    syntax — the Spark plan never sees this SQL."""
+    u_cols = ",\n                 ".join(seg_int_u_exprs())
+    d_cols = ",\n                 ".join(seg_int_d_exprs())
+    return f"""
+        WITH segs AS MATERIALIZED (SELECT * FROM {segment_values_sql}),
+        cand AS (
+          SELECT a.road_id AS road_1, a.seg_id AS seg_1,
+                 b.road_id AS road_2, b.seg_id AS seg_2,
+                 a.ax AS ax1, a.ay AS ay1, a.bx AS bx1, a.by AS by1,
+                 b.ax AS ax2, b.ay AS ay2, b.bx AS bx2, b.by AS by2
+          FROM segs a JOIN segs b ON a.road_id < b.road_id
+        ),
+        boxed AS (
+          SELECT * FROM cand WHERE {SEG_BBOX_OVERLAP_SQL}
+        ),
+        ints AS (
+          SELECT road_1, seg_1, road_2, seg_2,
+                 {u_cols}
+          FROM boxed
+        ),
+        oriented AS (
+          SELECT road_1, seg_1, road_2, seg_2,
+                 x1a, y1a, x1b, y1b, x2a, y2a, x2b, y2b,
+                 {d_cols}
+          FROM ints
+        )
+        SELECT CAST(road_1 AS BIGINT) AS road_1,
+               CAST(seg_1 AS BIGINT) AS seg_1,
+               CAST(road_2 AS BIGINT) AS road_2,
+               CAST(seg_2 AS BIGINT) AS seg_2,
+               CAST(CASE WHEN {SEG_PROPER_SQL} THEN 1 ELSE 0 END
+                    AS BIGINT) AS proper_i,
+               {seg_ixy_u_sql('x')} AS ix_u,
+               {seg_ixy_u_sql('y')} AS iy_u
+        FROM oriented
+        WHERE {SEG_INTERSECTS_SQL}
+    """

@@ -22,92 +22,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import __spark_entry__ as E  # noqa: E402
 from tools.check_correctness import canon, dtype_mismatches  # noqa: E402
 
-# Queries with a green row in CORRECTNESS_r01.json and/or r02.json that
-# are safe past the cap (relational demos / redundant variants whose
-# SURVEY row is also covered by an in-cap oracle).
-PRIOR_GREEN = {
-    "vector_stats", "cell_assign", "cell_hist", "knn3_ring", "set_ops",
-    "dedup_simhash", "polygon_stats", "pricing_summary",
-    "top_revenue_orders", "regional_volume", "priority_rollup",
-    "priority_cube", "quiet_customers", "promo_revenue",
-    "above_avg_orders", "median_balances", "distinct_users", "json_props",
-    # displaced in round 3 to make room for pyramid_delta/pyramid_update/
-    # wm_tiles/render_tiles: driver-green in BOTH r1+r2; token/quality SQL
-    # builders stay in-cap via caption_curation, W1 argmax and the F1/F2
-    # normalize+tokenize path via geocode_forward
-    "token_count", "quality_score", "top1_per_group", "normalize",
-}
+# Driver-green ledger, read from the checked-in artifacts themselves: a
+# query is "driver-green" if any CORRECTNESS_r*.json records rows +
+# schema + value-hash matches for it. The per-query family-coverage
+# rationale for every rotation lives in COVERAGE.md ("Driver
+# correctness-gate ordering"); this file only enforces the invariants:
+# (a) everything past the cap has a REAL driver-green row, (b)
+# everything never driver-verified sits inside the cap, (c) the 13
+# flagship anchors stay in-cap.
 
-# Rotated out in round 4: all seven have a green row in
-# CORRECTNESS_r03.json (rows + schema + value hash). Their operator
-# families stay driver-exercised in-cap: the pyramid delta/MERGE path via
-# tile_pyramid + merge_upsert, web-mercator via render_tiles, the skew
-# heavy-hitter profile via tile_bounds (+ bench skew evidence), gapfill's
-# temporal family via sessionize/asof_join/interval_join/running_windows,
-# and the splits SQL-builder family via mixture_sample/train_val_split/
-# stratified_sample/quality_deciles/vocab_topk.
-R3_GREEN = {
-    "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
-    "hourly_gapfill", "epoch_mix", "source_cap",
-    # vacated its cap slot mid-round-4 for ann_ivf_delta; green in r03
-    # and its splits SQL-builder family stays in-cap 4 ways
-    "vocab_topk",
-    # vacated their slots mid-round-4 for pii_scrub + seq_pack: both are
-    # TRIPLE-green (r1+r2+r3) and the temporal family stays in-cap via
-    # running_windows/events_window/sessionize
-    "asof_join", "interval_join",
-    # vacated its slot mid-round-4 for paragraph_dedup (r3-green; splits
-    # family stays in-cap via train_val_split/quality_deciles/
-    # mixture_sample/seq_pack)
-    "stratified_sample",
-    # vacated its slot late in round 4 for ar_bucket (r3-green; the
-    # embedding family stays in-cap 5 ways via ann_topk/ann_ivf/
-    # ann_ivf_delta/embedding_neardup/crossmodal_align)
-    "embedding_quantize",
-    # vacated its slot late in round 4 for mm_interleave_pack (r3-green;
-    # the lang-ID builder stays driver-exercised in-cap via
-    # corpus_curation's lang_pred filter)
-    "lang_id",
-    # vacated its slot late in round 4 for image_canon (r3-green; the
-    # connected-components kernel stays driver-exercised in-cap THROUGH
-    # image_canon, which composes the same operator)
-    "dedup_components",
-    # vacated its slot late in round 4 for image_takedown (TRIPLE-green
-    # r1+r2+r3; the exact hash-group-by kernel stays driver-exercised
-    # in-cap via paragraph_dedup's exact paragraph-hash grouping)
-    "dedup_exact",
-    # vacated its slot late in round 4 for ann_filtered (TRIPLE-green
-    # r1+r2+r3; the rolling-hash fingerprint builder stays covered by
-    # the cross-engine fuzz suite)
-    "doc_fingerprint",
-    # vacated its slot late in round 4 for hotspot_clusters (TRIPLE-green
-    # r1+r2+r3; the temporal family stays in-cap via running_windows +
-    # sessionize, and the tumbling-window builder is pytest-covered by
-    # the streaming batch-parity suite)
-    "events_window",
-    # vacated its slot late in round 4 for wds_roundtrip (r2+r3-green;
-    # the text-quality family stays in-cap via boilerplate +
-    # caption_curation)
-    "repetition",
-    # vacated its slot late in round 4 for ann_recall (TRIPLE-green
-    # r1+r2+r3; the brute cosine_topk kernel stays driver-exercised
-    # in-cap THROUGH ann_recall's ground-truth arm)
-    "ann_topk",
-    # vacated its slot late in round 4 for joint_dedup (r1+r3-green; the
-    # splits SQL-builder family stays in-cap via quality_deciles/
-    # mixture_sample/seq_pack)
-    "train_val_split",
-}
 
-# Never driver-verified before round 4 (the round-3 late additions plus
-# the round-4 incremental-IVF addition): these MUST be driver-checked
-# this round.
+def driver_green() -> set[str]:
+    import json
+
+    root = Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        d = json.loads(f.read_text())
+        seen |= {
+            k
+            for k, v in d.items()
+            if v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match", True)
+        }
+    return seen
+
+
+# flagship anchors that must stay driver-sampled every round regardless
+# of rotation (one per SURVEY / pipeline family)
 MUST_BE_IN_CAP = {
-    "nearest_road", "nearest_road_big", "vector_outline", "trajectory",
-    "zonal_stats", "map_match", "road_buffer", "ann_ivf_delta",
-    "pii_scrub", "seq_pack", "paragraph_dedup", "ar_bucket",
-    "mm_interleave_pack", "image_canon", "image_takedown", "ann_filtered",
-    "hotspot_clusters", "wds_roundtrip", "ann_recall", "joint_dedup",
+    "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
+    "geocode_forward", "merge_upsert", "ann_ivf", "image_tiling",
+    "caption_curation", "corpus_curation", "sessionize",
+    "quality_deciles",
 }
 
 
@@ -132,57 +80,23 @@ def test_flagships_inside_driver_cap():
 def test_overflow_only_prior_green():
     names = list(E.queries())
     overflow = set(names[E.DRIVER_CAP:])
-    # Added past-cap late in round 4 with NO driver row yet: vouched by
-    # the local oracle gate (check_correctness green vs the independent
-    # all-shared-shingle brute-force SQL) + the == bruteforce pytest at
-    # two thresholds. Rotate into the cap in round 5 for a driver row.
-    local_gated_r4 = {
-        "dedup_jaccard",
-        # geodesic metric twins + KDE raster smoother: local gate +
-        # numpy/known-distance pytest vouching (test_geodesic.py,
-        # test_raster_smooth.py); round-5 rotation candidates
-        "geo_nearest", "geo_within_km", "raster_smooth",
-        # encode->decode->stats loop vs pure-integer-SQL pixel formula;
-        # numpy-parity pytest in test_multimodal_tiling.py
-        "image_quality",
-        # ExactSubstr duplicate-span removal; pure-python oracle pytest
-        # in test_pipeline_ops.py
-        "substring_dedup",
-        # isoband contours (smooth -> classify -> vectorize composition);
-        # numpy-oracle pytest in test_raster_smooth.py
-        "density_contours",
-        # adaptive quadtree binning; disjoint-cover + python-recursion
-        # oracle pytest in test_raster_smooth.py
-        "adaptive_grid",
-        # big-big self-join; == bruteforce pytest in test_spatial_joins.py
-        "point_pairs",
-        # geodesic trajectory twin; micro-oracle pytest in
-        # test_trajectory.py
-        "trajectory_geo",
-        # radius-bounded kNN self-join; == bruteforce pytest in
-        # test_spatial_joins.py
-        "knn_self",
-        # geodesic big-big self-join; == bruteforce pytest in
-        # test_geodesic.py
-        "geo_pairs",
-        # scale-invariant image near-dup; identity-round-trip pytest in
-        # test_multimodal_tiling.py
-        "cross_scale_neardup",
-        # geodesic kNN self-join; == bruteforce pytest in test_geodesic.py
-        "geo_knn_self",
-        # spherical polygon area; exact-quad + numpy-twin pytest in
-        # test_geodesic.py
-        "geo_polygon_area",
-        # stay-point detection; micro-oracle pytest in test_trajectory.py
-        "stay_points",
-        # ANALYZE profile; oracle is a fully independent per-column
-        # UNION ALL — no pytest needed beyond the contract suite
-        "table_stats",
-    }
-    unvouched = overflow - PRIOR_GREEN - R3_GREEN - local_gated_r4
+    unvouched = overflow - driver_green()
     assert not unvouched, (
         f"queries past the driver cap without a prior driver-green row: "
         f"{unvouched}"
+    )
+
+
+def test_never_green_queries_inside_cap():
+    """The rotation's fixed point: any query lacking a driver-green row
+    must occupy one of the 50 gate slots so the NEXT artifact covers
+    it."""
+    names = list(E.queries())
+    in_cap = set(names[: E.DRIVER_CAP])
+    never = set(names) - driver_green()
+    outside = never - in_cap
+    assert not outside, (
+        f"never-driver-verified queries stuck past the cap: {outside}"
     )
 
 

@@ -261,3 +261,134 @@ def test_within_distance_of_segments_matches_bruteforce(spark):
     for pid, (n_seg, mn) in expected.items():
         assert (int(got.loc[pid].n_segments), int(got.loc[pid].min_dsq_u)) \
             == (n_seg, mn), pid
+
+
+# ---------------------------------------------------------------------------
+# segment x segment intersections (road crossings)
+# ---------------------------------------------------------------------------
+
+def _useg(v):
+    return int(np.floor(v * 1e6 + 0.5))
+
+
+def _brute_intersections(segs_pdf):
+    """Pure-python integer oracle: exact four-orientation test + collinear
+    bbox arm over every cross-road pair."""
+    rows = []
+    recs = [
+        (int(s.road_id), int(s.seg_id),
+         _useg(s.ax), _useg(s.ay), _useg(s.bx), _useg(s.by))
+        for s in segs_pdf.itertuples(index=False)
+    ]
+    for i, (r1, s1, x1a, y1a, x1b, y1b) in enumerate(recs):
+        for (r2, s2, x2a, y2a, x2b, y2b) in recs:
+            if r1 >= r2:
+                continue
+            rx, ry = x1b - x1a, y1b - y1a
+            sx, sy = x2b - x2a, y2b - y2a
+            d1 = rx * (y2a - y1a) - ry * (x2a - x1a)
+            d2 = rx * (y2b - y1a) - ry * (x2b - x1a)
+            d3 = sx * (y1a - y2a) - sy * (x1a - x2a)
+            d4 = sx * (y1b - y2a) - sy * (x1b - x2a)
+            proper = ((d1 > 0 > d2) or (d1 < 0 < d2)) and \
+                     ((d3 > 0 > d4) or (d3 < 0 < d4))
+
+            def onseg(px, py, qx, qy, rx_, ry_):
+                return (min(px, qx) <= rx_ <= max(px, qx)
+                        and min(py, qy) <= ry_ <= max(py, qy))
+
+            touch = (
+                (d1 == 0 and onseg(x1a, y1a, x1b, y1b, x2a, y2a))
+                or (d2 == 0 and onseg(x1a, y1a, x1b, y1b, x2b, y2b))
+                or (d3 == 0 and onseg(x2a, y2a, x2b, y2b, x1a, y1a))
+                or (d4 == 0 and onseg(x2a, y2a, x2b, y2b, x1b, y1b))
+            )
+            if not (proper or touch):
+                continue
+            ix = iy = None
+            if proper:
+                den = rx * sy - ry * sx
+                tn = (x2a - x1a) * sy - (y2a - y1a) * sx
+                ix = int(np.floor(float(x1a) + float(tn) / float(den)
+                                  * float(rx)))
+                iy = int(np.floor(float(y1a) + float(tn) / float(den)
+                                  * float(ry)))
+            rows.append((r1, s1, r2, s2, 1 if proper else 0, ix, iy))
+    return rows
+
+
+def test_segment_intersections_match_bruteforce(spark):
+    roads = FX.make_road_features()
+    segs_pdf = LN.polyline_segments(roads)
+    got = (
+        LN.segment_self_intersections(spark.createDataFrame(segs_pdf), res=5)
+        .toPandas()
+    )
+    got_set = {
+        (int(r.road_1), int(r.seg_1), int(r.road_2), int(r.seg_2),
+         int(r.proper_i),
+         None if pd.isna(r.ix_u) else int(r.ix_u),
+         None if pd.isna(r.iy_u) else int(r.iy_u))
+        for r in got.itertuples(index=False)
+    }
+    exp = set(_brute_intersections(segs_pdf))
+    assert got_set == exp
+    assert len(got) == len(got_set)  # PBSM dedup: exactly once per pair
+    # fixture exercises both arms
+    assert any(p == 1 for (_, _, _, _, p, _, _) in exp)
+    assert any(p == 0 for (_, _, _, _, p, _, _) in exp)
+
+
+def test_segment_intersections_edge_cases(spark):
+    """Hand-built geometries: proper cross, T-touch, endpoint-endpoint
+    touch, collinear overlap, collinear disjoint, parallel offset."""
+    segs = pd.DataFrame(
+        [
+            # road 1: horizontal baseline y=10 for x in [0, 2]
+            (1, 0, 0.0, 10.0, 2.0, 10.0),
+            # road 2: proper cross at (1, 10)
+            (2, 0, 1.0, 9.0, 1.0, 11.0),
+            # road 3: T-touch — endpoint lands ON road 1's interior
+            (3, 0, 1.5, 10.0, 1.5, 12.0),
+            # road 4: endpoint-endpoint touch at (2, 10)
+            (4, 0, 2.0, 10.0, 3.0, 12.0),
+            # road 5: collinear overlap with road 1 on [1.2, 2.5]
+            (5, 0, 1.2, 10.0, 2.5, 10.0),
+            # road 6: collinear but disjoint (x in [3.5, 4])
+            (6, 0, 3.5, 10.0, 4.0, 10.0),
+            # road 7: parallel to road 1 at y=10.5 (no contact with 1,
+            # but properly crosses the two vertical roads 2 and 3)
+            (7, 0, 0.0, 10.5, 2.0, 10.5),
+        ],
+        columns=["road_id", "seg_id", "ax", "ay", "bx", "by"],
+    )
+    got = (
+        LN.segment_self_intersections(spark.createDataFrame(segs), res=6)
+        .toPandas()
+    )
+    pairs = {
+        (int(r.road_1), int(r.road_2)): int(r.proper_i)
+        for r in got.itertuples(index=False)
+    }
+    exp_pairs = {
+        (1, 2): 1,   # proper cross
+        (1, 3): 0,   # T-touch (d=0 arm)
+        (1, 4): 0,   # endpoint touch
+        (1, 5): 0,   # collinear overlap
+        (2, 7): 1,   # vertical road 2 crosses y=10.5 line
+        (3, 5): 0,   # road 3's base (1.5,10) lies on road 5's span
+        (3, 7): 1,   # vertical road 3 crosses y=10.5 line
+        (4, 5): 0,   # (2,10) lies on road 5's span [1.2,2.5] -> touch
+    }
+    assert pairs == exp_pairs
+    # the proper crossing reports the exact junction
+    r12 = got[(got.road_1 == 1) & (got.road_2 == 2)].iloc[0]
+    assert (int(r12.ix_u), int(r12.iy_u)) == (1_000_000, 10_000_000)
+    # brute oracle agrees on the same micro-fixture
+    assert {
+        (int(r.road_1), int(r.seg_1), int(r.road_2), int(r.seg_2),
+         int(r.proper_i),
+         None if pd.isna(r.ix_u) else int(r.ix_u),
+         None if pd.isna(r.iy_u) else int(r.iy_u))
+        for r in got.itertuples(index=False)
+    } == set(_brute_intersections(segs))
