@@ -66,7 +66,7 @@ _PRIORITY = [
     "substring_dedup", "dedup_jaccard",
     # image family additions (never driver-verified)
     "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
-    "image_quality",
+    "image_quality", "box_nms",
     # ANN family (ann_ivf anchor + never-driver-verified members)
     "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
     # multimodal flagships + shard sink (wds_roundtrip + ar_bucket never
@@ -74,7 +74,7 @@ _PRIORITY = [
     "image_tiling", "caption_curation", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
     # temporal + splits anchors
-    "sessionize", "quality_deciles",
+    "sessionize",
     # ANALYZE-style column profile (never driver-verified)
     "table_stats",
     # ---- position 51+ from here: every entry below has a driver-green
@@ -93,7 +93,7 @@ _PRIORITY = [
     "train_val_split",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
-    "mixture_sample",
+    "mixture_sample", "quality_deciles",
     # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",

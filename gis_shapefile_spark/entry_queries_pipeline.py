@@ -3072,7 +3072,113 @@ def q_ar_bucket_oracle() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# detection-box cluster NMS (IoU dedup of object-detection annotations)
+# ---------------------------------------------------------------------------
+
+NMS_IOU_NUM, NMS_IOU_DEN = 1, 2  # threshold 0.5, exact integer test
+
+
+def _box_table_exprs(dialect: str) -> list[str]:
+    """Synthetic detection-annotation table derived from orders keys —
+    one box per order row, ~<=8 boxes per image (image_id = key >> 3),
+    two spatial anchors per image with +-20 px jitter so same-(image,
+    class, anchor) boxes overlap heavily while cross-anchor boxes are
+    mostly disjoint. Pure integer SQL (Knuth-style hashes, exact in
+    both dialects); products bounded ~2e15 at any gate SF."""
+    shr = (
+        "shiftright(o_orderkey, 3)" if dialect == "spark"
+        else "(o_orderkey >> 3)"
+    )
+    img = f"({shr})"
+    h1 = "((o_orderkey * 2654435761) % 1000000007)"
+    h2 = "((o_orderkey * 3266489917) % 998244353)"
+    bx = f"(({img} * 2246822519 + (o_orderkey % 2) * 104729) % 1600)"
+    by = f"(({img} * 1779033703 + (o_orderkey % 2) * 15485863) % 900)"
+    return [
+        "CAST(o_orderkey AS BIGINT) AS box_id",
+        f"CAST({img} AS BIGINT) AS image_id",
+        f"CAST({h1} % 3 AS BIGINT) AS class_id",
+        f"CAST({bx} + ({h1} % 41) - 20 AS BIGINT) AS x0",
+        f"CAST({by} + ({h2} % 41) - 20 AS BIGINT) AS y0",
+        f"CAST(200 + ({h1} % 160) AS BIGINT) AS w",
+        f"CAST(150 + ({h2} % 120) AS BIGINT) AS h",
+        f"CAST(({h1} + {h2}) % 10000 AS BIGINT) AS score_u",
+    ]
+
+
+def q_box_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-annotation dedup via cluster-NMS: per-(image, class)
+    IoU >= 0.5 pairs (exact integer test, no division) form suppression
+    components; the top-scoring box per component survives. One shuffle
+    on the image key + bounded K^2 per-image fan-out + component
+    labeling on the EDGE table only — the relational NMS an annotation-
+    merge pipeline runs at 10^12 images. Semantics note: clustering
+    suppresses transitively (can keep fewer boxes than greedy NMS);
+    pinned by pytest against a python cluster-NMS oracle."""
+    from .operators import boxes as BX
+
+    boxes = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(*_box_table_exprs("spark"))
+    )
+    return BX.box_cluster_nms(boxes, NMS_IOU_NUM, NMS_IOU_DEN)
+
+
+def q_box_nms_oracle() -> str:
+    from .operators import boxes as BX
+
+    cols = ",\n                 ".join(_box_table_exprs("duckdb"))
+    inter, union = BX.iou_exprs_sql("a", "b")
+    return f"""
+        WITH RECURSIVE boxes AS (
+          SELECT {cols}
+          FROM orders
+        ),
+        good AS (
+          SELECT a.box_id AS id_1, b.box_id AS id_2
+          FROM boxes a JOIN boxes b
+            ON a.image_id = b.image_id AND a.class_id = b.class_id
+           AND a.box_id < b.box_id
+          WHERE {BX.iou_exprs_sql("a", "b")[0]} * {NMS_IOU_DEN}
+                >= {BX.iou_exprs_sql("a", "b")[1]} * {NMS_IOU_NUM}
+        ),
+        edges AS (
+          SELECT id_1 AS src, id_2 AS dst FROM good
+          UNION
+          SELECT id_2 AS src, id_1 AS dst FROM good
+        ),
+        reach(node, lbl) AS (
+          SELECT box_id, box_id FROM boxes
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+        ),
+        labeled AS (
+          SELECT bx.image_id, bx.class_id, bx.box_id, bx.score_u,
+                 c.cluster_id
+          FROM boxes bx JOIN comp c ON bx.box_id = c.node
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY score_u DESC, box_id
+                 ) AS rk,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+          FROM labeled
+        )
+        SELECT image_id, class_id, box_id, score_u, cluster_id,
+               CAST(cluster_sz AS BIGINT) AS cluster_sz
+        FROM ranked WHERE rk = 1
+    """
+
+
 QUERIES = {
+    "box_nms": q_box_nms,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -3141,6 +3247,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "box_nms": q_box_nms_oracle(),
     "token_count": q_token_count_oracle(),
     "lang_id": q_lang_id_oracle(),
     "quality_score": q_quality_score_oracle(),

@@ -55,7 +55,9 @@ MUST_BE_IN_CAP = {
     "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
     "geocode_forward", "merge_upsert", "ann_ivf", "image_tiling",
     "caption_curation", "corpus_curation", "sessionize",
-    "quality_deciles",
+    # splits/packing family anchor (quality_deciles + mixture_sample
+    # rotated out r3-green; the family stays in-cap via seq_pack)
+    "seq_pack",
 }
 
 
