@@ -49,7 +49,7 @@ _PRIORITY = [
     # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
     "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
     # round-3 late additions + grid-DBSCAN (never driver-verified)
-    "hotspot_clusters", "nearest_road", "nearest_road_big", "road_buffer",
+    "hotspot_clusters", "getis_ord", "nearest_road", "nearest_road_big", "road_buffer",
     "map_match", "trajectory", "vector_outline", "zonal_stats",
     "road_crossings",
     # big-big planar self-joins (never driver-verified)
@@ -71,7 +71,7 @@ _PRIORITY = [
     "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
     # multimodal flagships + shard sink (wds_roundtrip + ar_bucket never
     # driver-verified)
-    "image_tiling", "caption_curation", "ar_bucket", "corpus_curation",
+    "image_tiling", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
     # temporal + splits anchors
     "sessionize",
@@ -93,7 +93,7 @@ _PRIORITY = [
     "train_val_split",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
-    "mixture_sample", "quality_deciles",
+    "mixture_sample", "quality_deciles", "caption_curation",
     # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",

@@ -1346,6 +1346,30 @@ HOTSPOT_RES = 6
 HOTSPOT_MIN = 12
 
 
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over the image table at res 6 —
+    the inferential twin of hotspot_clusters: every occupied cell gets
+    the classical 3x3-neighborhood autocorrelation statistic (positive
+    = significant clustering of high image density; the fixture's
+    planted Zipfian urban cluster lights up at |z| >> 1.96). Exact
+    integer inputs (neighborhood sums/counts, frame moments) + ONE
+    textually-identical double z expression, floor(z*1e6)."""
+    from .operators.clustering import getis_ord_gi
+
+    path = FX.images_parquet_path(n=2000)
+    images = spark.read.parquet(path)
+    return getis_ord_gi(images, res=HOTSPOT_RES)
+
+
+def q_getis_ord_oracle() -> str:
+    from .operators.clustering import getis_ord_sql
+
+    path = FX.images_parquet_path(n=2000)
+    return getis_ord_sql(
+        f"SELECT lng, lat FROM read_parquet('{path}')", HOTSPOT_RES
+    )
+
+
 def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial hotspot discovery over the image table (grid-DBSCAN):
     core cells (>= 12 images at res 6) label into clusters of 8-adjacent
@@ -3235,6 +3259,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "ann_recall": q_ann_recall,
     "hotspot_clusters": q_hotspot_clusters,
+    "getis_ord": q_getis_ord,
     "wds_roundtrip": q_wds_roundtrip,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
@@ -3304,6 +3329,7 @@ ORACLES = {
     "ann_filtered": q_ann_filtered_oracle(),
     "ann_recall": q_ann_recall_oracle(),
     "hotspot_clusters": q_hotspot_clusters_oracle(),
+    "getis_ord": q_getis_ord_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),

@@ -157,3 +157,171 @@ def hotspot_cluster_sql(
         JOIN (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node) m
           ON m.node = c.cell
     """
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot z-scores (spatial autocorrelation statistics)
+# ---------------------------------------------------------------------------
+
+def gi_z_u_sql() -> str:
+    """The Gi* z-score as ONE SQL expression over exact-BIGINT inputs
+    (n_cells, sum_x, sum_xx, nb_sum, nb_cnt) — identical text in both
+    dialects, so the IEEE op tree matches bit-for-bit and the
+    floor(z * 1e6) integerization is cross-engine deterministic.
+
+    Gi* (Getis & Ord 1992/1995, binary 3x3 weights incl. self):
+
+        z_i = (S_i - xbar * W_i)
+              / (s * sqrt((N * W_i - W_i^2) / (N - 1)))
+
+    with S_i = nb_sum (neighborhood count sum), W_i = nb_cnt (occupied
+    neighbors incl. self), N = n_cells, xbar and s the frame mean/std.
+    NULL when the denominator degenerates (N <= 1, all-equal counts, or
+    W_i = N). The tiny-negative-variance guard (greatest with 0) keeps
+    the all-equal case NULL instead of NaN in both engines."""
+    xbar = "(CAST(sum_x AS DOUBLE) / CAST(n_cells AS DOUBLE))"
+    s2 = (
+        f"(CAST(sum_xx AS DOUBLE) / CAST(n_cells AS DOUBLE)"
+        f" - {xbar} * {xbar})"
+    )
+    s = f"sqrt(greatest({s2}, CAST(0 AS DOUBLE)))"
+    wvar = (
+        "((CAST(n_cells AS DOUBLE) * CAST(nb_cnt AS DOUBLE)"
+        " - CAST(nb_cnt AS DOUBLE) * CAST(nb_cnt AS DOUBLE))"
+        " / CAST(n_cells - 1 AS DOUBLE))"
+    )
+    den = f"({s} * sqrt(greatest({wvar}, CAST(0 AS DOUBLE))))"
+    num = f"(CAST(nb_sum AS DOUBLE) - {xbar} * CAST(nb_cnt AS DOUBLE))"
+    return (
+        f"CASE WHEN n_cells <= 1 OR {den} <= CAST(0 AS DOUBLE) THEN NULL "
+        f"ELSE CAST(floor({num} / {den} * CAST(1000000 AS DOUBLE)) "
+        f"AS BIGINT) END"
+    )
+
+
+def getis_ord_gi(
+    points: DataFrame,
+    res: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Gi* hotspot z-score per occupied cell — the inferential twin of
+    ``hotspot_clusters``: instead of a binary core threshold, every
+    cell gets the classical Getis-Ord statistic ("is this cell's 3x3
+    neighborhood count-sum high RELATIVE to the frame, and by how many
+    standard errors"), the hot-spot-analysis tool every desktop GIS
+    ships. Positive gi_u ~ clustering of high counts, negative ~ cold
+    spots; |z| >= 1.96e6 (integerized) is the usual 95% call.
+
+    Frame choice (documented): the statistic is computed over the
+    OCCUPIED cells (the data-defined tessellation), not the enclosing
+    canvas — empty cells are unobserved support, not zeros. The oracle
+    recomputes the same frame.
+
+    Scale shape: the point table pays its ONE partial-agg histogram
+    shuffle; the 3x3 neighbor join (demorton -> offset -> re-pack, same
+    integer codegen as hotspot_clusters), the single-row frame stats,
+    and the z projection all run on the BOUNDED occupied-cell table.
+    The frame-stats row broadcasts; nothing driver-side.
+
+    Output: (cell, n_points, nb_sum, nb_cnt, gi_u) — the exact integer
+    inputs plus the integerized z, so an oracle mismatch localizes.
+    """
+    if not 0 <= res <= 25:
+        raise ValueError(f"res must be in [0, 25], got {res}")
+    cell = F.expr(C.cell_sql(lng_col, lat_col, res, "spark"))
+    hist = (
+        points.groupBy(cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .localCheckpoint(eager=True)  # referenced 3x below (CLAUDE.md)
+    )
+    ax = hist.select(
+        "cell", "n_points",
+        F.expr(C.cell_axis_sql("cell", "x", "spark")).alias("_x"),
+        F.expr(C.cell_axis_sql("cell", "y", "spark")).alias("_y"),
+    )
+    offs = ", ".join(
+        f"struct({dx} as dx, {dy} as dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    nb = ax.select(
+        "cell",
+        F.expr(f"explode(array({offs}))").alias("_o"),
+        "_x", "_y",
+    ).select(
+        "cell",
+        F.expr(
+            C.pack_xy_sql("(_x + _o.dx)", "(_y + _o.dy)", res, "spark")
+        ).alias("_nb"),
+    )
+    nbagg = (
+        nb.join(
+            hist.select(
+                F.col("cell").alias("_nb"), F.col("n_points").alias("_nn")
+            ),
+            "_nb",
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("_nn").alias("nb_sum"),
+            F.count(F.lit(1)).alias("nb_cnt"),
+        )
+    )
+    glob = hist.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_points").alias("sum_x"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("sum_xx"),
+    )
+    return (
+        hist.join(nbagg, "cell")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "cell", "n_points", "nb_sum",
+            "CAST(nb_cnt AS BIGINT) AS nb_cnt",
+            f"{gi_z_u_sql()} AS gi_u",
+        )
+    )
+
+
+def getis_ord_sql(
+    source_sql: str,
+    res: int,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB twin of ``getis_ord_gi``: identical integer cell SQL,
+    3x3 neighborhood as a theta join on the demortoned axes (bounded
+    occupied-cell set), identical z expression text."""
+    cell = C.cell_sql(lng_col, lat_col, res, "duckdb")
+    x = C.cell_axis_sql("cell", "x", "duckdb")
+    y = C.cell_axis_sql("cell", "y", "duckdb")
+    return f"""
+        WITH pts AS ({source_sql}),
+        hist AS (
+          SELECT {cell} AS cell, count(*)::BIGINT AS n_points
+          FROM pts GROUP BY 1
+        ),
+        axed AS (
+          SELECT cell, n_points, {x} AS gx, {y} AS gy FROM hist
+        ),
+        nbagg AS (
+          SELECT a.cell,
+                 sum(b.n_points)::BIGINT AS nb_sum,
+                 count(*)::BIGINT AS nb_cnt
+          FROM axed a JOIN axed b
+            ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+          GROUP BY a.cell
+        ),
+        frame AS (
+          SELECT count(*)::BIGINT AS n_cells,
+                 sum(n_points)::BIGINT AS sum_x,
+                 sum(n_points * n_points)::BIGINT AS sum_xx
+          FROM hist
+        )
+        SELECT h.cell, h.n_points, nb.nb_sum, nb.nb_cnt,
+               {gi_z_u_sql()} AS gi_u
+        FROM hist h
+        JOIN nbagg nb ON nb.cell = h.cell
+        CROSS JOIN frame
+    """

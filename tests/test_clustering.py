@@ -144,3 +144,92 @@ def test_engine_matches_duckdb_twin_on_fixture(spark):
     assert len(sdf) == len(odf) > 10
     assert sdf.cluster.nunique() > 1  # the planted skew shows up
     pd.testing.assert_frame_equal(sdf, odf.astype(sdf.dtypes.to_dict()))
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi*
+# ---------------------------------------------------------------------------
+
+def _gi_numpy(counts: dict[tuple[int, int], int]):
+    """Text-book Gi* over the occupied-cell frame with binary 3x3
+    weights incl. self: per-cell (nb_sum, nb_cnt, z)."""
+    xs = np.array(list(counts.values()), dtype=np.float64)
+    n = len(xs)
+    xbar = xs.sum() / n
+    s = np.sqrt((xs ** 2).sum() / n - xbar ** 2)
+    out = {}
+    for (gx, gy), x in counts.items():
+        nbs = [
+            counts[(gx + dx, gy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (gx + dx, gy + dy) in counts
+        ]
+        si, wi = float(sum(nbs)), float(len(nbs))
+        den = s * np.sqrt((n * wi - wi * wi) / (n - 1))
+        z = None if den <= 0 else (si - xbar * wi) / den
+        out[(gx, gy)] = (int(sum(nbs)), len(nbs), z)
+    return out
+
+
+def test_getis_ord_matches_numpy_oracle(spark):
+    """Planted hot cluster: a dense 2x2 block + uniform background.
+    Engine == textbook numpy Gi* on every cell (integerized z within
+    1 ulp-of-floor), and the hot block is strongly significant."""
+    from gis_shapefile_spark.operators.clustering import getis_ord_gi
+
+    res = 6
+    rows = []
+    # background: one point in each of 30 scattered cells
+    for i in range(30):
+        gx, gy = 3 + (i * 7) % 40, 5 + (i * 11) % 30
+        rows.append((len(rows), *_cell_center(gx, gy, res)))
+    # hot 2x2 block: 25 points per cell
+    for gx, gy in [(20, 15), (21, 15), (20, 16), (21, 16)]:
+        for _ in range(25):
+            rows.append((len(rows), *_cell_center(gx, gy, res)))
+    pdf = pd.DataFrame(rows, columns=["point_id", "lng", "lat"])
+    got = getis_ord_gi(spark.createDataFrame(pdf), res=res).toPandas()
+
+    counts: dict[tuple[int, int], int] = {}
+    for _, r in pdf.iterrows():
+        gx = int((r.lng + 180.0) / 360.0 * (1 << res))
+        gy = int((r.lat + 90.0) / 180.0 * (1 << res))
+        counts[(gx, gy)] = counts.get((gx, gy), 0) + 1
+    exp = _gi_numpy(counts)
+    assert len(got) == len(exp)
+
+    def _compact(v: int) -> int:  # demorton, the cells.py bit-gather
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        return (v | (v >> 16)) & ((1 << 26) - 1)
+
+    got_by_key = {}
+    for r in got.itertuples(index=False):
+        morton = int(r.cell) & ((1 << 52) - 1)
+        got_by_key[(_compact(morton), _compact(morton >> 1))] = r
+    assert set(got_by_key) == set(exp)
+    hot_z = []
+    for key, (si, wi, z) in exp.items():
+        r = got_by_key[key]
+        assert (int(r.nb_sum), int(r.nb_cnt)) == (si, wi)
+        if z is None:
+            assert pd.isna(r.gi_u)
+        else:
+            assert abs(int(r.gi_u) - np.floor(z * 1e6)) <= 1
+        if counts[key] == 25:
+            hot_z.append(z)
+    assert all(z > 1.96 for z in hot_z)  # the planted block is significant
+    # background cells are not
+    assert sum(
+        1 for key, (_, _, z) in exp.items()
+        if counts[key] == 1 and z is not None and z > 1.96
+    ) == 0
+
+
+def _cell_center(gx: int, gy: int, res: int) -> tuple[float, float]:
+    n = 1 << res
+    return (-180.0 + (gx + 0.5) * 360.0 / n, -90.0 + (gy + 0.5) * 180.0 / n)

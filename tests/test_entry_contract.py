@@ -54,7 +54,10 @@ def driver_green() -> set[str]:
 MUST_BE_IN_CAP = {
     "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
     "geocode_forward", "merge_upsert", "ann_ivf", "image_tiling",
-    "caption_curation", "corpus_curation", "sessionize",
+    # caption_curation rotated out late round 4 (r3-green; the joint
+    # image+text curation family stays in-cap via image_tiling +
+    # corpus_curation + image_quality)
+    "corpus_curation", "sessionize",
     # splits/packing family anchor (quality_deciles + mixture_sample
     # rotated out r3-green; the family stays in-cap via seq_pack)
     "seq_pack",
