@@ -51,7 +51,7 @@ _PRIORITY = [
     # round-3 late additions + grid-DBSCAN (never driver-verified)
     "hotspot_clusters", "getis_ord", "nearest_road", "nearest_road_big", "road_buffer",
     "map_match", "trajectory", "vector_outline", "zonal_stats",
-    "road_crossings",
+    "road_crossings", "od_matrix",
     # big-big planar self-joins (never driver-verified)
     "point_pairs", "knn_self",
     # geodesic (great-circle) family (never driver-verified)
@@ -73,8 +73,9 @@ _PRIORITY = [
     # driver-verified)
     "image_tiling", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
-    # temporal + splits anchors
-    "sessionize",
+    # splits anchor (sessionize rotated out late round 4, triple-green;
+    # temporal windows stay in-cap via trajectory/trajectory_geo/
+    # stay_points/od_matrix)
     # ANALYZE-style column profile (never driver-verified)
     "table_stats",
     # ---- position 51+ from here: every entry below has a driver-green
@@ -93,7 +94,7 @@ _PRIORITY = [
     "train_val_split",
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
-    "mixture_sample", "quality_deciles", "caption_curation",
+    "mixture_sample", "quality_deciles", "caption_curation", "sessionize",
     # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",

@@ -573,6 +573,38 @@ TRAJ_LAT_SQL = (
 TRAJ_V_MAX = 100  # µdeg per second
 
 
+OD_RES = 7
+OD_BUCKET_S = 3600
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over geotagged events: per
+    (device, hour) the trip's first-fix cell -> last-fix cell at res 7,
+    aggregated to (o_cell, d_cell, n_trips, n_users) — the mobility
+    demand matrix. ONE window sort per trip partition (rn + count over
+    the same partition pick both endpoints), then bounded partial aggs
+    (operators/trajectory.py::od_matrix)."""
+    from .operators import trajectory as TJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return TJ.od_matrix(ev, res=OD_RES, bucket_s=OD_BUCKET_S)
+
+
+def q_od_matrix_oracle() -> str:
+    from .operators import trajectory as TJ
+
+    src = f"""SELECT user_id, event_id, ts,
+                 {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat
+          FROM events"""
+    return TJ.od_matrix_oracle_sql(src, res=OD_RES, bucket_s=OD_BUCKET_S)
+
+
 def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPS-jump cleaning over geotagged events: per device, hop distances
     ordered by time, implied-speed flags (multiply, never divide), and
@@ -3259,6 +3291,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "ann_recall": q_ann_recall,
     "hotspot_clusters": q_hotspot_clusters,
+    "od_matrix": q_od_matrix,
     "getis_ord": q_getis_ord,
     "wds_roundtrip": q_wds_roundtrip,
     "ar_bucket": q_ar_bucket,
@@ -3329,6 +3362,7 @@ ORACLES = {
     "ann_filtered": q_ann_filtered_oracle(),
     "ann_recall": q_ann_recall_oracle(),
     "hotspot_clusters": q_hotspot_clusters_oracle(),
+    "od_matrix": q_od_matrix_oracle(),
     "getis_ord": q_getis_ord_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),

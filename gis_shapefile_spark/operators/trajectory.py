@@ -231,3 +231,120 @@ def stay_points(
             F.floor(F.col("__sy") / F.col("n_fixes")).cast("long").alias("clat_u"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Origin-destination flow matrix
+# ---------------------------------------------------------------------------
+
+def od_matrix(
+    events: DataFrame,
+    res: int,
+    bucket_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Origin-destination flows — the mobility-analytics rollup every
+    trajectory dataset feeds (transport planning, demand matrices,
+    migration maps): per (device, time bucket), the trip's origin cell
+    is its FIRST fix and destination its LAST, then flows aggregate per
+    (o_cell, d_cell) pair.
+
+    One window shuffle total: a single sort per (device, bucket) gives
+    both endpoints — ``rn = row_number()`` ascending plus ``cnt =
+    count(*)`` over the same partition, origin = the rn=1 row and
+    destination = the rn=cnt row (no second descending sort, no
+    self-join). Two bounded partial-agg shuffles follow (trips, then
+    flows). Stationary trips (o = d, including single-fix buckets) are
+    real rows — a demand matrix's diagonal.
+
+    Time buckets: ``floor(epoch / bucket_s)`` evaluated as the
+    textually-identical double floor (exact below 2^53); the epoch
+    itself follows the repo rule (unix_timestamp == floor(epoch(ts))).
+
+    Output: (o_cell, d_cell, n_trips, n_users) — n_users the exact
+    distinct-device count per flow.
+    """
+    from ..functions import cells as C
+
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    hb = (
+        f"CAST(floor(CAST(__ep AS DOUBLE) / CAST({int(bucket_s)} AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+    pos = (
+        events.withColumn("__ep", F.unix_timestamp(F.col(ts_col)))
+        .withColumn("__hb", F.expr(hb))
+        .withColumn("__cell", F.expr(C.cell_sql(lng_col, lat_col, res, "spark")))
+    )
+    w = Window.partitionBy(user_col, "__hb").orderBy(ts_col, id_col)
+    wc = Window.partitionBy(user_col, "__hb")
+    marked = pos.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(wc)
+    )
+    trips = marked.groupBy(user_col, "__hb").agg(
+        F.min(F.when(F.col("__rn") == 1, F.col("__cell"))).alias("o_cell"),
+        F.min(
+            F.when(F.col("__rn") == F.col("__cnt"), F.col("__cell"))
+        ).alias("d_cell"),
+    )
+    return (
+        trips.groupBy("o_cell", "d_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+    )
+
+
+def od_matrix_oracle_sql(
+    source_sql: str,
+    res: int,
+    bucket_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin: identical cell/bucket SQL, the same single-sort
+    rn/cnt endpoint extraction."""
+    from ..functions import cells as C
+
+    cexpr = C.cell_sql("lng", "lat", res, "duckdb")
+    hb = (
+        f"CAST(floor(CAST(ep AS DOUBLE) / CAST({int(bucket_s)} AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+    return f"""
+        WITH pos AS ({source_sql}),
+        celled AS (
+          SELECT {user_col}, {ts_col}, {id_col},
+                 CAST(floor(epoch({ts_col})) AS BIGINT) AS ep,
+                 {cexpr} AS cell
+          FROM pos
+        ),
+        marked AS (
+          SELECT {user_col}, cell, {hb} AS hb,
+                 row_number() OVER (
+                   PARTITION BY {user_col}, {hb}
+                   ORDER BY {ts_col}, {id_col}
+                 ) AS rn,
+                 count(*) OVER (
+                   PARTITION BY {user_col}, {hb}
+                 ) AS cnt
+          FROM celled
+        ),
+        trips AS (
+          SELECT {user_col}, hb,
+                 min(CASE WHEN rn = 1 THEN cell END) AS o_cell,
+                 min(CASE WHEN rn = cnt THEN cell END) AS d_cell
+          FROM marked GROUP BY {user_col}, hb
+        )
+        SELECT o_cell, d_cell,
+               count(*)::BIGINT AS n_trips,
+               count(DISTINCT {user_col})::BIGINT AS n_users
+        FROM trips GROUP BY o_cell, d_cell
+    """

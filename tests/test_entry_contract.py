@@ -57,7 +57,10 @@ MUST_BE_IN_CAP = {
     # caption_curation rotated out late round 4 (r3-green; the joint
     # image+text curation family stays in-cap via image_tiling +
     # corpus_curation + image_quality)
-    "corpus_curation", "sessionize",
+    # sessionize rotated out late round 4 (triple-green; temporal
+    # windows stay in-cap via trajectory/trajectory_geo/stay_points/
+    # od_matrix)
+    "corpus_curation",
     # splits/packing family anchor (quality_deciles + mixture_sample
     # rotated out r3-green; the family stays in-cap via seq_pack)
     "seq_pack",

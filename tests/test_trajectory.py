@@ -150,3 +150,81 @@ def test_stay_points_micro(spark):
     )
     b = got[(1, 1)]
     assert (b.n_fixes, b.duration_s) == (2, 400)
+
+
+def test_od_matrix_micro(spark):
+    """Hand-built OD micro-oracle: two devices, two hour buckets, a
+    stationary single-fix bucket, and an out-of-order event-id
+    tie-break inside one second."""
+    from gis_shapefile_spark.functions import cells as C
+
+    res = 7
+    # cell centers for distinct grid cells
+    def cc(gx, gy):
+        n = 1 << res
+        return (-180.0 + (gx + 0.5) * 360.0 / n,
+                -90.0 + (gy + 0.5) * 180.0 / n)
+
+    a, b, c = cc(30, 40), cc(31, 40), cc(32, 41)
+    rows = [
+        # device 1, hour 0: a -> (mid) -> b
+        (1, 1, _ts(10), *a),
+        (1, 2, _ts(500), *c),
+        (1, 3, _ts(3000), *b),
+        # device 1, hour 1: single fix at c (stationary: o = d = c)
+        (1, 4, _ts(3700), *c),
+        # device 2, hour 0: same-second tie at t=0: event_id 6 BEFORE 7
+        # (tie-break on id), so origin is the id-6 fix at b; dest a
+        (2, 6, _ts(0), *b),
+        (2, 7, _ts(0), *c),
+        (2, 8, _ts(1800), *a),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "lng", "lat"]
+    )
+    got = (
+        TJ.od_matrix(spark.createDataFrame(pdf), res=res, bucket_s=3600)
+        .toPandas()
+    )
+    cell = {p: int(C.cell_of_numpy(
+        np.array([p[0]]), np.array([p[1]]), res)[0]) for p in (a, b, c)}
+    flows = {
+        (int(r.o_cell), int(r.d_cell)): (int(r.n_trips), int(r.n_users))
+        for r in got.itertuples(index=False)
+    }
+    assert flows == {
+        (cell[a], cell[b]): (1, 1),   # device 1 hour 0
+        (cell[c], cell[c]): (1, 1),   # device 1 hour 1 stationary
+        (cell[b], cell[a]): (1, 1),   # device 2 hour 0 (tie-break)
+    }
+
+
+def test_od_matrix_aggregates_flows(spark):
+    """Three devices making the same A->B trip in one hour collapse to
+    one flow row with n_trips = n_users = 3; a repeat trip by one
+    device in another hour bumps n_trips but not n_users."""
+    from gis_shapefile_spark.functions import cells as C
+
+    res = 7
+    n = 1 << res
+    a = (-180.0 + 10.5 * 360.0 / n, -90.0 + 20.5 * 180.0 / n)
+    b = (-180.0 + 11.5 * 360.0 / n, -90.0 + 20.5 * 180.0 / n)
+    rows = []
+    for dev in (1, 2, 3):
+        rows.append((dev, dev * 10, _ts(0), *a))
+        rows.append((dev, dev * 10 + 1, _ts(100), *b))
+    rows.append((1, 99, _ts(3700), *a))
+    rows.append((1, 100, _ts(3800), *b))
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "lng", "lat"]
+    )
+    got = (
+        TJ.od_matrix(spark.createDataFrame(pdf), res=res, bucket_s=3600)
+        .toPandas()
+    )
+    assert len(got) == 1
+    r = got.iloc[0]
+    ca = int(C.cell_of_numpy(np.array([a[0]]), np.array([a[1]]), res)[0])
+    cb = int(C.cell_of_numpy(np.array([b[0]]), np.array([b[1]]), res)[0])
+    assert (int(r.o_cell), int(r.d_cell), int(r.n_trips), int(r.n_users)) \
+        == (ca, cb, 4, 3)
