@@ -47,11 +47,11 @@ _PRIORITY = [
     # driver-exercised by an in-cap sibling — ledger in COVERAGE.md.
     #
     # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
-    "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
+    "pip_grid_join", "knn3", "tile_pyramid",
     # round-3 late additions + grid-DBSCAN (never driver-verified)
     "hotspot_clusters", "getis_ord", "nearest_road", "nearest_road_big", "road_buffer",
     "map_match", "trajectory", "vector_outline", "zonal_stats",
-    "road_crossings", "od_matrix",
+    "road_crossings", "border_crossings", "od_matrix",
     # big-big planar self-joins (never driver-verified)
     "point_pairs", "knn_self",
     # geodesic (great-circle) family (never driver-verified)
@@ -95,6 +95,7 @@ _PRIORITY = [
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     "mixture_sample", "quality_deciles", "caption_curation", "sessionize",
+    "bbox_join",
     # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",

@@ -1990,6 +1990,103 @@ def q_road_crossings_oracle() -> str:
     return LN.segment_intersections_oracle_sql(_road_segment_values_sql())
 
 
+BORDER_RES = 5
+
+
+def _state_edge_values_sql() -> str:
+    """Boundary edges of the 51 state polygons (shell + hole rings) as a
+    VALUES literal — same serialization contract as the road segments."""
+    from .operators import lines as LN
+
+    feats = FX.make_features()
+    feats = feats[(feats.shape_type == 5) & (~feats.deleted)]
+    segs = LN.polygon_ring_segments(feats)
+    vals = ", ".join(
+        f"({int(s.road_id)}, {int(s.seg_id)}, {dlit(s.ax)}, "
+        f"{dlit(s.ay)}, {dlit(s.bx)}, "
+        f"{dlit(s.by)})"
+        for _, s in segs.iterrows()
+    )
+    return f"(VALUES {vals}) AS s(road_id, seg_id, ax, ay, bx, by)"
+
+
+def q_border_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Border-crossing analytics (polyline x polygon-boundary overlay):
+    how many times does each road cross each state's boundary — the
+    route x admin-region join behind toll/border/jurisdiction
+    attribution. Two-table PBSM intersection join (in-plan bbox covers
+    both sides, scan-side reference-point dedup, exact BIGINT
+    orientation refine) aggregated per (road, state); crossing a hole
+    ring counts, as holes are boundary."""
+    from .operators import lines as LN
+
+    segs_r = spark.createDataFrame(
+        LN.polyline_segments(FX.make_road_features())
+    )
+    feats = FX.make_features()
+    feats = feats[(feats.shape_type == 5) & (~feats.deleted)]
+    segs_s = spark.createDataFrame(LN.polygon_ring_segments(feats))
+    pairs = LN.segment_intersections_join(segs_r, segs_s, res=BORDER_RES)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_cross"),
+            F.sum("proper_i").alias("n_proper"),
+        )
+        .selectExpr(
+            "id_a AS road_id", "id_b AS record_number",
+            "n_cross", "CAST(n_proper AS BIGINT) AS n_proper",
+        )
+    )
+
+
+def q_border_crossings_oracle() -> str:
+    from .operators import lines as LN
+
+    u_cols = ",\n                 ".join(LN.seg_int_u_exprs())
+    d_cols = ",\n                 ".join(LN.seg_int_d_exprs())
+    return f"""
+        WITH roads AS MATERIALIZED (
+          SELECT * FROM {_road_segment_values_sql()}
+        ),
+        states AS MATERIALIZED (
+          SELECT * FROM {_state_edge_values_sql()}
+        ),
+        cand AS (
+          SELECT a.road_id AS id_a, a.seg_id AS seg_a,
+                 b.road_id AS id_b, b.seg_id AS seg_b,
+                 a.ax AS ax1, a.ay AS ay1, a.bx AS bx1, a.by AS by1,
+                 b.ax AS ax2, b.ay AS ay2, b.bx AS bx2, b.by AS by2
+          FROM roads a CROSS JOIN states b
+        ),
+        boxed AS (
+          SELECT * FROM cand WHERE {LN.SEG_BBOX_OVERLAP_SQL}
+        ),
+        ints AS (
+          SELECT id_a, seg_a, id_b, seg_b,
+                 {u_cols}
+          FROM boxed
+        ),
+        oriented AS (
+          SELECT id_a, seg_a, id_b, seg_b,
+                 x1a, y1a, x1b, y1b, x2a, y2a, x2b, y2b,
+                 {d_cols}
+          FROM ints
+        ),
+        hits AS (
+          SELECT id_a, id_b,
+                 CASE WHEN {LN.SEG_PROPER_SQL} THEN 1 ELSE 0 END AS pr
+          FROM oriented
+          WHERE {LN.SEG_INTERSECTS_SQL}
+        )
+        SELECT CAST(id_a AS BIGINT) AS road_id,
+               CAST(id_b AS BIGINT) AS record_number,
+               count(*)::BIGINT AS n_cross,
+               CAST(sum(pr) AS BIGINT) AS n_proper
+        FROM hits GROUP BY id_a, id_b
+    """
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -2019,6 +2116,7 @@ QUERIES = {
     "nearest_road_big": q_nearest_road_big,
     "road_buffer": q_road_buffer,
     "road_crossings": q_road_crossings,
+    "border_crossings": q_border_crossings,
     "zonal_stats": q_zonal_stats,
     "vector_outline": q_vector_outline,
     "polygon_stats": q_polygon_stats,
@@ -2067,6 +2165,7 @@ ORACLES = {
     "nearest_road_big": q_nearest_road_oracle(),
     "road_buffer": q_road_buffer_oracle(),
     "road_crossings": q_road_crossings_oracle(),
+    "border_crossings": q_border_crossings_oracle(),
     "zonal_stats": q_zonal_stats_oracle(),
     "vector_outline": q_vector_outline_oracle(),
     "polygon_stats": q_polygon_stats_oracle(),

@@ -558,3 +558,97 @@ def segment_intersections_oracle_sql(segment_values_sql: str) -> str:
         FROM oriented
         WHERE {SEG_INTERSECTS_SQL}
     """
+
+
+def polygon_ring_segments(features_pdf: pd.DataFrame,
+                          id_col: str = "record_number") -> pd.DataFrame:
+    """Explode polygon rings (xs, ys, ring_sizes — closed rings, last
+    vertex == first) into one row per boundary EDGE, shell and hole
+    rings alike (a hole boundary is part of the polygon boundary).
+    Output schema matches ``polyline_segments`` (road_id, seg_id, ax,
+    ay, bx, by) so every segment operator consumes either geometry."""
+    rows = []
+    for r in features_pdf.itertuples(index=False):
+        xs = np.asarray(r.xs, np.float64)
+        ys = np.asarray(r.ys, np.float64)
+        offs = np.concatenate(
+            [[0], np.cumsum(np.asarray(r.ring_sizes, int))]
+        ).astype(int)
+        rid = int(getattr(r, id_col))
+        seg = 0
+        for p in range(len(r.ring_sizes)):
+            for k in range(offs[p], offs[p + 1] - 1):
+                ax, ay, bx, by = xs[k], ys[k], xs[k + 1], ys[k + 1]
+                if ax == bx and ay == by:
+                    continue
+                rows.append((rid, seg, float(ax), float(ay),
+                             float(bx), float(by)))
+                seg += 1
+    return pd.DataFrame(
+        rows, columns=["road_id", "seg_id", "ax", "ay", "bx", "by"]
+    )
+
+
+def segment_intersections_join(
+    segs_a: DataFrame, segs_b: DataFrame, res: int
+) -> DataFrame:
+    """Two-table variant of ``segment_self_intersections``: all
+    intersecting (segment-of-A, segment-of-B) pairs — polyline x
+    polygon-boundary overlay (border crossings, route x admin-region
+    analytics), line-network conflation between two sources. Same PBSM
+    shape: both tables enumerate bbox covers in-plan, one shuffled cell
+    equi-join, scan-side reference-point dedup, exact BIGINT
+    four-orientation refine (shared verbatim with the oracle twin).
+
+    Output: (id_a, seg_a, id_b, seg_b, proper_i, ix_u, iy_u) — one row
+    per intersecting pair, ids from each side's ``road_id`` namespace.
+    """
+    cov_a = segment_cover_df(
+        segs_a.select("road_id", "seg_id", "ax", "ay", "bx", "by"), 0.0, res
+    ).select(
+        F.col("road_id").alias("id_a"), F.col("seg_id").alias("seg_a"),
+        F.col("ax").alias("ax1"), F.col("ay").alias("ay1"),
+        F.col("bx").alias("bx1"), F.col("by").alias("by1"),
+        "cell",
+    )
+    cov_b = segment_cover_df(
+        segs_b.select("road_id", "seg_id", "ax", "ay", "bx", "by"), 0.0, res
+    ).select(
+        F.col("road_id").alias("id_b"), F.col("seg_id").alias("seg_b"),
+        F.col("ax").alias("ax2"), F.col("ay").alias("ay2"),
+        F.col("bx").alias("bx2"), F.col("by").alias("by2"),
+        "cell",
+    )
+    ref_xi = C.axis_index_sql(
+        "greatest(least(ax1, bx1), least(ax2, bx2))", 180.0, 360.0, res,
+        "spark",
+    )
+    ref_yi = C.axis_index_sql(
+        "greatest(least(ay1, by1), least(ay2, by2))", 90.0, 180.0, res,
+        "spark",
+    )
+    ref_cell = C.pack_xy_sql(ref_xi, ref_yi, res, "spark")
+    return (
+        cov_a.join(cov_b, "cell")
+        .where(F.expr(SEG_BBOX_OVERLAP_SQL))
+        .where(F.expr(f"cell = {ref_cell}"))
+        .selectExpr(
+            "id_a", "seg_a", "id_b", "seg_b", *seg_int_u_exprs()
+        )
+        .selectExpr(
+            "id_a", "seg_a", "id_b", "seg_b",
+            "x1a", "y1a", "x1b", "y1b", "x2a", "y2a", "x2b", "y2b",
+            *seg_int_d_exprs(),
+        )
+        .where(F.expr(SEG_INTERSECTS_SQL))
+        .selectExpr(
+            "CAST(id_a AS BIGINT) AS id_a",
+            "CAST(seg_a AS BIGINT) AS seg_a",
+            "CAST(id_b AS BIGINT) AS id_b",
+            "CAST(seg_b AS BIGINT) AS seg_b",
+            f"CAST(CASE WHEN {SEG_PROPER_SQL} THEN 1 ELSE 0 END"
+            " AS BIGINT) AS proper_i",
+            f"{seg_ixy_u_sql('x')} AS ix_u",
+            f"{seg_ixy_u_sql('y')} AS iy_u",
+        )
+    )

@@ -52,7 +52,10 @@ def driver_green() -> set[str]:
 # flagship anchors that must stay driver-sampled every round regardless
 # of rotation (one per SURVEY / pipeline family)
 MUST_BE_IN_CAP = {
-    "pip_grid_join", "knn3", "bbox_join", "tile_pyramid",
+    # bbox_join rotated out late round 4 (triple-green; the bbox
+    # predicate is load-bearing inside every in-cap spatial join and the
+    # PBSM overlays)
+    "pip_grid_join", "knn3", "tile_pyramid",
     "geocode_forward", "merge_upsert", "ann_ivf", "image_tiling",
     # caption_curation rotated out late round 4 (r3-green; the joint
     # image+text curation family stays in-cap via image_tiling +

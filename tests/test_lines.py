@@ -392,3 +392,103 @@ def test_segment_intersections_edge_cases(spark):
          None if pd.isna(r.iy_u) else int(r.iy_u))
         for r in got.itertuples(index=False)
     } == set(_brute_intersections(segs))
+
+
+def _brute_pair_intersections(segs_a, segs_b):
+    """Pure-python integer oracle for the two-table join."""
+    rows = []
+    recs_a = [
+        (int(s.road_id), int(s.seg_id),
+         _useg(s.ax), _useg(s.ay), _useg(s.bx), _useg(s.by))
+        for s in segs_a.itertuples(index=False)
+    ]
+    recs_b = [
+        (int(s.road_id), int(s.seg_id),
+         _useg(s.ax), _useg(s.ay), _useg(s.bx), _useg(s.by))
+        for s in segs_b.itertuples(index=False)
+    ]
+    for (r1, s1, x1a, y1a, x1b, y1b) in recs_a:
+        for (r2, s2, x2a, y2a, x2b, y2b) in recs_b:
+            rx, ry = x1b - x1a, y1b - y1a
+            sx, sy = x2b - x2a, y2b - y2a
+            d1 = rx * (y2a - y1a) - ry * (x2a - x1a)
+            d2 = rx * (y2b - y1a) - ry * (x2b - x1a)
+            d3 = sx * (y1a - y2a) - sy * (x1a - x2a)
+            d4 = sx * (y1b - y2a) - sy * (x1b - x2a)
+            proper = ((d1 > 0 > d2) or (d1 < 0 < d2)) and \
+                     ((d3 > 0 > d4) or (d3 < 0 < d4))
+
+            def onseg(px, py, qx, qy, rx_, ry_):
+                return (min(px, qx) <= rx_ <= max(px, qx)
+                        and min(py, qy) <= ry_ <= max(py, qy))
+
+            touch = (
+                (d1 == 0 and onseg(x1a, y1a, x1b, y1b, x2a, y2a))
+                or (d2 == 0 and onseg(x1a, y1a, x1b, y1b, x2b, y2b))
+                or (d3 == 0 and onseg(x2a, y2a, x2b, y2b, x1a, y1a))
+                or (d4 == 0 and onseg(x2a, y2a, x2b, y2b, x1b, y1b))
+            )
+            if proper or touch:
+                rows.append((r1, s1, r2, s2, 1 if proper else 0))
+    return rows
+
+
+def test_segment_pair_join_matches_bruteforce(spark):
+    """Roads x state-boundary edges == brute force, including hole-ring
+    edges; even-crossing parity holds for canvas-spanning roads."""
+    roads = LN.polyline_segments(FX.make_road_features())
+    feats = FX.make_features()
+    feats = feats[(feats.shape_type == 5) & (~feats.deleted)]
+    states = LN.polygon_ring_segments(feats)
+    # hole rings contribute edges (every 5th state has a second ring)
+    multi = feats[feats.ring_sizes.map(len) > 1]
+    assert len(multi) > 0
+    got = (
+        LN.segment_intersections_join(
+            spark.createDataFrame(roads), spark.createDataFrame(states),
+            res=5,
+        )
+        .toPandas()
+    )
+    got_set = {
+        (int(r.id_a), int(r.seg_a), int(r.id_b), int(r.seg_b),
+         int(r.proper_i))
+        for r in got.itertuples(index=False)
+    }
+    exp = set(_brute_pair_intersections(roads, states))
+    assert got_set == exp
+    assert len(got) == len(got_set)  # exactly-once per pair
+    assert len(exp) > 100  # canvas-spanning roads hit many boundaries
+
+
+def test_segment_pair_join_in_out_crossing(spark):
+    """A horizontal line through a closed square crosses its boundary
+    exactly twice (in and out), both proper, at the known x positions."""
+    line = pd.DataFrame(
+        [(1, 0, -10.0, 5.0, 10.0, 5.0)],
+        columns=["road_id", "seg_id", "ax", "ay", "bx", "by"],
+    )
+    square = pd.DataFrame(
+        dict(
+            record_number=[7],
+            shape_type=[5],
+            deleted=[False],
+            xs=[[-2.0, 2.0, 2.0, -2.0, -2.0]],
+            ys=[[3.0, 3.0, 7.0, 7.0, 3.0]],
+            ring_sizes=[[5]],
+        )
+    )
+    edges = LN.polygon_ring_segments(square)
+    assert len(edges) == 4
+    got = (
+        LN.segment_intersections_join(
+            spark.createDataFrame(line), spark.createDataFrame(edges), res=6
+        )
+        .toPandas()
+        .sort_values("ix_u")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert list(got.proper_i) == [1, 1]
+    assert [int(v) for v in got.ix_u] == [-2_000_000, 2_000_000]
+    assert [int(v) for v in got.iy_u] == [5_000_000, 5_000_000]
