@@ -47,7 +47,7 @@ _PRIORITY = [
     # driver-exercised by an in-cap sibling — ledger in COVERAGE.md.
     #
     # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
-    "pip_grid_join", "knn3", "tile_pyramid",
+    "pip_grid_join", "tile_pyramid",
     # round-3 late additions + grid-DBSCAN (never driver-verified)
     "hotspot_clusters", "getis_ord", "nearest_road", "nearest_road_big", "road_buffer",
     "map_match", "trajectory", "vector_outline", "zonal_stats",
@@ -58,7 +58,7 @@ _PRIORITY = [
     "geo_nearest", "geo_within_km", "geo_pairs", "geo_knn_self",
     "geo_polygon_area", "trajectory_geo", "stay_points",
     # raster / density family (never driver-verified)
-    "raster_smooth", "density_contours", "adaptive_grid",
+    "raster_smooth", "density_contours", "adaptive_grid", "idw",
     # geocoder + storage anchors
     "geocode_forward", "merge_upsert",
     # curation / dedup additions (never driver-verified)
@@ -95,7 +95,7 @@ _PRIORITY = [
     "pyramid_delta", "pyramid_update", "wm_tiles", "cell_skew",
     "hourly_gapfill", "epoch_mix", "source_cap",
     "mixture_sample", "quality_deciles", "caption_curation", "sessionize",
-    "bbox_join",
+    "bbox_join", "knn3",
     # relational demos / redundant variants (driver-green r1+r2):
     "vector_stats", "token_count", "quality_score", "top1_per_group",
     "normalize",

@@ -2087,6 +2087,35 @@ def q_border_crossings_oracle() -> str:
     """
 
 
+IDW_RES = 7
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW (Shepard) surface interpolation: a synthetic per-point sensor
+    value (exact integer hash of point_id) interpolated onto the res-7
+    grid — samples key by their own cell (the one 10^12-row shuffle),
+    the bounded in-plan target grid broadcast-explodes its 3x3
+    neighborhood, exact-integer dsq refine at one lat-cell radius, and
+    exactly two textually-identical double divides (weight and final
+    estimate) — operators/raster.py::idw_surface."""
+    from .operators import raster as RA
+
+    pts = _points_df(spark, sf_dir).withColumn(
+        "v_u", F.expr("(point_id * 48271) % 100000")
+    )
+    return RA.idw_surface(spark, pts, res=IDW_RES)
+
+
+def q_idw_oracle() -> str:
+    from .operators import raster as RA
+
+    src = (
+        f"SELECT lng, lat, (point_id * 48271) % 100000 AS v_u\n"
+        f"          FROM ({_points_oracle_cte()})"
+    )
+    return RA.idw_oracle_sql(src, res=IDW_RES)
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -2126,6 +2155,7 @@ QUERIES = {
     "geo_nearest": q_geo_nearest,
     "geo_within_km": q_geo_within_km,
     "raster_smooth": q_raster_smooth,
+    "idw": q_idw,
     "density_contours": q_density_contours,
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
@@ -2175,6 +2205,7 @@ ORACLES = {
     "geo_nearest": q_geo_nearest_oracle(),
     "geo_within_km": q_geo_within_km_oracle(),
     "raster_smooth": q_raster_smooth_oracle(),
+    "idw": q_idw_oracle(),
     "density_contours": q_density_contours_oracle(),
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),

@@ -242,3 +242,191 @@ def density_contours_oracle_sql(
                (x1 - x0 + 1) * (max(yi) - min(yi) + 1) AS n_cells
         FROM v GROUP BY level, x0, x1, vgrp
     """
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted (IDW) surface interpolation
+# ---------------------------------------------------------------------------
+
+IDW_WSCALE = 10 ** 15   # < 2^53: exactly representable, so the one
+IDW_WCAP = 10 ** 9      # double divide sees exact operands
+IDW_MAX_RES = 7         # grid-center µdeg stay exact integers (see below)
+
+
+def _idw_steps(res: int) -> tuple[int, int]:
+    """Integer µdeg cell steps at ``res``. Valid while 360e6 and 180e6
+    are divisible by 2^(res+1) — true through res 7 (x step 2 812 500,
+    y step 1 406 250 µdeg), which keeps every cell-CENTER coordinate an
+    exact BIGINT micro-degree in both engines with no float rounding in
+    the grid at all."""
+    if not 0 <= res <= IDW_MAX_RES:
+        raise ValueError(f"res must be in [0, {IDW_MAX_RES}], got {res}")
+    return 360_000_000 >> res, 180_000_000 >> res
+
+
+def idw_surface(
+    spark,
+    samples: DataFrame,
+    res: int,
+    value_col: str = "v_u",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Shepard inverse-distance-weighted interpolation of a scattered
+    sample field onto the ``res`` grid — the geostatistics staple
+    (sensor fields, air quality, signal strength) between the cell
+    HISTOGRAM (which needs no values) and kriging (which needs a model).
+
+    Estimate per cell center c: sum(w_i v_i) / sum(w_i) over samples
+    within one lat-cell radius, w = 1/d^2. The relational shape is the
+    cell-blocked kernel join: samples key by their OWN cell (the sample
+    table's one shuffle at 10^12 rows), the bounded target-grid side
+    explodes its 3x3 neighborhood and broadcasts, and the radius
+    (one lat-cell step) guarantees the block join loses no in-range
+    pair. Cells with no sample in range emit nothing (unobserved
+    support, like the Gi* frame choice).
+
+    Determinism: sample coords and cell centers integerize to exact
+    µdeg BIGINTs (centers are exact by the res <= 7 constraint), so
+    dsq_u is exact; the weight floor(WSCALE / max(dsq_u, 1)) capped at
+    WCAP and the final floor(sum_wv / sum_w) are the only two float
+    ops, each a single textually-identical double divide on operands
+    both engines hold bit-identically. Sums are BIGINT (order-free);
+    with WCAP = 1e9 and values < 1e6, ~9e3 in-range samples per cell
+    fit int64 with 1000x headroom (document per-deployment).
+
+    Output: (cell, n_samples, sum_w, sum_wv, idw_u).
+    """
+    xstep, ystep = _idw_steps(res)
+    r2_u = ystep * ystep  # radius = one lat cell (the smaller step)
+    n = 1 << res
+    # target grid enumerated IN-PLAN over the canvas of the sample bbox
+    # (bounded dimension side); centers as exact integer µdeg
+    bb = samples.agg(
+        F.min(lng_col).alias("x0"), F.max(lng_col).alias("x1"),
+        F.min(lat_col).alias("y0"), F.max(lat_col).alias("y1"),
+    )
+    xi0 = C.axis_index_sql("x0", 180.0, 360.0, res, "spark")
+    xi1 = C.axis_index_sql("x1", 180.0, 360.0, res, "spark")
+    yi0 = C.axis_index_sql("y0", 90.0, 180.0, res, "spark")
+    yi1 = C.axis_index_sql("y1", 90.0, 180.0, res, "spark")
+    targets = (
+        bb.withColumn("_xi", F.explode(F.expr(f"sequence({xi0}, {xi1})")))
+        .withColumn("_yi", F.explode(F.expr(f"sequence({yi0}, {yi1})")))
+        .selectExpr(
+            f"{C.pack_xy_sql('_xi', '_yi', res, 'spark')} AS cell",
+            f"CAST(-180000000 + _xi * {xstep} + {xstep // 2} AS BIGINT)"
+            " AS cx_u",
+            f"CAST(-90000000 + _yi * {ystep} + {ystep // 2} AS BIGINT)"
+            " AS cy_u",
+            "_xi", "_yi",
+        )
+    )
+    offs = ", ".join(
+        f"struct({dx} as dx, {dy} as dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    tcells = targets.select(
+        "cell", "cx_u", "cy_u",
+        F.expr(f"explode(array({offs}))").alias("_o"),
+        "_xi", "_yi",
+    ).selectExpr(
+        "cell", "cx_u", "cy_u",
+        f"{C.pack_xy_sql('(_xi + _o.dx)', '(_yi + _o.dy)', res, 'spark')}"
+        " AS scell",
+    )
+    smp = samples.selectExpr(
+        f"{C.cell_sql(lng_col, lat_col, res, 'spark')} AS scell",
+        f"CAST(floor({lng_col} * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sx_u",
+        f"CAST(floor({lat_col} * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sy_u",
+        f"CAST({value_col} AS BIGINT) AS v",
+    )
+    dsq = "((sx_u - cx_u) * (sx_u - cx_u) + (sy_u - cy_u) * (sy_u - cy_u))"
+    w = (
+        f"least(CAST({IDW_WCAP} AS BIGINT), "
+        f"CAST(floor(CAST({IDW_WSCALE} AS DOUBLE)"
+        f" / CAST(greatest({dsq}, 1) AS DOUBLE)) AS BIGINT))"
+    )
+    return (
+        smp.join(F.broadcast(tcells), "scell")
+        .where(F.expr(f"{dsq} <= {r2_u}"))
+        .selectExpr("cell", f"{w} AS w_u", "v")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("w_u").alias("sum_w"),
+            F.sum(F.expr("w_u * v")).alias("sum_wv"),
+        )
+        .selectExpr(
+            "cell", "n_samples", "sum_w", "sum_wv",
+            "CAST(floor(CAST(sum_wv AS DOUBLE) / CAST(sum_w AS DOUBLE))"
+            " AS BIGINT) AS idw_u",
+        )
+    )
+
+
+def idw_oracle_sql(
+    source_sql: str,
+    res: int,
+    value_col: str = "v_u",
+) -> str:
+    """DuckDB twin: target grid from generate_series over the sample
+    bbox, brute target x sample pairs (bounded at gate scale), the same
+    two textually-identical double divides."""
+    xstep, ystep = _idw_steps(res)
+    r2_u = ystep * ystep
+    xi0 = C.axis_index_sql("x0", 180.0, 360.0, res, "duckdb")
+    xi1 = C.axis_index_sql("x1", 180.0, 360.0, res, "duckdb")
+    yi0 = C.axis_index_sql("y0", 90.0, 180.0, res, "duckdb")
+    yi1 = C.axis_index_sql("y1", 90.0, 180.0, res, "duckdb")
+    dsq = "((sx_u - cx_u) * (sx_u - cx_u) + (sy_u - cy_u) * (sy_u - cy_u))"
+    w = (
+        f"least(CAST({IDW_WCAP} AS BIGINT), "
+        f"CAST(floor(CAST({IDW_WSCALE} AS DOUBLE)"
+        f" / CAST(greatest({dsq}, 1) AS DOUBLE)) AS BIGINT))"
+    )
+    return f"""
+        WITH pts AS ({source_sql}),
+        bb AS (
+          SELECT min(lng) AS x0, max(lng) AS x1,
+                 min(lat) AS y0, max(lat) AS y1
+          FROM pts
+        ),
+        xs AS (
+          SELECT unnest(generate_series({xi0}, {xi1})) AS xi FROM bb
+        ),
+        ys AS (
+          SELECT unnest(generate_series({yi0}, {yi1})) AS yi FROM bb
+        ),
+        targets AS (
+          SELECT {C.pack_xy_sql('xi', 'yi', res, 'duckdb')} AS cell,
+                 CAST(-180000000 + xi * {xstep} + {xstep // 2} AS BIGINT)
+                   AS cx_u,
+                 CAST(-90000000 + yi * {ystep} + {ystep // 2} AS BIGINT)
+                   AS cy_u
+          FROM xs CROSS JOIN ys
+        ),
+        smp AS (
+          SELECT CAST(floor(lng * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                   AS sx_u,
+                 CAST(floor(lat * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                   AS sy_u,
+                 CAST({value_col} AS BIGINT) AS v
+          FROM pts
+        ),
+        scored AS (
+          SELECT t.cell, {w} AS w_u, s.v
+          FROM targets t JOIN smp s ON {dsq} <= {r2_u}
+        ),
+        agg AS (
+          SELECT cell, count(*)::BIGINT AS n_samples,
+                 CAST(sum(w_u) AS BIGINT) AS sum_w,
+                 CAST(sum(w_u * v) AS BIGINT) AS sum_wv
+          FROM scored GROUP BY cell
+        )
+        SELECT cell, n_samples, sum_w, sum_wv,
+               CAST(floor(CAST(sum_wv AS DOUBLE) / CAST(sum_w AS DOUBLE))
+                    AS BIGINT) AS idw_u
+        FROM agg
+    """

@@ -55,7 +55,9 @@ MUST_BE_IN_CAP = {
     # bbox_join rotated out late round 4 (triple-green; the bbox
     # predicate is load-bearing inside every in-cap spatial join and the
     # PBSM overlays)
-    "pip_grid_join", "knn3", "tile_pyramid",
+    # knn3 rotated out late round 4 (triple-green; the kNN family
+    # stays in-cap via knn_self/geo_knn_self/nearest_road top-k windows)
+    "pip_grid_join", "tile_pyramid",
     "geocode_forward", "merge_upsert", "ann_ivf", "image_tiling",
     # caption_curation rotated out late round 4 (r3-green; the joint
     # image+text curation family stays in-cap via image_tiling +

@@ -240,3 +240,99 @@ def test_adaptive_grid_validation(spark):
         TI.adaptive_grid(None, max_res=0, cap=5)
     with pytest.raises(ValueError):
         TI.adaptive_grid(None, max_res=5, cap=0)
+
+
+# ---------------------------------------------------------------------------
+# IDW surface interpolation
+# ---------------------------------------------------------------------------
+
+def _idw_numpy(pdf, res):
+    """Python twin of idw_surface: exact integer dsq, the same two
+    float64 divides (IEEE-identical to both engines)."""
+    from gis_shapefile_spark.operators import raster as RA
+
+    xstep, ystep = RA._idw_steps(res)
+    r2 = ystep * ystep
+    n = 1 << res
+    sx = np.floor(pdf.lng.values * 1e6).astype(np.int64)
+    sy = np.floor(pdf.lat.values * 1e6).astype(np.int64)
+    v = pdf.v_u.values.astype(np.int64)
+    xi = np.clip(((pdf.lng.values + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    yi = np.clip(((pdf.lat.values + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    out = {}
+    for gx in range(xi.min(), xi.max() + 1):
+        for gy in range(yi.min(), yi.max() + 1):
+            cx = -180_000_000 + gx * xstep + xstep // 2
+            cy = -90_000_000 + gy * ystep + ystep // 2
+            dsq = (sx - cx) ** 2 + (sy - cy) ** 2
+            m = dsq <= r2
+            if not m.any():
+                continue
+            w = np.minimum(
+                10 ** 9,
+                np.floor(
+                    np.float64(10 ** 15) / np.maximum(dsq[m], 1).astype(np.float64)
+                ).astype(np.int64),
+            )
+            sum_w, sum_wv = int(w.sum()), int((w * v[m]).sum())
+            out[(gx, gy)] = (
+                int(m.sum()), sum_w, sum_wv,
+                int(np.floor(np.float64(sum_wv) / np.float64(sum_w))),
+            )
+    return out
+
+
+def test_idw_matches_numpy_oracle(spark):
+    from gis_shapefile_spark.operators import raster as RA
+
+    rng = np.random.default_rng(3)
+    n = 500
+    pdf = pd.DataFrame(
+        dict(
+            lng=rng.uniform(-100, -90, n),
+            lat=rng.uniform(30, 38, n),
+            v_u=rng.integers(0, 100000, n),
+        )
+    )
+    got = RA.idw_surface(spark, spark.createDataFrame(pdf), res=7).toPandas()
+    exp = _idw_numpy(pdf, 7)
+    assert len(got) == len(exp) > 15
+
+    def compact(v):
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        return (v | (v >> 16)) & ((1 << 26) - 1)
+
+    for r in got.itertuples(index=False):
+        morton = int(r.cell) & ((1 << 52) - 1)
+        key = (compact(morton), compact(morton >> 1))
+        assert key in exp, key
+        assert (int(r.n_samples), int(r.sum_w), int(r.sum_wv),
+                int(r.idw_u)) == exp[key]
+
+
+def test_idw_constant_field_and_center_sample(spark):
+    """A uniform-value field interpolates to exactly that value in every
+    cell, and a sample AT a cell center (dsq 0 -> clamped 1 -> weight
+    capped) does not blow up."""
+    from gis_shapefile_spark.operators import raster as RA
+
+    res = 6
+    xstep, ystep = RA._idw_steps(res)
+    # sample exactly at the center of cell (40, 30) + a ring of others
+    cx = (-180_000_000 + 40 * xstep + xstep // 2) / 1e6
+    cy = (-90_000_000 + 30 * ystep + ystep // 2) / 1e6
+    pdf = pd.DataFrame(
+        dict(
+            lng=[cx, cx + 0.3, cx - 0.3, cx, cx],
+            lat=[cy, cy, cy, cy + 0.3, cy - 0.3],
+            v_u=[777] * 5,
+        )
+    )
+    got = RA.idw_surface(spark, spark.createDataFrame(pdf), res=res).toPandas()
+    assert len(got) > 0
+    assert (got.idw_u == 777).all()
+    assert int(got.sum_w.max()) >= 10 ** 9  # the capped center weight
