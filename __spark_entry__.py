@@ -78,7 +78,12 @@ _PRIORITY = [
     # stay_points/od_matrix)
     # ANALYZE-style column profile (never driver-verified)
     "table_stats",
-    # ---- position 51+ from here: every entry below has a driver-green
+    # ---- position 51+ from here ----
+    # ROUND-5 QUEUE: added after the cap filled with never-green entries;
+    # vouched by the local oracle gate + pytest, queued for the round-5
+    # rotation (the contract test pins this list against the artifacts)
+    "emerging_hotspots",
+    # every entry below has a driver-green
     # row in a NAMED prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
     # COVERAGE.md); all remain runnable via tools/check_correctness.py ----
     # displaced by the late-round-4 full rotation (all r3-green):

@@ -1378,6 +1378,41 @@ HOTSPOT_RES = 6
 HOTSPOT_MIN = 12
 
 
+EMERGING_RES = 6
+EMERGING_BUCKET_S = 86400
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (space-time cube): per res-6 cell, the
+    Mann-Kendall monotone-trend z over its DAILY event-count series
+    across the 30-day window — which cells are intensifying vs cooling,
+    with the tie-group variance correction count data demands. S, T,
+    and tie terms exact BIGINTs; one identical-text double z
+    (operators/clustering.py::emerging_hotspots)."""
+    from .operators.clustering import emerging_hotspots
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return emerging_hotspots(
+        ev, res=EMERGING_RES, bucket_s=EMERGING_BUCKET_S
+    )
+
+
+def q_emerging_hotspots_oracle() -> str:
+    from .operators.clustering import emerging_hotspots_sql
+
+    src = (
+        f"SELECT ts, {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat\n"
+        f"          FROM events"
+    )
+    return emerging_hotspots_sql(
+        src, res=EMERGING_RES, bucket_s=EMERGING_BUCKET_S
+    )
+
+
 def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-scores over the image table at res 6 —
     the inferential twin of hotspot_clusters: every occupied cell gets
@@ -3293,6 +3328,7 @@ QUERIES = {
     "hotspot_clusters": q_hotspot_clusters,
     "od_matrix": q_od_matrix,
     "getis_ord": q_getis_ord,
+    "emerging_hotspots": q_emerging_hotspots,
     "wds_roundtrip": q_wds_roundtrip,
     "ar_bucket": q_ar_bucket,
     "caption_curation": q_caption_curation,
@@ -3364,6 +3400,7 @@ ORACLES = {
     "hotspot_clusters": q_hotspot_clusters_oracle(),
     "od_matrix": q_od_matrix_oracle(),
     "getis_ord": q_getis_ord_oracle(),
+    "emerging_hotspots": q_emerging_hotspots_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),
     "ar_bucket": q_ar_bucket_oracle(),
     "caption_curation": q_caption_curation_oracle(),

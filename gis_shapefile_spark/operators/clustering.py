@@ -325,3 +325,191 @@ def getis_ord_sql(
         JOIN nbagg nb ON nb.cell = h.cell
         CROSS JOIN frame
     """
+
+
+# ---------------------------------------------------------------------------
+# Emerging hotspots: Mann-Kendall trend per cell over the space-time cube
+# ---------------------------------------------------------------------------
+
+def mk_z_u_sql() -> str:
+    """Mann-Kendall z as ONE identical-text expression over exact
+    BIGINT inputs (s_stat, var18 = 18*Var(S)): the continuity-corrected
+    (S -/+ 1)/sqrt(Var), 0 at S = 0, NULL when the variance degenerates
+    (constant series). floor(z * 1e6)."""
+    sd = "sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    up = f"(CAST(s_stat - 1 AS DOUBLE) / {sd})"
+    dn = f"(CAST(s_stat + 1 AS DOUBLE) / {sd})"
+    return (
+        "CASE WHEN var18 <= 0 THEN NULL "
+        "WHEN s_stat = 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN s_stat > 0 THEN CAST(floor({up} * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT) "
+        f"ELSE CAST(floor({dn} * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+    )
+
+
+def emerging_hotspots(
+    events: DataFrame,
+    res: int,
+    bucket_s: int = 86400,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Space-time-cube trend analysis (the "Emerging Hot Spot" tool):
+    per cell, the Mann-Kendall monotone-trend test over its time series
+    of per-bucket counts — is activity in this cell RISING or FALLING
+    across the observation window, beyond what ties/noise explain.
+    Positive mk_z_u ~ intensifying (an emerging hotspot), negative ~
+    cooling.
+
+    Statistic (classical MK): S = sum over bucket pairs i < j of
+    sign(x_j - x_i); Var(S) = [T(T-1)(2T+5) - sum_g t_g(t_g-1)(2t_g+5)]
+    / 18 with the tie-group correction (essential on count data);
+    z = (S -/+ 1)/sqrt(Var). S, T, and the tie term are exact BIGINTs;
+    z is the single identical-text double expression.
+
+    Series are DENSE: every occupied cell gets every bucket in the
+    global [first, last] range, missing buckets count 0 — a cell active
+    only on day 1 must TREND DOWN, which an observed-buckets-only
+    series would miss.
+
+    Scale shape: the event table pays ONE (cell, bucket) partial-agg
+    shuffle; the dense series (occupied cells x T buckets, enumerated
+    in-plan from the one-row global range), the O(T^2)-per-cell pair
+    join (the classical statistic's documented cost — T is days/weeks,
+    bounded), and the tie aggregation all run on the bounded cube.
+
+    Output: (cell, n_obs, s_stat, var18, mk_z_u); n_obs = nonzero
+    buckets.
+    """
+    if not 0 <= res <= 25:
+        raise ValueError(f"res must be in [0, 25], got {res}")
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    hb = (
+        f"CAST(floor(CAST(__ep AS DOUBLE) / CAST({int(bucket_s)} AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+    hist = (
+        events.withColumn("__ep", F.unix_timestamp(F.col(ts_col)))
+        .groupBy(
+            F.expr(C.cell_sql(lng_col, lat_col, res, "spark")).alias("cell"),
+            F.expr(hb).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)  # cube referenced 4x below
+    )
+    rng = hist.agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    cells = hist.select("cell").distinct()
+    dense = (
+        cells.crossJoin(F.broadcast(rng))
+        .withColumn("b", F.explode(F.expr("sequence(b0, b1)")))
+        .select("cell", "b")
+        .join(hist, ["cell", "b"], "left")
+        .withColumn("x", F.coalesce("x", F.lit(0)))
+        .localCheckpoint(eager=True)  # referenced 3x (pairs both sides, ties)
+    )
+    a = dense.selectExpr("cell", "b AS ba", "x AS xa")
+    bb = dense.selectExpr("cell", "b AS bb", "x AS xb")
+    s_tab = (
+        a.join(bb, "cell")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN xb > xa THEN 1 WHEN xb < xa THEN -1 "
+                    "ELSE 0 END"
+                )
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        dense.groupBy("cell", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie18"),
+            F.sum("t").alias("n_t"),
+            F.sum(F.expr("CASE WHEN x > 0 THEN t ELSE 0 END")).alias("n_obs"),
+        )
+    )
+    return (
+        s_tab.join(ties, "cell")
+        .selectExpr(
+            "cell",
+            "CAST(n_obs AS BIGINT) AS n_obs",
+            "CAST(s_stat AS BIGINT) AS s_stat",
+            "CAST(n_t * (n_t - 1) * (2 * n_t + 5) - tie18 AS BIGINT)"
+            " AS var18",
+        )
+        .selectExpr(
+            "cell", "n_obs", "s_stat", "var18",
+            f"{mk_z_u_sql()} AS mk_z_u",
+        )
+    )
+
+
+def emerging_hotspots_sql(
+    source_sql: str,
+    res: int,
+    bucket_s: int = 86400,
+) -> str:
+    """DuckDB twin over a (lng, lat, ts) source: identical cell/bucket
+    SQL, generate_series dense cube, identical pair/tie/z SQL."""
+    cell = C.cell_sql("lng", "lat", res, "duckdb")
+    hb = (
+        f"CAST(floor(CAST(ep AS DOUBLE) / CAST({int(bucket_s)} AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+    return f"""
+        WITH pts AS ({source_sql}),
+        hist AS (
+          SELECT {cell} AS cell, {hb} AS b, count(*)::BIGINT AS x
+          FROM (SELECT lng, lat,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                FROM pts)
+          GROUP BY 1, 2
+        ),
+        rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM hist),
+        dense AS (
+          SELECT c.cell, g.b, coalesce(h.x, 0) AS x
+          FROM (SELECT DISTINCT cell FROM hist) c
+          CROSS JOIN (
+            SELECT unnest(generate_series(b0, b1)) AS b FROM rng
+          ) g
+          LEFT JOIN hist h ON h.cell = c.cell AND h.b = g.b
+        ),
+        s_tab AS (
+          SELECT a.cell,
+                 CAST(sum(CASE WHEN b2.x > a.x THEN 1
+                               WHEN b2.x < a.x THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM dense a JOIN dense b2
+            ON a.cell = b2.cell AND a.b < b2.b
+          GROUP BY a.cell
+        ),
+        ties AS (
+          SELECT cell,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+                 CAST(sum(t) AS BIGINT) AS n_t,
+                 CAST(sum(CASE WHEN x > 0 THEN t ELSE 0 END) AS BIGINT)
+                   AS n_obs
+          FROM (
+            SELECT cell, x, count(*)::BIGINT AS t
+            FROM dense GROUP BY cell, x
+          )
+          GROUP BY cell
+        ),
+        scored AS (
+          SELECT s.cell, t.n_obs, s.s_stat,
+                 CAST(t.n_t * (t.n_t - 1) * (2 * t.n_t + 5) - t.tie18
+                      AS BIGINT) AS var18
+          FROM s_tab s JOIN ties t ON t.cell = s.cell
+        )
+        SELECT cell, n_obs, s_stat, var18, {mk_z_u_sql()} AS mk_z_u
+        FROM scored
+    """

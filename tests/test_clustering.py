@@ -233,3 +233,94 @@ def test_getis_ord_matches_numpy_oracle(spark):
 def _cell_center(gx: int, gy: int, res: int) -> tuple[float, float]:
     n = 1 << res
     return (-180.0 + (gx + 0.5) * 360.0 / n, -90.0 + (gy + 0.5) * 180.0 / n)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall emerging hotspots
+# ---------------------------------------------------------------------------
+
+def _mk_python(series):
+    """Textbook MK with tie correction over one dense series."""
+    T = len(series)
+    s = sum(
+        (1 if series[j] > series[i] else -1 if series[j] < series[i] else 0)
+        for i in range(T) for j in range(i + 1, T)
+    )
+    from collections import Counter
+
+    ties = Counter(series)
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = T * (T - 1) * (2 * T + 5) - tie18
+    if var18 <= 0:
+        z = None
+    elif s == 0:
+        z = 0.0
+    else:
+        sd = np.sqrt(var18 / 18.0)
+        z = (s - 1) / sd if s > 0 else (s + 1) / sd
+    return s, var18, z
+
+
+def test_emerging_hotspots_matches_python_mk(spark):
+    """Planted per-cell series: monotone rising, monotone falling,
+    constant (degenerate variance -> NULL), and a bursty tie-heavy
+    series — engine == textbook MK for every cell."""
+    import datetime as dt
+
+    from gis_shapefile_spark.operators.clustering import emerging_hotspots
+
+    res = 6
+    n = 1 << res
+
+    def center(gx, gy):
+        return (-180.0 + (gx + 0.5) * 360.0 / n,
+                -90.0 + (gy + 0.5) * 180.0 / n)
+
+    day0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    series = {
+        (10, 10): [1, 2, 3, 4, 5, 6, 7, 8],        # rising
+        (12, 10): [8, 7, 6, 5, 4, 3, 2, 1],        # falling
+        (14, 10): [3, 3, 3, 3, 3, 3, 3, 3],        # constant -> NULL z
+        (16, 10): [0, 5, 0, 5, 0, 5, 0, 5],        # bursty ties
+        (18, 10): [2, 0, 0, 0, 0, 0, 0, 0],        # day-1 only -> falls
+    }
+    rows = []
+    for (gx, gy), xs in series.items():
+        lng, lat = center(gx, gy)
+        for d, cnt in enumerate(xs):
+            for k in range(cnt):
+                rows.append((lng, lat, day0 + dt.timedelta(days=d,
+                                                           seconds=k)))
+    pdf = pd.DataFrame(rows, columns=["lng", "lat", "ts"])
+    got = emerging_hotspots(
+        spark.createDataFrame(pdf), res=res, bucket_s=86400
+    ).toPandas()
+    assert len(got) == len(series)
+
+    def _compact2(v):
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        return (v | (v >> 16)) & ((1 << 26) - 1)
+
+    for r in got.itertuples(index=False):
+        m = int(r.cell) & ((1 << 52) - 1)
+        key = (_compact2(m), _compact2(m >> 1))
+        xs = series[key]
+        s, var18, z = _mk_python(xs)
+        assert (int(r.s_stat), int(r.var18)) == (s, var18), key
+        assert int(r.n_obs) == sum(1 for x in xs if x > 0)
+        if z is None:
+            assert pd.isna(r.mk_z_u), key
+        else:
+            assert abs(int(r.mk_z_u) - np.floor(z * 1e6)) <= 1, key
+    # signs land where planted
+    by_key = {}
+    for r in got.itertuples(index=False):
+        m = int(r.cell) & ((1 << 52) - 1)
+        by_key[(_compact2(m), _compact2(m >> 1))] = r
+    assert int(by_key[(10, 10)].mk_z_u) > 2_000_000
+    assert int(by_key[(12, 10)].mk_z_u) < -2_000_000
+    assert int(by_key[(18, 10)].mk_z_u) < 0  # dense zeros force the fall
