@@ -577,6 +577,70 @@ OD_RES = 7
 OD_BUCKET_S = 3600
 
 
+HEADING_SECTORS = 8
+
+
+def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant travel direction per device: 8-sector compass histogram
+    of successive-fix great-circle bearings (circular-data-safe modal
+    direction, not a meaningless heading mean) — commute-axis/bot
+    screening. Bearings integerize at 1e-3 deg (the measured JVM-vs-
+    libm atan2 ulp margin, see operators/trajectory.py)."""
+    from .operators import trajectory as TJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return TJ.heading_profile(ev, n_sectors=HEADING_SECTORS)
+
+
+def q_heading_profile_oracle() -> str:
+    from .operators import trajectory as TJ
+
+    width = 360000 // HEADING_SECTORS
+    sector = (
+        f"CAST(floor(CAST({TJ.bearing_mdeg_sql('yp', 'xp', 'lat', 'lng')}"
+        f" AS DOUBLE) / CAST({width} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+        WITH pos AS (
+          SELECT user_id, event_id, ts,
+                 {TRAJ_LNG_SQL} AS lng, {TRAJ_LAT_SQL} AS lat
+          FROM events
+        ),
+        lagged AS (
+          SELECT user_id, lng, lat,
+                 lag(lng) OVER w AS xp, lag(lat) OVER w AS yp
+          FROM pos
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hops AS (
+          SELECT user_id, {sector} AS sector
+          FROM lagged
+          WHERE xp IS NOT NULL AND (xp <> lng OR yp <> lat)
+        ),
+        hist AS (
+          SELECT user_id, sector, count(*)::BIGINT AS n
+          FROM hops GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT user_id, sector, n,
+                 sum(n) OVER (PARTITION BY user_id) AS n_hops,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, sector
+                 ) AS rk
+          FROM hist
+        )
+        SELECT user_id, sector AS dominant_sector, n AS n_in_sector,
+               CAST(n_hops AS BIGINT) AS n_hops
+        FROM ranked WHERE rk = 1
+    """
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination flow matrix over geotagged events: per
     (device, hour) the trip's first-fix cell -> last-fix cell at res 7,
@@ -3327,6 +3391,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "hotspot_clusters": q_hotspot_clusters,
     "od_matrix": q_od_matrix,
+    "heading_profile": q_heading_profile,
     "getis_ord": q_getis_ord,
     "emerging_hotspots": q_emerging_hotspots,
     "wds_roundtrip": q_wds_roundtrip,
@@ -3399,6 +3464,7 @@ ORACLES = {
     "ann_recall": q_ann_recall_oracle(),
     "hotspot_clusters": q_hotspot_clusters_oracle(),
     "od_matrix": q_od_matrix_oracle(),
+    "heading_profile": q_heading_profile_oracle(),
     "getis_ord": q_getis_ord_oracle(),
     "emerging_hotspots": q_emerging_hotspots_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),

