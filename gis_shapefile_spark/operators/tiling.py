@@ -697,3 +697,185 @@ def adaptive_grid_oracle_sql(
             f"WHERE p.n > {cap}{extra}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# Vector-tile clipping (Sutherland-Hodgman against tile boxes)
+# ---------------------------------------------------------------------------
+
+def clip_ring_to_box(xs, ys, minx, miny, maxx, maxy):
+    """Sutherland-Hodgman clip of one CLOSED ring (last vertex == first)
+    against an axis-aligned box; returns the clipped CLOSED ring (or
+    empty arrays). Output may contain coincident boundary-run edges for
+    non-convex subjects — the classical S-H degeneracy — but its
+    shoelace area is still EXACTLY the subject∩box area, which is what
+    the tile pipeline consumes."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]  # open form
+    pts = list(zip(xs.tolist(), ys.tolist()))
+
+    def clip_half(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, prv = pts[i], pts[i - 1]
+            cin, pin = inside(cur), inside(prv)
+            if cin:
+                if not pin:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prv, cur))
+        return out
+
+    def ix_at_x(x0):
+        def f(p, q):
+            t = (x0 - p[0]) / (q[0] - p[0])
+            return (x0, p[1] + t * (q[1] - p[1]))
+        return f
+
+    def ix_at_y(y0):
+        def f(p, q):
+            t = (y0 - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), y0)
+        return f
+
+    pts = clip_half(pts, lambda p: p[0] >= minx, ix_at_x(minx))
+    if pts:
+        pts = clip_half(pts, lambda p: p[0] <= maxx, ix_at_x(maxx))
+    if pts:
+        pts = clip_half(pts, lambda p: p[1] >= miny, ix_at_y(miny))
+    if pts:
+        pts = clip_half(pts, lambda p: p[1] <= maxy, ix_at_y(maxy))
+    if len(pts) < 3:
+        return np.empty(0), np.empty(0)
+    cx = np.array([p[0] for p in pts] + [pts[0][0]])
+    cy = np.array([p[1] for p in pts] + [pts[0][1]])
+    return cx, cy
+
+
+def _shoelace2(xs, ys):
+    if len(xs) < 4:
+        return 0.0
+    return float(
+        np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])
+    )
+
+
+def clip_polygons_to_tiles(
+    spark: SparkSession,
+    features_pdf: pd.DataFrame,
+    res: int,
+    max_cells_per_feature: int = 512,
+) -> DataFrame:
+    """The vector-TILE cut: every polygon clipped to each covering tile
+    box — the stage between outline simplification (``simplify_vw`` /
+    ``vector_outline``) and tile encode that an MVT-style pipeline
+    needs (a client fetching tile z/x/y must receive geometry CLOSED at
+    the tile boundary, not the whole continent's ring).
+
+    Same distributed shape as ``rasterize_polygons``: the bounded
+    dimension side explodes to (feature, covering-cell) tasks,
+    repartitioned by cell so a continent-sized polygon clips in
+    parallel across executors; the clip itself is Sutherland-Hodgman
+    per ring (shell and holes keep their positional roles) inside an
+    Arrow-batched ``mapInPandas`` — vertices per ring are bounded, the
+    batch is the vector unit. Not SQL-expressible (the clip is a
+    sequential 4-pass edge traversal), so this operator is
+    pytest-vouched by its conservation law: tile boxes partition the
+    plane, so the SUM of clipped areas over a polygon's tiles equals
+    the polygon's area exactly (S-H's boundary-run degeneracies cancel
+    in the shoelace) — checked to float tolerance per feature, plus
+    containment and empty-tile emptiness.
+
+    Output: (cell, record_number, n_rings, xs, ys, ring_sizes, area2)
+    — one row per (tile, feature) with a NON-EMPTY clip; ``area2`` is
+    the shoelace 2A of shell minus holes in the clipped frame.
+    """
+    feats = features_pdf[features_pdf["shape_type"] == 5]
+    tasks = []
+    for _, r in feats.iterrows():
+        cov = C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], res)
+        if len(cov) > max_cells_per_feature:
+            raise ValueError(
+                f"feature {r['record_number']} covers {len(cov)} cells at "
+                f"res {res}; lower res or raise the cap"
+            )
+        for cell in cov:
+            tasks.append(
+                (
+                    int(cell),
+                    int(r["record_number"]),
+                    list(map(float, r["xs"])),
+                    list(map(float, r["ys"])),
+                    [int(s) for s in r["ring_sizes"]],
+                )
+            )
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame(
+            tasks, columns=["cell", "record_number", "xs", "ys", "ring_sizes"]
+        )
+    ).repartition("cell")
+
+    schema = (
+        "cell long, record_number long, n_rings long, xs array<double>, "
+        "ys array<double>, ring_sizes array<int>, area2 double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, t in pdf.iterrows():
+                minx, miny, maxx, maxy = (
+                    float(v[0]) for v in C.cell_bounds(np.asarray([t["cell"]]))
+                )
+                sizes = [int(s) for s in t["ring_sizes"]]
+                offs = np.cumsum([0] + sizes)
+                xs_all = np.asarray(t["xs"], np.float64)
+                ys_all = np.asarray(t["ys"], np.float64)
+                # shell first: if the shell misses the box entirely, the
+                # holes cannot intersect it either (holes ⊆ shell)
+                sx, sy = clip_ring_to_box(
+                    xs_all[offs[0]: offs[1]], ys_all[offs[0]: offs[1]],
+                    minx, miny, maxx, maxy,
+                )
+                if len(sx) == 0:
+                    continue
+                out_x, out_y = sx.tolist(), sy.tolist()
+                out_sizes = [len(sx)]
+                area2 = abs(_shoelace2(sx, sy))
+                for i in range(1, len(sizes)):
+                    cx, cy = clip_ring_to_box(
+                        xs_all[offs[i]: offs[i + 1]],
+                        ys_all[offs[i]: offs[i + 1]],
+                        minx, miny, maxx, maxy,
+                    )
+                    if len(cx) == 0:
+                        continue
+                    area2 -= abs(_shoelace2(cx, cy))
+                    out_x.extend(cx.tolist())
+                    out_y.extend(cy.tolist())
+                    out_sizes.append(len(cx))
+                rows.append(
+                    (
+                        int(t["cell"]),
+                        int(t["record_number"]),
+                        len(out_sizes),
+                        out_x,
+                        out_y,
+                        out_sizes,
+                        area2,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "cell", "record_number", "n_rings", "xs", "ys",
+                        "ring_sizes", "area2",
+                    ],
+                )
+
+    return tasks_df.mapInPandas(fn, schema)

@@ -132,3 +132,105 @@ def test_tile_bounds_roundtrip():
     # bounds are strictly ordered and nest within the world
     assert (w < e).all() and (s < n_).all()
     assert (w >= -180.0).all() and (e <= 180.0 + 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# vector-tile clipping (Sutherland-Hodgman)
+# ---------------------------------------------------------------------------
+
+def test_clip_ring_square_quadrants():
+    """A unit square clipped by each quadrant of a 2x2 box yields the
+    expected sub-squares with exact areas."""
+    import numpy as np
+
+    from gis_shapefile_spark.operators.tiling import (
+        _shoelace2, clip_ring_to_box,
+    )
+
+    xs = np.array([0.0, 2.0, 2.0, 0.0, 0.0])
+    ys = np.array([0.0, 0.0, 2.0, 2.0, 0.0])
+    for (mx, my) in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        cx, cy = clip_ring_to_box(xs, ys, mx, my, mx + 1, my + 1)
+        assert abs(abs(_shoelace2(cx, cy)) - 2.0) < 1e-12  # 2A of a 1x1
+        assert cx.min() >= mx - 1e-12 and cx.max() <= mx + 1 + 1e-12
+    # a disjoint box clips to nothing
+    cx, cy = clip_ring_to_box(xs, ys, 5, 5, 6, 6)
+    assert len(cx) == 0
+    # a box containing the ring returns it unchanged (closed)
+    cx, cy = clip_ring_to_box(xs, ys, -1, -1, 3, 3)
+    assert abs(abs(_shoelace2(cx, cy)) - 8.0) < 1e-12
+    assert cx[0] == cx[-1] and cy[0] == cy[-1]
+
+
+def test_clip_polygons_to_tiles_conserves_area(spark):
+    """Tile boxes partition the plane, so per feature the SUM of
+    clipped areas over its tiles equals its own shell-minus-holes
+    area — the conservation law that vouches the whole operator
+    (S-H boundary-run degeneracies cancel in the shoelace)."""
+    import numpy as np
+
+    from gis_shapefile_spark.operators.tiling import (
+        _shoelace2, clip_polygons_to_tiles,
+    )
+    from gis_shapefile_spark.sources import fixtures as FX
+
+    feats = FX.make_features()
+    feats = feats[(feats.shape_type == 5) & (~feats.deleted)]
+    res = 5
+    out = clip_polygons_to_tiles(spark, feats, res=res).toPandas()
+    assert len(out) > 51  # multi-tile features exist at res 5
+    got_area = out.groupby("record_number").area2.sum()
+    for _, r in feats.iterrows():
+        sizes = [int(s) for s in r["ring_sizes"]]
+        offs = np.cumsum([0] + sizes)
+        xs = np.asarray(r["xs"], np.float64)  # r.xs is Series.xs (method)
+        ys = np.asarray(r["ys"], np.float64)
+        a2 = abs(_shoelace2(xs[offs[0]:offs[1]], ys[offs[0]:offs[1]]))
+        for i in range(1, len(sizes)):
+            a2 -= abs(_shoelace2(xs[offs[i]:offs[i + 1]],
+                                 ys[offs[i]:offs[i + 1]]))
+        assert abs(got_area[int(r["record_number"])] - a2) < 1e-9, \
+            r["record_number"]
+    # every clipped vertex lies inside its tile box
+    from gis_shapefile_spark.functions import cells as C
+
+    for _, row in out.head(50).iterrows():
+        minx, miny, maxx, maxy = (
+            float(v[0]) for v in C.cell_bounds(np.asarray([row.cell]))
+        )
+        assert min(row["xs"]) >= minx - 1e-9 \
+            and max(row["xs"]) <= maxx + 1e-9
+        assert min(row["ys"]) >= miny - 1e-9 \
+            and max(row["ys"]) <= maxy + 1e-9
+
+
+def test_clip_polygons_hole_spanning_tiles(spark):
+    """A ring with a hole clipped across a 2-tile split keeps the hole
+    subtracted on both sides (positional roles survive the clip)."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_shapefile_spark.operators.tiling import clip_polygons_to_tiles
+
+    # shell 10x4 centered on a tile boundary at res 4 (tiles 22.5 x 11.25
+    # deg); hole 4x2 straddling the same boundary
+    feats = pd.DataFrame(
+        [
+            dict(
+                record_number=1,
+                shape_type=5,
+                deleted=False,
+                xs=[-5.0, 5.0, 5.0, -5.0, -5.0, -2.0, 2.0, 2.0, -2.0, -2.0],
+                ys=[10.0, 10.0, 14.0, 14.0, 10.0, 11.0, 11.0, 13.0, 13.0,
+                    11.0],
+                ring_sizes=[5, 5],
+                minx=-5.0, miny=10.0, maxx=5.0, maxy=14.0,
+            )
+        ]
+    )
+    out = clip_polygons_to_tiles(spark, feats, res=4).toPandas()
+    # res-4 tile boundaries at x=0 AND y=11.25 both cross it: 4 tiles
+    assert len(out) == 4
+    assert sorted(out.n_rings) == [2, 2, 2, 2]  # hole on every side
+    total = out.area2.sum()
+    assert abs(total - ((10 * 4 - 4 * 2) * 2)) < 1e-9  # 2A of 40-8
