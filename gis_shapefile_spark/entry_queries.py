@@ -2116,6 +2116,32 @@ def q_idw_oracle() -> str:
     return RA.idw_oracle_sql(src, res=IDW_RES)
 
 
+RIPLEY_RADII = (0.25, 0.5, 1.0)
+# CONUS canvas area in deg^2 (fixtures.CANVAS: 59 x 26)
+RIPLEY_AREA = 59.0 * 26.0
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K at three radii over the image points — the multi-SCALE
+    point-pattern statistic (clustered vs CSR vs dispersed, and at
+    which scale): ONE big-big pair join at max(r), every radius a
+    conditional sum over the same pair table; naive/uncorrected K
+    documented (operators/clustering.py::ripley_k)."""
+    from .operators.clustering import ripley_k
+
+    return ripley_k(
+        _points_df(spark, sf_dir), radii=RIPLEY_RADII, area=RIPLEY_AREA
+    )
+
+
+def q_ripley_k_oracle() -> str:
+    from .operators.clustering import ripley_k_oracle_sql
+
+    return ripley_k_oracle_sql(
+        _points_oracle_cte(), radii=RIPLEY_RADII, area=RIPLEY_AREA
+    )
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -2159,6 +2185,7 @@ QUERIES = {
     "density_contours": q_density_contours,
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
+    "ripley_k": q_ripley_k,
     "knn_self": q_knn_self,
     "geo_pairs": q_geo_pairs,
     "geo_knn_self": q_geo_knn_self,
@@ -2209,6 +2236,7 @@ ORACLES = {
     "density_contours": q_density_contours_oracle(),
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),
+    "ripley_k": q_ripley_k_oracle(),
     "knn_self": q_knn_self_oracle(),
     "geo_pairs": q_geo_pairs_oracle(),
     "geo_knn_self": q_geo_knn_self_oracle(),

@@ -513,3 +513,137 @@ def emerging_hotspots_sql(
         SELECT cell, n_obs, s_stat, var18, {mk_z_u_sql()} AS mk_z_u
         FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K function (multi-scale point-pattern statistics)
+# ---------------------------------------------------------------------------
+
+def ripley_k(
+    points: DataFrame,
+    radii: tuple[float, ...],
+    area: float,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Ripley's K at a radius ladder — the classical multi-SCALE
+    point-pattern statistic (is the pattern clustered, random, or
+    dispersed, and AT WHICH scale): K(r) = A/(n(n-1)) * #{ordered pairs
+    within r}, compared against the CSR expectation pi*r^2. Gi*/MK say
+    where and when; K says at what scale — the remaining axis.
+
+    One big-big pair join at max(radii) (the ``point_pairs`` 3x3
+    neighbor-cell machinery — each unordered pair exactly once), then
+    every radius is a CONDITIONAL SUM over the same pair table: one
+    extra radius costs one counter, not one join. A single-row
+    aggregate joins the point count; everything stays exact integers
+    except the one identical-text double K expression.
+
+    Naive (uncorrected) K, documented: no border correction — fine for
+    engine-internal comparisons on a shared frame; Ripley's isotropic
+    correction needs per-pair boundary arcs and is out of scope.
+
+    Output per radius: (r_u, n_points, n_pairs, k_u, csr_u) with r_u =
+    floor(r*1e6), k_u = floor(K*1e12), csr_u = floor(pi*r^2*1e12).
+    """
+    import math
+
+    from . import spatial_join as SJ
+    from ..functions.litsql import double_literal
+
+    if not radii or any(r <= 0 for r in radii):
+        raise ValueError(f"radii must be positive, got {radii}")
+    if area <= 0:
+        raise ValueError(f"area must be > 0, got {area}")
+    rmax = max(radii)
+    pairs = SJ.within_distance_self_join(
+        points, distance=rmax, id_col=id_col,
+        lng_col=lng_col, lat_col=lat_col,
+    )
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN dist_u <= {int(math.floor(r * 1e6))} "
+                   f"THEN 1 ELSE 0 END")
+        ).alias(f"_c{i}")
+        for i, r in enumerate(radii)
+    ]
+    cnts = pairs.agg(*aggs)
+    npts = points.agg(F.count(F.lit(1)).alias("n_points"))
+    joined = cnts.crossJoin(npts)
+    a_lit = double_literal(area)
+    rows = []
+    for i, r in enumerate(radii):
+        k_expr = (
+            f"CAST(floor(CAST(2 * coalesce(_c{i}, 0) AS DOUBLE) * {a_lit}"
+            f" / (CAST(n_points AS DOUBLE)"
+            f" * CAST(n_points - 1 AS DOUBLE))"
+            f" * CAST(1000000000000 AS DOUBLE)) AS BIGINT)"
+        )
+        csr = int(math.floor(math.pi * r * r * 1e12))
+        rows.append(
+            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
+            f"CAST(n_points AS BIGINT) AS n_points, "
+            f"CAST(2 * coalesce(_c{i}, 0) AS BIGINT) AS n_pairs, "
+            f"{k_expr} AS k_u, "
+            f"CAST({csr} AS BIGINT) AS csr_u"
+        )
+    # one-row frame; checkpoint so the per-radius UNION arms re-read it
+    # instead of re-executing the whole pair join per arm
+    joined = joined.localCheckpoint(eager=True)
+    joined.createOrReplaceTempView("__ripley_in")
+    sql = " UNION ALL ".join(f"{row} FROM __ripley_in" for row in rows)
+    return joined.sparkSession.sql(sql)
+
+
+def ripley_k_oracle_sql(
+    source_sql: str,
+    radii: tuple[float, ...],
+    area: float,
+) -> str:
+    """DuckDB twin: brute pair join + the same conditional sums and the
+    same K expression text per radius."""
+    import math
+
+    from ..functions.litsql import double_literal
+
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    rmax = max(radii)
+    a_lit = double_literal(area)
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN dist_u <= {int(math.floor(r * 1e6))} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS _c{i}"
+        for i, r in enumerate(radii)
+    )
+    arms = []
+    for i, r in enumerate(radii):
+        k_expr = (
+            f"CAST(floor(CAST(2 * coalesce(_c{i}, 0) AS DOUBLE) * {a_lit}"
+            f" / (CAST(n_points AS DOUBLE)"
+            f" * CAST(n_points - 1 AS DOUBLE))"
+            f" * CAST(1000000000000 AS DOUBLE)) AS BIGINT)"
+        )
+        csr = int(math.floor(math.pi * r * r * 1e12))
+        arms.append(
+            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
+            f"CAST(n_points AS BIGINT) AS n_points, "
+            f"CAST(2 * coalesce(_c{i}, 0) AS BIGINT) AS n_pairs, "
+            f"{k_expr} AS k_u, CAST({csr} AS BIGINT) AS csr_u "
+            f"FROM joined"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH pts AS ({source_sql}),
+        pairs AS (
+          SELECT CAST(floor({d2} * 1000000.0) AS BIGINT) AS dist_u
+          FROM pts a JOIN pts b ON a.point_id < b.point_id
+          WHERE {d2} <= {double_literal(rmax)}
+        ),
+        cnts AS (SELECT {conds} FROM pairs),
+        np AS (SELECT count(*)::BIGINT AS n_points FROM pts),
+        joined AS (SELECT * FROM cnts CROSS JOIN np)
+        {union}
+    """

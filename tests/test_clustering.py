@@ -324,3 +324,79 @@ def test_emerging_hotspots_matches_python_mk(spark):
     assert int(by_key[(10, 10)].mk_z_u) > 2_000_000
     assert int(by_key[(12, 10)].mk_z_u) < -2_000_000
     assert int(by_key[(18, 10)].mk_z_u) < 0  # dense zeros force the fall
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K
+# ---------------------------------------------------------------------------
+
+def test_ripley_k_matches_bruteforce_and_detects_clustering(spark):
+    """== brute-force K on a mixed pattern, and the diagnostic reads
+    right: a tightly clustered pattern gives K >> CSR at small r, a
+    near-regular grid gives K << CSR at sub-spacing r."""
+    import math
+
+    from gis_shapefile_spark.operators.clustering import ripley_k
+
+    rng = np.random.default_rng(5)
+    area = 10.0 * 10.0
+    # clustered: 5 tight blobs of 40 points
+    blobs = []
+    for c in range(5):
+        cx, cy = rng.uniform(-48, -42), rng.uniform(32, 38)
+        for _ in range(40):
+            # NB: len(blobs) must advance per point (a comprehension
+            # evaluates it against the pre-append list -> duplicate ids
+            # -> id_1 < id_2 silently drops every intra-blob pair)
+            blobs.append(
+                (len(blobs), cx + rng.normal(0, 0.05),
+                 cy + rng.normal(0, 0.05))
+            )
+    pdf = pd.DataFrame(blobs, columns=["point_id", "lng", "lat"])
+    radii = (0.25, 1.0)
+    got = (
+        ripley_k(spark.createDataFrame(pdf), radii=radii, area=area)
+        .toPandas().set_index("r_u").sort_index()
+    )
+    # brute force
+    n = len(pdf)
+    xs, ys = pdf.lng.values, pdf.lat.values
+    d = np.sqrt(
+        (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    )
+    iu = np.triu_indices(n, 1)
+    du = np.floor(d[iu] * 1e6).astype(np.int64)
+    for r in radii:
+        r_u = int(math.floor(r * 1e6))
+        npairs = int((du <= r_u).sum()) * 2
+        row = got.loc[r_u]
+        assert int(row.n_pairs) == npairs
+        k = 2 * (npairs / 2) * area / (n * (n - 1))
+        assert abs(int(row.k_u) - math.floor(k * 1e12)) <= 1
+        # tight blobs: strongly clustered at r = 0.25
+        if r == 0.25:
+            assert int(row.k_u) > 3 * int(row.csr_u)
+
+    # near-regular grid: dispersed below the 1-deg spacing
+    grid = [
+        (i * 20 + j, -48.0 + i * 1.0, 32.0 + j * 1.0)
+        for i in range(10) for j in range(10)
+    ]
+    gdf = pd.DataFrame(grid, columns=["point_id", "lng", "lat"])
+    got2 = (
+        ripley_k(spark.createDataFrame(gdf), radii=(0.5,), area=81.0)
+        .toPandas().iloc[0]
+    )
+    assert int(got2.n_pairs) == 0          # no pair within half the spacing
+    assert int(got2.k_u) == 0 < int(got2.csr_u)
+
+
+def test_ripley_k_validation():
+    from gis_shapefile_spark.operators.clustering import ripley_k
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ripley_k(None, radii=(), area=1.0)
+    with _pytest.raises(ValueError):
+        ripley_k(None, radii=(0.5,), area=0.0)

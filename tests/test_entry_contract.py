@@ -107,6 +107,7 @@ def test_overflow_only_prior_green():
 ROUND5_QUEUE = {
     "emerging_hotspots",
     "heading_profile",
+    "ripley_k",
 }
 
 
