@@ -2142,6 +2142,25 @@ def q_ripley_k_oracle() -> str:
     )
 
 
+G_RADII = (0.1, 0.25, 0.5)
+
+
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G function (NN-distance CDF) at three radii — the
+    nearest-neighbor companion to ripley_k: NN <= r iff ANY neighbor
+    within r, so the radius-bounded pair join decides the ladder
+    EXACTLY (operators/clustering.py::g_function)."""
+    from .operators.clustering import g_function
+
+    return g_function(_points_df(spark, sf_dir), radii=G_RADII)
+
+
+def q_g_function_oracle() -> str:
+    from .operators.clustering import g_function_oracle_sql
+
+    return g_function_oracle_sql(_points_oracle_cte(), radii=G_RADII)
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -2186,6 +2205,7 @@ QUERIES = {
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
     "ripley_k": q_ripley_k,
+    "g_function": q_g_function,
     "knn_self": q_knn_self,
     "geo_pairs": q_geo_pairs,
     "geo_knn_self": q_geo_knn_self,
@@ -2237,6 +2257,7 @@ ORACLES = {
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),
     "ripley_k": q_ripley_k_oracle(),
+    "g_function": q_g_function_oracle(),
     "knn_self": q_knn_self_oracle(),
     "geo_pairs": q_geo_pairs_oracle(),
     "geo_knn_self": q_geo_knn_self_oracle(),

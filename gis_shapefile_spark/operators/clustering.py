@@ -647,3 +647,120 @@ def ripley_k_oracle_sql(
         joined AS (SELECT * FROM cnts CROSS JOIN np)
         {union}
     """
+
+
+# ---------------------------------------------------------------------------
+# G function (nearest-neighbor distance distribution)
+# ---------------------------------------------------------------------------
+
+def g_function(
+    points: DataFrame,
+    radii: tuple[float, ...],
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """The G function — the empirical CDF of nearest-neighbor
+    distances, G(r) = P(NN dist <= r) — the NEAREST-neighbor view of a
+    point pattern where Ripley's K is the all-neighbors view (the two
+    together separate "tight pairs" from "broad clumps"). CSR
+    reference: 1 - exp(-lambda pi r^2).
+
+    Exactness under blocking: "NN distance <= r" ⟺ "ANY neighbor
+    within r", so the radius-bounded pair join at max(radii) decides
+    every ladder point EXACTLY — no unbounded NN search, no censoring
+    bias within the ladder. Per point: min pair distance from the
+    union of both pair directions; per radius: a conditional count.
+    Same one-join-many-counters economics as ``ripley_k``.
+
+    Output per radius: (r_u, n_points, n_le, g_bp) — n_le = points
+    whose NN distance is <= r, g_bp = floor(10000 * n_le / n_points)
+    (exact integer basis points via the identical-text double floor).
+    """
+    import math
+
+    from . import spatial_join as SJ
+
+    if not radii or any(r <= 0 for r in radii):
+        raise ValueError(f"radii must be positive, got {radii}")
+    rmax = max(radii)
+    pairs = SJ.within_distance_self_join(
+        points, distance=rmax, id_col=id_col,
+        lng_col=lng_col, lat_col=lat_col,
+    )
+    both = pairs.selectExpr("id_1 AS pid", "dist_u").unionByName(
+        pairs.selectExpr("id_2 AS pid", "dist_u")
+    )
+    nn = both.groupBy("pid").agg(F.min("dist_u").alias("nn_u"))
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN nn_u <= {int(math.floor(r * 1e6))} "
+                   f"THEN 1 ELSE 0 END")
+        ).alias(f"_g{i}")
+        for i, r in enumerate(radii)
+    ]
+    cnts = nn.agg(*aggs)
+    npts = points.agg(F.count(F.lit(1)).alias("n_points"))
+    joined = cnts.crossJoin(npts).localCheckpoint(eager=True)
+    joined.createOrReplaceTempView("__gfun_in")
+    arms = []
+    for i, r in enumerate(radii):
+        g_bp = (
+            f"CAST(floor(CAST(10000 * coalesce(_g{i}, 0) AS DOUBLE)"
+            f" / CAST(n_points AS DOUBLE)) AS BIGINT)"
+        )
+        arms.append(
+            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
+            f"CAST(n_points AS BIGINT) AS n_points, "
+            f"CAST(coalesce(_g{i}, 0) AS BIGINT) AS n_le, "
+            f"{g_bp} AS g_bp FROM __gfun_in"
+        )
+    return joined.sparkSession.sql(" UNION ALL ".join(arms))
+
+
+def g_function_oracle_sql(
+    source_sql: str,
+    radii: tuple[float, ...],
+) -> str:
+    """DuckDB twin: brute NN distance per point, same counters/floors."""
+    import math
+
+    from ..functions.litsql import double_literal
+
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    rmax = max(radii)
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN nn_u <= {int(math.floor(r * 1e6))} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS _g{i}"
+        for i, r in enumerate(radii)
+    )
+    arms = []
+    for i, r in enumerate(radii):
+        g_bp = (
+            f"CAST(floor(CAST(10000 * coalesce(_g{i}, 0) AS DOUBLE)"
+            f" / CAST(n_points AS DOUBLE)) AS BIGINT)"
+        )
+        arms.append(
+            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
+            f"CAST(n_points AS BIGINT) AS n_points, "
+            f"CAST(coalesce(_g{i}, 0) AS BIGINT) AS n_le, "
+            f"{g_bp} AS g_bp FROM joined"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH pts AS ({source_sql}),
+        nn AS (
+          SELECT a.point_id AS pid,
+                 CAST(min(floor({d2} * 1000000.0)) AS BIGINT) AS nn_u
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+          WHERE {d2} <= {double_literal(rmax)}
+          GROUP BY a.point_id
+        ),
+        cnts AS (SELECT {conds} FROM nn),
+        np AS (SELECT count(*)::BIGINT AS n_points FROM pts),
+        joined AS (SELECT * FROM cnts CROSS JOIN np)
+        {union}
+    """

@@ -400,3 +400,45 @@ def test_ripley_k_validation():
         ripley_k(None, radii=(), area=1.0)
     with _pytest.raises(ValueError):
         ripley_k(None, radii=(0.5,), area=0.0)
+
+
+def test_g_function_matches_bruteforce(spark):
+    """== numpy NN-distance CDF on a mixed pattern; tight pairs push
+    G(small r) high while the singleton tail keeps it < 1."""
+    import math
+
+    from gis_shapefile_spark.operators.clustering import g_function
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 30 tight pairs (NN ~ 0.01) + 40 scattered singletons
+    for i in range(30):
+        cx, cy = rng.uniform(-50, -40), rng.uniform(30, 40)
+        rows.append((len(rows), cx, cy))
+        rows.append((len(rows), cx + 0.01, cy))
+    for i in range(40):
+        rows.append(
+            (len(rows), rng.uniform(-70, -60), rng.uniform(30, 40))
+        )
+    pdf = pd.DataFrame(rows, columns=["point_id", "lng", "lat"])
+    radii = (0.05, 0.5)
+    got = (
+        g_function(spark.createDataFrame(pdf), radii=radii)
+        .toPandas().set_index("r_u").sort_index()
+    )
+    xs, ys = pdf.lng.values, pdf.lat.values
+    d = np.sqrt(
+        (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    )
+    np.fill_diagonal(d, np.inf)
+    nn_u = np.floor(d.min(axis=1) * 1e6).astype(np.int64)
+    n = len(pdf)
+    for r in radii:
+        r_u = int(math.floor(r * 1e6))
+        n_le = int((nn_u <= r_u).sum())
+        row = got.loc[r_u]
+        assert int(row.n_le) == n_le, r
+        assert int(row.g_bp) == math.floor(10000 * n_le / n)
+    # the planted structure reads correctly
+    assert int(got.loc[50000].n_le) == 60      # exactly the tight pairs
+    assert 0 < int(got.loc[50000].g_bp) < 10000

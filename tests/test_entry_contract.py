@@ -108,6 +108,7 @@ ROUND5_QUEUE = {
     "emerging_hotspots",
     "heading_profile",
     "ripley_k",
+    "g_function",
 }
 
 
