@@ -111,3 +111,56 @@ def test_zorder_measured_ranges_match_explicit(spark, tmp_path):
 def test_zorder_col_validates_ranges():
     with pytest.raises(ValueError):
         L.zorder_col("x", "y", (1.0, 1.0), (0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustered writes
+# ---------------------------------------------------------------------------
+
+def test_hilbert_unit_step_property():
+    """The defining Hilbert invariant: consecutive indices are GRID
+    NEIGHBORS (|dx| + |dy| == 1) — exhaustively at res 2-5, and the
+    index is a bijection onto [0, 4^res)."""
+    from gis_shapefile_spark.plans.layout import hilbert_d_numpy
+
+    for res in (2, 3, 4, 5):
+        n = 1 << res
+        gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_d_numpy(gx.ravel(), gy.ravel(), res)
+        assert sorted(d.tolist()) == list(range(n * n))  # bijection
+        order = np.argsort(d)
+        xs, ys = gx.ravel()[order], gy.ravel()[order]
+        steps = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+        assert (steps == 1).all()  # never a Z-curve diagonal jump
+
+
+def test_hilbert_write_shrinks_file_footprints(spark, tmp_path):
+    """Same data-skipping evidence as z-order, from real footers; the
+    curve key is Arrow-batched at write time, the layout plain parquet."""
+    rng = np.random.default_rng(83)
+    pdf = _pdf(rng)
+    df = spark.createDataFrame(pdf)
+    hpath = str(tmp_path / "hilbert")
+    rpath = str(tmp_path / "rand2")
+    L.write_hilbert(df, hpath, "x", "y", num_files=FILES)
+    df.repartition(FILES, "rid").write.parquet(rpath)
+
+    hb = _file_boxes(hpath)
+    rb = _file_boxes(rpath)
+    assert len(hb) == FILES
+
+    def area(boxes):
+        return sum((x1 - x0) * (y1 - y0) for x0, x1, y0, y1 in boxes)
+
+    assert area(hb) < area(rb) / 3
+    q = (10.0, 20.0, 60.0, 70.0)
+    assert _overlapping(rb, q) >= FILES - 1
+    assert _overlapping(hb, q) <= FILES // 2
+
+    got = (
+        spark.read.parquet(hpath)
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["rid", "x", "y"]], pdf)
