@@ -580,6 +580,49 @@ OD_BUCKET_S = 3600
 HEADING_SECTORS = 8
 
 
+CROSS_K_RADII = (0.25, 0.5)
+CROSS_K_AREA = 59.0 * 26.0
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-K colocation: are geotagged EVENTS clustered around the
+    image POINTS beyond independent-CSR (the bivariate Ripley K)?
+    One big-big CROSS pair join at max(r) — both sides large, each
+    cross pair exactly once by construction — then the one-join-many-
+    counters ladder (operators/clustering.py::cross_k over
+    spatial_join.within_distance_cross_join)."""
+    from .entry_queries import _points_df
+    from .operators.clustering import cross_k
+
+    left = _points_df(spark, sf_dir).selectExpr(
+        "point_id AS id_1", "lng", "lat"
+    )
+    right = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id AS id_2",
+        f"{TRAJ_LNG_SQL} AS lng",
+        f"{TRAJ_LAT_SQL} AS lat",
+    )
+    return cross_k(
+        left, right, radii=CROSS_K_RADII, area=CROSS_K_AREA
+    )
+
+
+def q_cross_k_oracle() -> str:
+    from .entry_queries import _points_oracle_cte
+    from .operators.clustering import cross_k_oracle_sql
+
+    left = (
+        f"SELECT point_id AS id_1, lng, lat FROM ({_points_oracle_cte()})"
+    )
+    right = (
+        f"SELECT event_id AS id_2, {TRAJ_LNG_SQL} AS lng, "
+        f"{TRAJ_LAT_SQL} AS lat FROM events"
+    )
+    return cross_k_oracle_sql(
+        left, right, radii=CROSS_K_RADII, area=CROSS_K_AREA
+    )
+
+
 def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant travel direction per device: 8-sector compass histogram
     of successive-fix great-circle bearings (circular-data-safe modal
@@ -3392,6 +3435,7 @@ QUERIES = {
     "hotspot_clusters": q_hotspot_clusters,
     "od_matrix": q_od_matrix,
     "heading_profile": q_heading_profile,
+    "cross_k": q_cross_k,
     "getis_ord": q_getis_ord,
     "emerging_hotspots": q_emerging_hotspots,
     "wds_roundtrip": q_wds_roundtrip,
@@ -3465,6 +3509,7 @@ ORACLES = {
     "hotspot_clusters": q_hotspot_clusters_oracle(),
     "od_matrix": q_od_matrix_oracle(),
     "heading_profile": q_heading_profile_oracle(),
+    "cross_k": q_cross_k_oracle(),
     "getis_ord": q_getis_ord_oracle(),
     "emerging_hotspots": q_emerging_hotspots_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),

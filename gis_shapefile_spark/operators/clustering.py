@@ -764,3 +764,133 @@ def g_function_oracle_sql(
         joined AS (SELECT * FROM cnts CROSS JOIN np)
         {union}
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-K (bivariate colocation statistic)
+# ---------------------------------------------------------------------------
+
+def cross_k(
+    left: DataFrame,
+    right: DataFrame,
+    radii: tuple[float, ...],
+    area: float,
+    left_id: str = "id_1",
+    right_id: str = "id_2",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley K — the COLOCATION statistic: is
+    point set B clustered AROUND point set A beyond what two
+    independent CSR patterns explain (images around junctions, events
+    around POIs). K_AB(r) = A/(n1 n2) * #{(a, b): d <= r}; CSR
+    reference is the same pi r^2.
+
+    One big-big CROSS pair join at max(radii)
+    (``spatial_join.within_distance_cross_join`` — both sides large,
+    each cross pair exactly once by construction), then the
+    one-join-many-counters ladder. Counts exact BIGINTs, K the single
+    identical-text double, naive/uncorrected like ``ripley_k``.
+
+    Output per radius: (r_u, n_left, n_right, n_pairs, k_u, csr_u).
+    Columns expected: ``left_id``/lng/lat on left, ``right_id``/lng/lat
+    on right.
+    """
+    import math
+
+    from . import spatial_join as SJ
+    from ..functions.litsql import double_literal
+
+    if not radii or any(r <= 0 for r in radii):
+        raise ValueError(f"radii must be positive, got {radii}")
+    if area <= 0:
+        raise ValueError(f"area must be > 0, got {area}")
+    rmax = max(radii)
+    pairs = SJ.within_distance_cross_join(
+        left, right, distance=rmax, left_id=left_id, right_id=right_id
+    )
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN dist_u <= {int(math.floor(r * 1e6))} "
+                   f"THEN 1 ELSE 0 END")
+        ).alias(f"_c{i}")
+        for i, r in enumerate(radii)
+    ]
+    cnts = pairs.agg(*aggs)
+    n1 = left.agg(F.count(F.lit(1)).alias("n_left"))
+    n2 = right.agg(F.count(F.lit(1)).alias("n_right"))
+    joined = (
+        cnts.crossJoin(n1).crossJoin(n2).localCheckpoint(eager=True)
+    )
+    joined.createOrReplaceTempView("__crossk_in")
+    a_lit = double_literal(area)
+    arms = []
+    for i, r in enumerate(radii):
+        k_expr = (
+            f"CAST(floor(CAST(coalesce(_c{i}, 0) AS DOUBLE) * {a_lit}"
+            f" / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))"
+            f" * CAST(1000000000000 AS DOUBLE)) AS BIGINT)"
+        )
+        csr = int(math.floor(math.pi * r * r * 1e12))
+        arms.append(
+            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
+            f"CAST(n_left AS BIGINT) AS n_left, "
+            f"CAST(n_right AS BIGINT) AS n_right, "
+            f"CAST(coalesce(_c{i}, 0) AS BIGINT) AS n_pairs, "
+            f"{k_expr} AS k_u, CAST({csr} AS BIGINT) AS csr_u "
+            f"FROM __crossk_in"
+        )
+    return joined.sparkSession.sql(" UNION ALL ".join(arms))
+
+
+def cross_k_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    radii: tuple[float, ...],
+    area: float,
+) -> str:
+    """DuckDB twin: brute cross pairs + the same counters/K text.
+    ``left_sql``/``right_sql`` must yield (id_1|id_2, lng, lat)."""
+    import math
+
+    from ..functions.litsql import double_literal
+
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    rmax = max(radii)
+    a_lit = double_literal(area)
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN dist_u <= {int(math.floor(r * 1e6))} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS _c{i}"
+        for i, r in enumerate(radii)
+    )
+    arms = []
+    for i, r in enumerate(radii):
+        k_expr = (
+            f"CAST(floor(CAST(coalesce(_c{i}, 0) AS DOUBLE) * {a_lit}"
+            f" / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))"
+            f" * CAST(1000000000000 AS DOUBLE)) AS BIGINT)"
+        )
+        csr = int(math.floor(math.pi * r * r * 1e12))
+        arms.append(
+            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
+            f"CAST(n_left AS BIGINT) AS n_left, "
+            f"CAST(n_right AS BIGINT) AS n_right, "
+            f"CAST(coalesce(_c{i}, 0) AS BIGINT) AS n_pairs, "
+            f"{k_expr} AS k_u, CAST({csr} AS BIGINT) AS csr_u "
+            f"FROM joined"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH lft AS ({left_sql}),
+        rgt AS ({right_sql}),
+        pairs AS (
+          SELECT CAST(floor({d2} * 1000000.0) AS BIGINT) AS dist_u
+          FROM lft a JOIN rgt b ON {d2} <= {double_literal(rmax)}
+        ),
+        cnts AS (SELECT {conds} FROM pairs),
+        nl AS (SELECT count(*)::BIGINT AS n_left FROM lft),
+        nr AS (SELECT count(*)::BIGINT AS n_right FROM rgt),
+        joined AS (SELECT * FROM cnts CROSS JOIN nl CROSS JOIN nr)
+        {union}
+    """

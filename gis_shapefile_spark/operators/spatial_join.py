@@ -927,3 +927,90 @@ def knn_self_join(
         .where(F.col("nn_rank") <= k)
         .select(id_col, "neighbor_id", "nn_rank", "dist_u")
     )
+
+
+def within_distance_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance: float,
+    res: int | None = None,
+    left_id: str = "id_1",
+    right_id: str = "id_2",
+    left_lng: str = "lng",
+    left_lat: str = "lat",
+    right_lng: str = "lng",
+    right_lat: str = "lat",
+) -> DataFrame:
+    """All (left, right) pairs within Euclidean-degrees ``distance``
+    where BOTH sides are large — the cross-table member of the big-big
+    join family (``within_distance_self_join`` is the self member; the
+    other distance joins broadcast a dimension). Pipeline use:
+    colocation between two corpus-scale point sets (images x events,
+    crawl A x crawl B) feeding attribution and cross-K statistics.
+
+    Same 3x3 plan: left explodes to its cell neighborhood IN-PLAN
+    (narrow key rows), right keys by its own cell, one shuffled
+    equi-join + exact refine. Exactly-once needs no pair filter at all
+    here: a right row's single cell appears once among a left row's
+    nine distinct neighbor cells, so each cross pair matches exactly
+    once by construction.
+
+    Output: (left_id, right_id, dist_u), dist_u = floor(dist * 1e6).
+    """
+    import math
+
+    if distance <= 0:
+        raise ValueError(f"distance must be > 0, got {distance}")
+    if res is None:
+        res = min(25, int(math.floor(math.log2(180.0 / distance))))
+    if not 0 <= res <= 25:
+        raise ValueError(f"res must be in [0, 25], got {res}")
+    if 180.0 / (1 << res) < distance or 360.0 / (1 << res) < distance:
+        raise ValueError(
+            f"cell at res {res} is smaller than distance {distance}; "
+            "the 3x3 neighborhood would miss pairs"
+        )
+    lx = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_lng).alias("_lng1"),
+        F.col(left_lat).alias("_lat1"),
+    ).withColumn("__cell", C.cell_col("_lng1", "_lat1", res))
+    ax = lx.select(
+        "__lid", "_lng1", "_lat1",
+        F.expr(C.cell_axis_sql("__cell", "x", "spark")).alias("_x"),
+        F.expr(C.cell_axis_sql("__cell", "y", "spark")).alias("_y"),
+    )
+    offs = ", ".join(
+        f"struct({dx} as dx, {dy} as dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    lefts = ax.select(
+        "__lid", "_lng1", "_lat1",
+        F.expr(f"explode(array({offs}))").alias("_o"),
+        "_x", "_y",
+    ).select(
+        "__lid", "_lng1", "_lat1",
+        F.expr(
+            C.pack_xy_sql("(_x + _o.dx)", "(_y + _o.dy)", res, "spark")
+        ).alias("_nb"),
+    )
+    rights = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_lng).alias("_lng2"),
+        F.col(right_lat).alias("_lat2"),
+    ).withColumn("_nb", C.cell_col("_lng2", "_lat2", res))
+    dist = F.sqrt(
+        (F.col("_lng1") - F.col("_lng2")) * (F.col("_lng1") - F.col("_lng2"))
+        + (F.col("_lat1") - F.col("_lat2")) * (F.col("_lat1") - F.col("_lat2"))
+    )
+    return (
+        lefts.join(rights, "_nb")
+        .withColumn("_d", dist)
+        .where(F.col("_d") <= F.lit(distance))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.floor(F.col("_d") * 1e6).cast("long").alias("dist_u"),
+        )
+    )

@@ -109,6 +109,7 @@ ROUND5_QUEUE = {
     "heading_profile",
     "ripley_k",
     "g_function",
+    "cross_k",
 }
 
 

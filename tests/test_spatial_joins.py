@@ -503,3 +503,45 @@ def test_knn_self_join_matches_bruteforce(spark):
 def test_knn_self_join_validates_k(spark):
     with pytest.raises(ValueError):
         SJ.knn_self_join(None, k=0, radius=1.0)
+
+
+def test_within_distance_cross_join_matches_bruteforce(spark):
+    """Big-big CROSS join == numpy brute force: every (left, right)
+    pair within d exactly once, across cell boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_shapefile_spark.operators import spatial_join as SJ
+
+    rng = np.random.default_rng(31)
+    nl, nr = 300, 400
+    left = pd.DataFrame(
+        dict(id_1=np.arange(nl),
+             lng=rng.uniform(-100, -90, nl),
+             lat=rng.uniform(30, 38, nr)[:nl])
+    )
+    right = pd.DataFrame(
+        dict(id_2=np.arange(nr),
+             lng=rng.uniform(-100, -90, nr),
+             lat=rng.uniform(30, 38, nr))
+    )
+    d = 0.8
+    got = SJ.within_distance_cross_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        distance=d,
+    ).toPandas()
+    dx = left.lng.values[:, None] - right.lng.values[None, :]
+    dy = left.lat.values[:, None] - right.lat.values[None, :]
+    dist = np.sqrt(dx * dx + dy * dy)
+    li, ri = np.where(dist <= d)
+    exp = {
+        (int(a), int(b), int(np.floor(dist[a, b] * 1e6)))
+        for a, b in zip(li, ri)
+    }
+    got_set = {
+        (int(r.id_1), int(r.id_2), int(r.dist_u))
+        for r in got.itertuples(index=False)
+    }
+    assert got_set == exp
+    assert len(got) == len(got_set)  # exactly once, no dedup pass
+    assert len(exp) > 1000  # dense enough to cross many cell borders
