@@ -1324,6 +1324,88 @@ def _joint_corpus(spark: SparkSession):
     ).unionByName(reposts)
 
 
+# duplicate COPIES with a numeric suffix divisible by 3 get an alt-text
+# variant (copies carry their source's caption in the fixture, so keying
+# the mangle on the copy prefix is what makes clusters diverge — a
+# last-digit key alone never splits a cluster because copies share their
+# source's digits)
+_CAPTION_MANGLE = (
+    "CASE WHEN image_id LIKE 'img_dup%' "
+    "AND CAST(substr(image_id, -1) AS INT) % 3 = 0 "
+    "THEN caption || ' (alt)' ELSE caption END"
+)
+
+
+def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption consistency across near-dup image clusters — the
+    alt-text-divergence signal joint image+text curation needs: after
+    canonical-image assignment (decode -> recomputed phash -> hamming
+    components), how many DISTINCT captions does each multi-member
+    cluster carry? A planted in-plan mangle (every image_id ending in a
+    multiple-of-3 digit gets an " (alt)" caption variant, identical SQL
+    both engines) guarantees both consistent and divergent clusters
+    exist, so the hash pins the component labels AND the per-cluster
+    caption rollup."""
+    from .operators import multimodal as MM
+
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    images = spark.read.parquet(path)
+    pairs = MM.image_near_pairs(images, max_hamming=6)
+    comp = DD.connected_components(
+        images.select("image_id"), pairs, id_col="image_id"
+    )
+    labeled = images.selectExpr(
+        "image_id", f"{_CAPTION_MANGLE} AS cap2"
+    ).join(comp, "image_id")
+    return (
+        labeled.groupBy(F.col("component").alias("canonical_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("cap2").alias("n_captions"),
+        )
+        .where(F.col("n_members") >= 2)
+        .selectExpr(
+            "canonical_id", "n_members",
+            "CAST(n_captions AS BIGINT) AS n_captions",
+        )
+    )
+
+
+def q_caption_consistency_oracle() -> str:
+    path = FX.near_dup_images_parquet_path(n=1500, n_dup=150)
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT image_id, phash, {_CAPTION_MANGLE} AS cap2
+          FROM read_parquet('{path}')
+        ),
+        good AS (
+          SELECT a.image_id AS id_1, b.image_id AS id_2
+          FROM p a JOIN p b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        edges AS (
+          SELECT id_1 AS src, id_2 AS dst FROM good
+          UNION
+          SELECT id_2 AS src, id_1 AS dst FROM good
+        ),
+        reach(node, lbl) AS (
+          SELECT image_id, image_id FROM p
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node AS image_id, min(lbl) AS canonical_id
+          FROM reach GROUP BY node
+        )
+        SELECT c.canonical_id,
+               count(*)::BIGINT AS n_members,
+               count(DISTINCT p.cap2)::BIGINT AS n_captions
+        FROM p JOIN comp c ON c.image_id = p.image_id
+        GROUP BY c.canonical_id
+        HAVING count(*) >= 2
+    """
+
+
 def q_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal joint dedup — components over the UNION of two edge
     types: pixel near-duplicates (decode → recomputed phash → pigeonhole
@@ -3436,6 +3518,7 @@ QUERIES = {
     "od_matrix": q_od_matrix,
     "heading_profile": q_heading_profile,
     "cross_k": q_cross_k,
+    "caption_consistency": q_caption_consistency,
     "getis_ord": q_getis_ord,
     "emerging_hotspots": q_emerging_hotspots,
     "wds_roundtrip": q_wds_roundtrip,
@@ -3510,6 +3593,7 @@ ORACLES = {
     "od_matrix": q_od_matrix_oracle(),
     "heading_profile": q_heading_profile_oracle(),
     "cross_k": q_cross_k_oracle(),
+    "caption_consistency": q_caption_consistency_oracle(),
     "getis_ord": q_getis_ord_oracle(),
     "emerging_hotspots": q_emerging_hotspots_oracle(),
     "wds_roundtrip": q_wds_roundtrip_oracle(),

@@ -110,6 +110,7 @@ ROUND5_QUEUE = {
     "ripley_k",
     "g_function",
     "cross_k",
+    "caption_consistency",
 }
 
 
