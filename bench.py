@@ -468,7 +468,8 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
     def entry_est(name):
         return est_of[name] * max(1.0, degradation) * (reps_of[name] + 1)
 
-    def fits(name, extra_est=0.0, est_override=None):
+    def fits(name, extra_est=0.0, est_override=None,
+             reserve_override=None):
         # 8 s end margin: the artifact assembly + session stop run after
         # the last entry, and a last admit whose realized cost lands a
         # few seconds over its estimate must not push `elapsed` past the
@@ -499,7 +500,8 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
         # while 100+ s remained) — stays inside the budget. In the early
         # suite this never binds; near the end it blocks exactly the
         # admits whose overrun has nowhere to go.
-        return (spent + est <= BENCH_BUDGET - reserve - 8.0
+        rsv = reserve if reserve_override is None else reserve_override
+        return (spent + est <= BENCH_BUDGET - rsv - 8.0
                 and spent + est + min(est * 0.5, 15.0)
                 <= BENCH_BUDGET - 8.0)
 
@@ -613,8 +615,16 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
     # work: if the pair no longer fits together, drop BOTH (one
     # without the other proves no ratio) and don't spend untimed
     # minutes on the 1M fixture/index.
+    # The ann1m pre-check may borrow the SECOND scaling pair's
+    # reservation (one pair stays sacrosanct — the north-rule sample;
+    # pair 2 then comes only from end-of-budget leftovers): in degraded
+    # suite-first windows (D ~ 2.2 validation run) the 2-pair reserve
+    # priced the verdict's named evidence out at +148 s with 130+ s of
+    # real room, while the bundle outranks a second pair in the round-4
+    # priority order (>= 1 pair, then ann1m, then extras).
     if "ann1m_brute" in admitted and not fits(
-        "ann1m_brute", extra_est=entry_est("ann1m_ivf")
+        "ann1m_brute", extra_est=entry_est("ann1m_ivf"),
+        reserve_override=scaling_reserve(degradation, 1),
     ):
         for n in ("ann1m_brute", "ann1m_ivf"):
             admitted.discard(n)
