@@ -83,7 +83,7 @@ _PRIORITY = [
     # vouched by the local oracle gate + pytest, queued for the round-5
     # rotation (the contract test pins this list against the artifacts)
     "emerging_hotspots", "heading_profile", "ripley_k", "g_function",
-    "cross_k", "caption_consistency",
+    "cross_k", "caption_consistency", "idw_loocv",
     # every entry below has a driver-green
     # row in a NAMED prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
     # COVERAGE.md); all remain runnable via tools/check_correctness.py ----

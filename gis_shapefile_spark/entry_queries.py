@@ -2161,6 +2161,36 @@ def q_g_function_oracle() -> str:
     return g_function_oracle_sql(_points_oracle_cte(), radii=G_RADII)
 
 
+# the synthetic points sit on an effective hash lattice with MINIMUM
+# pair distance ~0.566 deg (measured) — a 0.5 radius predicts nothing
+IDW_CV_RADIUS = 1.5
+
+
+def q_idw_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out cross-validation of the IDW interpolator: every
+    sample predicted from its in-radius neighbors with the idw_surface
+    weights, absolute errors rolled to one row — the geostatistics
+    accuracy check (operators/raster.py::idw_loocv). Note the weight
+    granularity: built from the pair join's µdeg-floored DISTANCE
+    (dist_u^2), identical in both engines."""
+    from .operators import raster as RA
+
+    pts = _points_df(spark, sf_dir).withColumn(
+        "v_u", F.expr("(point_id * 48271) % 100000")
+    )
+    return RA.idw_loocv(pts, radius=IDW_CV_RADIUS)
+
+
+def q_idw_loocv_oracle() -> str:
+    from .operators import raster as RA
+
+    src = (
+        f"SELECT point_id, lng, lat, (point_id * 48271) % 100000 AS v_u\n"
+        f"          FROM ({_points_oracle_cte()})"
+    )
+    return RA.idw_loocv_oracle_sql(src, radius=IDW_CV_RADIUS)
+
+
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
     "pip_first_hit": q_pip_first_hit,
@@ -2201,6 +2231,7 @@ QUERIES = {
     "geo_within_km": q_geo_within_km,
     "raster_smooth": q_raster_smooth,
     "idw": q_idw,
+    "idw_loocv": q_idw_loocv,
     "density_contours": q_density_contours,
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
@@ -2253,6 +2284,7 @@ ORACLES = {
     "geo_within_km": q_geo_within_km_oracle(),
     "raster_smooth": q_raster_smooth_oracle(),
     "idw": q_idw_oracle(),
+    "idw_loocv": q_idw_loocv_oracle(),
     "density_contours": q_density_contours_oracle(),
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),

