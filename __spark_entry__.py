@@ -39,54 +39,52 @@ DRIVER_CAP = 50
 
 _PRIORITY = [
     # ---- slots 1-50: the driver-gate window ----
-    # Late-round-4 FULL rotation: every query that has never had a
-    # driver-green artifact row (37 of them) moves in-cap, alongside 13
-    # flagship anchors that span the SURVEY §2 / pipeline families. The
-    # 17 displaced queries are all green in CORRECTNESS_r03.json (rows +
-    # schema + value hash) and each one's operator family stays
-    # driver-exercised by an in-cap sibling — ledger in COVERAGE.md.
+    # Round-5 rotation: the 9 queries without a driver-green artifact
+    # row all sit in-cap — the 2 round-4 red rows (`ann_ivf_delta`,
+    # `ann_filtered`, fixed: plain-float probe lists + explicit schema)
+    # and the 7 round-5-queue queries (`emerging_hotspots
+    # heading_profile ripley_k g_function cross_k caption_consistency
+    # idw_loocv`). 7 r4-green anchors rotate out to make room, each
+    # with an in-cap family sibling — ledger in COVERAGE.md.
     #
     # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
     "pip_grid_join", "tile_pyramid",
-    # round-3 late additions + grid-DBSCAN (never driver-verified)
-    "hotspot_clusters", "getis_ord", "nearest_road", "nearest_road_big", "road_buffer",
-    "map_match", "trajectory", "vector_outline", "zonal_stats",
+    # road/line overlays + grid-DBSCAN (r4-green, kept as family anchors)
+    "hotspot_clusters", "getis_ord", "nearest_road", "road_buffer",
+    "map_match", "trajectory", "zonal_stats",
     "road_crossings", "border_crossings", "od_matrix",
-    # big-big planar self-joins (never driver-verified)
+    # big-big planar self-joins
     "point_pairs", "knn_self",
-    # geodesic (great-circle) family (never driver-verified)
-    "geo_nearest", "geo_within_km", "geo_pairs", "geo_knn_self",
-    "geo_polygon_area", "trajectory_geo", "stay_points",
-    # raster / density family (never driver-verified)
-    "raster_smooth", "density_contours", "adaptive_grid", "idw",
+    # geodesic (great-circle) family
+    "geo_nearest", "geo_within_km", "geo_polygon_area", "stay_points",
+    # raster / density family (+ idw_loocv: never driver-verified)
+    "density_contours", "adaptive_grid", "idw", "idw_loocv",
+    # point-pattern / space-time statistics (never driver-verified)
+    "ripley_k", "g_function", "cross_k", "emerging_hotspots",
+    "heading_profile",
     # geocoder + storage anchors
     "geocode_forward", "merge_upsert",
-    # curation / dedup additions (never driver-verified)
-    "mm_interleave_pack", "seq_pack", "pii_scrub", "paragraph_dedup",
+    # curation / dedup additions
+    "mm_interleave_pack", "seq_pack", "pii_scrub",
     "substring_dedup", "dedup_jaccard",
-    # image family additions (never driver-verified)
-    "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
-    "image_quality", "box_nms",
-    # ANN family (ann_ivf anchor + never-driver-verified members)
-    "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
-    # multimodal flagships + shard sink (wds_roundtrip + ar_bucket never
+    # image family additions (+ caption_consistency: never
     # driver-verified)
+    "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
+    "image_quality", "box_nms", "caption_consistency",
+    # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed)
+    "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
+    # multimodal flagships + shard sink
     "image_tiling", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
-    # splits anchor (sessionize rotated out late round 4, triple-green;
-    # temporal windows stay in-cap via trajectory/trajectory_geo/
-    # stay_points/od_matrix)
-    # ANALYZE-style column profile (never driver-verified)
+    # ANALYZE-style column profile
     "table_stats",
     # ---- position 51+ from here ----
-    # ROUND-5 QUEUE: added after the cap filled with never-green entries;
-    # vouched by the local oracle gate + pytest, queued for the round-5
-    # rotation (the contract test pins this list against the artifacts)
-    "emerging_hotspots", "heading_profile", "ripley_k", "g_function",
-    "cross_k", "caption_consistency", "idw_loocv",
-    # every entry below has a driver-green
-    # row in a NAMED prior artifact (CORRECTNESS_r01/r02/r03 — ledger in
-    # COVERAGE.md); all remain runnable via tools/check_correctness.py ----
+    # every entry below has a driver-green row in a NAMED prior artifact
+    # (CORRECTNESS_r01..r04 — ledger in COVERAGE.md); all remain
+    # runnable via tools/check_correctness.py ----
+    # displaced by the round-5 rotation (all r4-green):
+    "nearest_road_big", "vector_outline", "geo_pairs", "geo_knn_self",
+    "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):
     "pip_first_hit", "within_distance", "reverse_geocode", "tile_bounds",
     "render_tiles", "vectorize_raster", "state_confidence",

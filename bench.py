@@ -624,7 +624,13 @@ def run_suite(spark: SparkSession, n_points: int, degradation: float,
     # priority order (>= 1 pair, then ann1m, then extras).
     if "ann1m_brute" in admitted and not fits(
         "ann1m_brute", extra_est=entry_est("ann1m_ivf"),
-        reserve_override=scaling_reserve(degradation, 1),
+        # min(): the borrow may only RELAX the gate. In scale-first
+        # windows (D <= 1.5) or with SPARK_GRAFT_BENCH_SCALING=0,
+        # run_suite's own reserve is 0 — an unconditional one-pair
+        # override would RAISE the bundle's effective reserve to ~99 s,
+        # making the verdict-named evidence harder to admit than every
+        # other entry in exactly the windows that were reserve-free.
+        reserve_override=min(reserve, scaling_reserve(degradation, 1)),
     ):
         for n in ("ann1m_brute", "ann1m_ivf"):
             admitted.discard(n)

@@ -262,7 +262,11 @@ def geodesic_pairs_within_km(
         GD.haversine_m_u_sql("_lng1", "_lat1", "_lng2", "_lat2", "spark")
     )
     return (
-        left.join(right, "_nb")
+        # merge hint: same mid-scale AQE broadcast cliff as the planar
+        # twin (spatial_join.within_distance_self_join, measured 3x) —
+        # the 9x-fanned left side compresses small enough for AQE's
+        # runtime broadcast conversion but probes slower than SMJ.
+        left.hint("merge").join(right, "_nb")
         .where(F.col("id_1") < F.col("id_2"))
         .withColumn("gdist_m", gdist)
         .where(F.col("gdist_m") <= F.lit(thresh_m))

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SCALE_DOT = 1_000_000_000_000  # 1e12: per-term integerization
 SCALE_COS = 1_000_000_000  # 1e9: final cosine integerization
@@ -792,11 +793,31 @@ def _probe_table_pdf(
         # the (dist, bucket) key — bucket order IS numpy's tie order here)
         order_all = np.argsort(dmat, axis=1, kind="stable")[:, :nprobe]
         for qi, r in enumerate(collected):
-            v = list(vmat[qi])
+            # plain-float list, NOT numpy scalars: the non-Arrow
+            # createDataFrame path (_inferSchemaFromList) cannot infer a
+            # type for list[np.float64] cells and raises
+            # CANNOT_INFER_TYPE_FOR_FIELD — bit the round-4 driver gate,
+            # whose session runs with Arrow conversion disabled.
+            v = [float(x) for x in vmat[qi]]
             qn = int(qns[qi])
             for b in order_all[qi]:
                 rows.append((r[query_id_col], int(b), v, qn))
     return pd.DataFrame(rows, columns=[query_id_col, "bucket", "_qvec", "_qn"])
+
+
+def _probe_schema(queries: DataFrame, query_id_col: str) -> T.StructType:
+    """Explicit schema for the probe table (environment-independent:
+    never rely on pandas->Spark inference, which differs between the
+    Arrow and non-Arrow conversion paths)."""
+    qid_type = queries.schema[query_id_col].dataType
+    return T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("_qn", T.LongType()),
+        ]
+    )
 
 
 def ivf_topk_indexed(
@@ -841,7 +862,7 @@ def ivf_topk_indexed(
                 F.lit(0).cast("long").alias("cos_u"),
             ).where(F.lit(False))
         )
-    probes = spark.createDataFrame(probes_pdf)
+    probes = spark.createDataFrame(probes_pdf, schema=_probe_schema(queries, query_id_col))
     buckets = sorted(set(probes_pdf["bucket"].tolist()))
     scored = (
         assigned.where(F.col("bucket").isin(buckets))  # partition pruning

@@ -100,19 +100,12 @@ def test_overflow_only_prior_green():
     )
 
 
-# Queries added AFTER the 50-slot cap filled entirely with never-green
-# entries: local-gate + pytest vouched, queued for the round-5 rotation.
-# Every name here must sit past the cap AND lack a driver row; anything
-# else past the cap without a driver-green row fails the guard below.
-ROUND5_QUEUE = {
-    "emerging_hotspots",
-    "heading_profile",
-    "ripley_k",
-    "g_function",
-    "cross_k",
-    "caption_consistency",
-    "idw_loocv",
-}
+# Round-5 rotation emptied the queue: every never-driver-green query
+# (the 2 round-4 red ANN rows + the 7 queued statistics/caption
+# queries) now sits in-cap. Any NEW query landing past the cap without
+# a driver-green row fails the guard below — add it here only as an
+# explicit, temporary decision.
+ROUND5_QUEUE: set[str] = set()
 
 
 def test_never_green_queries_inside_cap():
@@ -127,6 +120,25 @@ def test_never_green_queries_inside_cap():
         f"never-driver-verified queries stuck past the cap without a "
         f"queue entry: {outside - ROUND5_QUEUE}; stale queue names: "
         f"{ROUND5_QUEUE - outside}"
+    )
+
+
+def test_coverage_doc_in_cap_list_matches_priority():
+    """Doc-drift guard (round-4 verdict item 6): COVERAGE.md's
+    "Driver correctness-gate ordering" section carries the exact in-cap
+    list in a ```in-cap fenced block; it must equal ``_PRIORITY[:50]``
+    as an ORDERED list. The round-4 doc named six anchors that were not
+    in the artifact's cap — this pins the doc to the code."""
+    root = Path(__file__).resolve().parents[1]
+    text = (root / "COVERAGE.md").read_text()
+    assert "```in-cap\n" in text, "COVERAGE.md lost its in-cap block"
+    block = text.split("```in-cap\n", 1)[1].split("```", 1)[0]
+    doc_list = block.split()
+    names = list(E.queries())[: E.DRIVER_CAP]
+    assert doc_list == names, (
+        f"COVERAGE.md in-cap block drifted from _PRIORITY[:50]: "
+        f"doc-only={set(doc_list) - set(names)}, "
+        f"code-only={set(names) - set(doc_list)}"
     )
 
 

@@ -616,6 +616,59 @@ def test_ivf_filtered_search(spark, tmp_path):
     assert key(again.collect()) == key(inline2.collect())
 
 
+def test_ivf_indexed_arrow_disabled(spark, tmp_path):
+    """Driver-environment regression (round-4 red rows ann_ivf_delta /
+    ann_filtered): with Arrow pandas conversion DISABLED, createDataFrame
+    falls through to _inferSchemaFromList, which cannot infer list-of-
+    numpy-float64 cells. The probe table now ships plain-float lists AND
+    an explicit schema, so ivf_topk_indexed must work identically in
+    both conversion environments."""
+    pdf = _vecs(60)
+    pdf["label"] = [i % 3 for i in range(60)]
+    df = spark.createDataFrame(pdf)
+    cents = SIM.kmeans_fit(
+        np.array([np.array(e) for e in pdf["embedding"]]), n_centroids=3
+    )
+    idx = str(tmp_path / "ivf_idx_noarrow")
+    SIM.ivf_write_index(df, cents, idx, carry_cols=("label",))
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cos_u) for r in rows
+    )
+    with_arrow = key(
+        SIM.ivf_topk_indexed(
+            spark, idx, queries, k=5, centroids=cents, nprobe=2
+        ).collect()
+    )
+    with_arrow_f = key(
+        SIM.ivf_topk_indexed(
+            spark, idx, queries, k=5, centroids=cents, nprobe=2,
+            where="label % 2 = 0",
+        ).collect()
+    )
+    conf = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        no_arrow = key(
+            SIM.ivf_topk_indexed(
+                spark, idx, queries, k=5, centroids=cents, nprobe=2
+            ).collect()
+        )
+        no_arrow_f = key(
+            SIM.ivf_topk_indexed(
+                spark, idx, queries, k=5, centroids=cents, nprobe=2,
+                where="label % 2 = 0",
+            ).collect()
+        )
+    finally:
+        spark.conf.set(conf, prev)
+    assert no_arrow == with_arrow and len(with_arrow) == 3 * 5
+    assert no_arrow_f == with_arrow_f and len(with_arrow_f) > 0
+
+
 def test_ivf_index_append_parity_and_churn(spark, tmp_path):
     """ivf_index_append: (a) the merged base+batch index answers queries
     exactly like a monolithic full-corpus build (same centroids/nprobe);

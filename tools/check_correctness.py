@@ -5,7 +5,16 @@ DuckDB at sf0.01, compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, values
 canonicalized to strings).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--no-arrow] [sf_dir] [query ...]
+
+``--no-arrow`` runs the whole gate with
+``spark.sql.execution.arrow.pyspark.enabled=false`` — the driver's session
+does NOT enable Arrow pandas conversion, so ``createDataFrame(pandas)``
+sites take the non-Arrow ``_inferSchemaFromList`` path there, which cannot
+infer e.g. list-of-numpy-float64 cells (the round-4 ``ann_ivf_delta`` /
+``ann_filtered`` red rows diverged from the local gate exactly this way).
+Running one ``--no-arrow`` leg keeps the local gate honest against the
+driver environment.
 """
 
 from __future__ import annotations
@@ -163,10 +172,16 @@ def check_queries(spark, con, sf_dir: str, only=None, verbose=True) -> list[str]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--no-arrow"]
+    no_arrow = "--no-arrow" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    conf = {"spark.driver.memory": "8g",
+            "spark.ui.showConsoleProgress": "false"}
+    if no_arrow:
+        conf["spark.sql.execution.arrow.pyspark.enabled"] = "false"
     spark = get_spark(master="local[8]", shuffle_partitions=8,
-                      extra_conf={"spark.driver.memory": "8g", "spark.ui.showConsoleProgress": "false"})
+                      extra_conf=conf)
     con = duckdb.connect()
     register_views(con, sf_dir)
     failures = check_queries(spark, con, sf_dir, only=only)
