@@ -572,7 +572,14 @@ def ripley_k(
     npts = points.agg(F.count(F.lit(1)).alias("n_points"))
     joined = cnts.crossJoin(npts)
     a_lit = double_literal(area)
-    rows = []
+    # one-row frame; checkpoint so the per-radius UNION arms re-read it
+    # instead of re-executing the whole pair join per arm. Arms build
+    # with the DataFrame API directly on the checkpointed frame — no
+    # session-global temp view (a fixed view name races concurrent
+    # invocations in one SparkSession and leaks into the caller's
+    # catalog; round-4 advice).
+    joined = joined.localCheckpoint(eager=True)
+    out = None
     for i, r in enumerate(radii):
         k_expr = (
             f"CAST(floor(CAST(2 * coalesce(_c{i}, 0) AS DOUBLE) * {a_lit}"
@@ -581,19 +588,15 @@ def ripley_k(
             f" * CAST(1000000000000 AS DOUBLE)) AS BIGINT)"
         )
         csr = int(math.floor(math.pi * r * r * 1e12))
-        rows.append(
-            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
-            f"CAST(n_points AS BIGINT) AS n_points, "
-            f"CAST(2 * coalesce(_c{i}, 0) AS BIGINT) AS n_pairs, "
-            f"{k_expr} AS k_u, "
-            f"CAST({csr} AS BIGINT) AS csr_u"
+        arm = joined.selectExpr(
+            f"CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u",
+            "CAST(n_points AS BIGINT) AS n_points",
+            f"CAST(2 * coalesce(_c{i}, 0) AS BIGINT) AS n_pairs",
+            f"{k_expr} AS k_u",
+            f"CAST({csr} AS BIGINT) AS csr_u",
         )
-    # one-row frame; checkpoint so the per-radius UNION arms re-read it
-    # instead of re-executing the whole pair join per arm
-    joined = joined.localCheckpoint(eager=True)
-    joined.createOrReplaceTempView("__ripley_in")
-    sql = " UNION ALL ".join(f"{row} FROM __ripley_in" for row in rows)
-    return joined.sparkSession.sql(sql)
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 def ripley_k_oracle_sql(
@@ -701,21 +704,23 @@ def g_function(
     ]
     cnts = nn.agg(*aggs)
     npts = points.agg(F.count(F.lit(1)).alias("n_points"))
+    # DataFrame-API arms on the checkpointed one-row frame (no
+    # session-global temp view — see ripley_k)
     joined = cnts.crossJoin(npts).localCheckpoint(eager=True)
-    joined.createOrReplaceTempView("__gfun_in")
-    arms = []
+    out = None
     for i, r in enumerate(radii):
         g_bp = (
             f"CAST(floor(CAST(10000 * coalesce(_g{i}, 0) AS DOUBLE)"
             f" / CAST(n_points AS DOUBLE)) AS BIGINT)"
         )
-        arms.append(
-            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
-            f"CAST(n_points AS BIGINT) AS n_points, "
-            f"CAST(coalesce(_g{i}, 0) AS BIGINT) AS n_le, "
-            f"{g_bp} AS g_bp FROM __gfun_in"
+        arm = joined.selectExpr(
+            f"CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u",
+            "CAST(n_points AS BIGINT) AS n_points",
+            f"CAST(coalesce(_g{i}, 0) AS BIGINT) AS n_le",
+            f"{g_bp} AS g_bp",
         )
-    return joined.sparkSession.sql(" UNION ALL ".join(arms))
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 def g_function_oracle_sql(
@@ -820,9 +825,10 @@ def cross_k(
     joined = (
         cnts.crossJoin(n1).crossJoin(n2).localCheckpoint(eager=True)
     )
-    joined.createOrReplaceTempView("__crossk_in")
+    # DataFrame-API arms on the checkpointed one-row frame (no
+    # session-global temp view — see ripley_k)
     a_lit = double_literal(area)
-    arms = []
+    out = None
     for i, r in enumerate(radii):
         k_expr = (
             f"CAST(floor(CAST(coalesce(_c{i}, 0) AS DOUBLE) * {a_lit}"
@@ -830,15 +836,16 @@ def cross_k(
             f" * CAST(1000000000000 AS DOUBLE)) AS BIGINT)"
         )
         csr = int(math.floor(math.pi * r * r * 1e12))
-        arms.append(
-            f"SELECT CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u, "
-            f"CAST(n_left AS BIGINT) AS n_left, "
-            f"CAST(n_right AS BIGINT) AS n_right, "
-            f"CAST(coalesce(_c{i}, 0) AS BIGINT) AS n_pairs, "
-            f"{k_expr} AS k_u, CAST({csr} AS BIGINT) AS csr_u "
-            f"FROM __crossk_in"
+        arm = joined.selectExpr(
+            f"CAST({int(math.floor(r * 1e6))} AS BIGINT) AS r_u",
+            "CAST(n_left AS BIGINT) AS n_left",
+            "CAST(n_right AS BIGINT) AS n_right",
+            f"CAST(coalesce(_c{i}, 0) AS BIGINT) AS n_pairs",
+            f"{k_expr} AS k_u",
+            f"CAST({csr} AS BIGINT) AS csr_u",
         )
-    return joined.sparkSession.sql(" UNION ALL ".join(arms))
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 def cross_k_oracle_sql(

@@ -292,8 +292,14 @@ def idw_surface(
     WCAP and the final floor(sum_wv / sum_w) are the only two float
     ops, each a single textually-identical double divide on operands
     both engines hold bit-identically. Sums are BIGINT (order-free);
-    with WCAP = 1e9 and values < 1e6, ~9e3 in-range samples per cell
-    fit int64 with 1000x headroom (document per-deployment).
+    overflow sizing (corrected per round-4 advice — the earlier claim
+    of "1000x headroom at values < 1e6" was wrong: 1e9 * 1e6 * 9e3 =
+    9e18 sits AT the int64 limit 9.22e18): with WCAP = 1e9, sum_wv is
+    bounded by WCAP * max|v| * n_in_range, so ~9e3 cap-weighted
+    in-range samples need values < 1e3 for ~1000x headroom; at
+    values ~ 1e6 the bound is ~1x and dense near-center clusters can
+    silently overflow the BIGINT sum — size WCAP / value scale / res
+    per deployment so WCAP * max|v| * samples_per_cell << 9.2e18.
 
     Output: (cell, n_samples, sum_w, sum_wv, idw_u).
     """

@@ -355,10 +355,16 @@ def rasterize_polygons(
                     [int(s) for s in r["ring_sizes"]],
                 )
             )
+    # explicit schema: with no shape_type-5 features (or all-empty
+    # covers) the task list is empty and inference would raise "can not
+    # infer schema from empty dataset" — the empty case must degrade to
+    # an empty result frame (round-4 advice)
     tasks_df = spark.createDataFrame(
         pd.DataFrame(
             tasks, columns=["cell", "record_number", "xs", "ys", "ring_sizes"]
-        )
+        ),
+        schema="cell long, record_number long, xs array<double>, "
+               "ys array<double>, ring_sizes array<int>",
     ).repartition("cell")
 
     schema = "cell long, record_number long, coverage_px long, mask binary"
@@ -813,10 +819,16 @@ def clip_polygons_to_tiles(
                     [int(s) for s in r["ring_sizes"]],
                 )
             )
+    # explicit schema: with no shape_type-5 features (or all-empty
+    # covers) the task list is empty and inference would raise "can not
+    # infer schema from empty dataset" — the empty case must degrade to
+    # an empty result frame (round-4 advice)
     tasks_df = spark.createDataFrame(
         pd.DataFrame(
             tasks, columns=["cell", "record_number", "xs", "ys", "ring_sizes"]
-        )
+        ),
+        schema="cell long, record_number long, xs array<double>, "
+               "ys array<double>, ring_sizes array<int>",
     ).repartition("cell")
 
     schema = (

@@ -299,6 +299,20 @@ def test_rasterize_polygons_area_fraction(spark):
         assert int(bits.sum()) == m["coverage_px"]
 
 
+def test_rasterize_and_clip_empty_inputs(spark):
+    """Round-4 advice: with no shape_type-5 features the task list is
+    empty; inference can't schema an empty pandas frame, so both task
+    builders pin an explicit schema and must degrade to EMPTY results
+    (not raise)."""
+    grid = FX.make_grid_features().head(2).copy()
+    grid["shape_type"] = 3  # polylines only — zero polygon tasks
+    out = TI.rasterize_polygons(spark, grid, res=5, tile_px=8).toPandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["cell", "record_number", "coverage_px", "mask"]
+    clipped = TI.clip_polygons_to_tiles(spark, grid, res=5).toPandas()
+    assert len(clipped) == 0
+
+
 def test_image_tiling_pipeline_counts(spark, images_df, images_pdf):
     res = 6
     out = TI.image_tiling_pipeline(

@@ -366,10 +366,15 @@ def test_idw_loocv_matches_python_twin(spark):
     )
     du = np.floor(d * 1e6).astype(np.int64)
     np.fill_diagonal(du, np.iinfo(np.int64).max)
-    r_u = int(np.floor(radius * 1e6))
+    np.fill_diagonal(d, np.inf)
     n_pred, sum_err, max_err = 0, 0, 0
     for i in range(n):
-        m = du[i] <= r_u
+        # mirror the ENGINE's order (round-4 advice): admit on the RAW
+        # double distance first (the pair join's d <= radius filter),
+        # floor to µdeg only for the weight — a pair with d in
+        # (radius, (floor(radius*1e6)+1)/1e6) must NOT be admitted via
+        # the floored comparison (latent flake if fixture/radius moves)
+        m = d[i] <= radius
         if not m.any():
             continue
         w = np.minimum(
