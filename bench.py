@@ -885,7 +885,10 @@ DOC_RANGES = {
     "dedup_minhash": [2.2, 12.0],
     "ann_topk": [0.8, 1.7],
     "ann_ivf": [1.5, 3.5],
-    "ann1m_brute": [9.0, 28.0],
+    # lower bound re-measured round 5: a D=1.15 quiet window ran the
+    # warmed 1M brute scan in 6.8 s (prior floor 9.0 came from windows
+    # where the fixture was cold on disk)
+    "ann1m_brute": [6.5, 28.0],
     "ann1m_ivf": [2.2, 12.0],
     "pip_skew_salted": [4.0, 35.0],
     "pip_skew_unsalted": [8.0, 70.0],
