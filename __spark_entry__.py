@@ -49,8 +49,10 @@ _PRIORITY = [
     #
     # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
     "pip_grid_join", "tile_pyramid",
-    # road/line overlays + grid-DBSCAN (r4-green, kept as family anchors)
-    "hotspot_clusters", "getis_ord", "nearest_road", "road_buffer",
+    # road/line overlays + grid-DBSCAN (r4-green, kept as family anchors;
+    # nearest_road rotated out mid-round-5 for ann_pq — the road top-1
+    # family stays in-cap via road_buffer/map_match/road_crossings)
+    "hotspot_clusters", "getis_ord", "road_buffer",
     "map_match", "trajectory", "zonal_stats",
     "road_crossings", "border_crossings", "od_matrix",
     # big-big planar self-joins
@@ -71,8 +73,9 @@ _PRIORITY = [
     # driver-verified)
     "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
     "image_quality", "box_nms", "caption_consistency",
-    # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed)
-    "ann_ivf", "ann_ivf_delta", "ann_filtered", "ann_recall",
+    # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed;
+    # ann_pq added mid-round-5 — new query, needs its first driver row)
+    "ann_ivf", "ann_pq", "ann_ivf_delta", "ann_filtered", "ann_recall",
     # multimodal flagships + shard sink
     "image_tiling", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
@@ -83,8 +86,8 @@ _PRIORITY = [
     # (CORRECTNESS_r01..r04 — ledger in COVERAGE.md); all remain
     # runnable via tools/check_correctness.py ----
     # displaced by the round-5 rotation (all r4-green):
-    "nearest_road_big", "vector_outline", "geo_pairs", "geo_knn_self",
-    "trajectory_geo", "raster_smooth", "paragraph_dedup",
+    "nearest_road", "nearest_road_big", "vector_outline", "geo_pairs",
+    "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):
     "pip_first_hit", "within_distance", "reverse_geocode", "tile_bounds",
     "render_tiles", "vectorize_raster", "state_confidence",

@@ -2614,6 +2614,72 @@ def q_ann_ivf_oracle() -> str:
     """
 
 
+PQ_M = 4
+PQ_K = 8
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (asymmetric distance computation):
+    the corpus compresses to M=4 subspace codes per vector (the
+    64-dims-to-4-ints memory-side answer at 10^12 rows — IVF prunes
+    which rows a probe scans, PQ shrinks what a scan reads), queries
+    project integerized distance LUT arrays in-plan and broadcast, and
+    scoring is M element_at lookups + an exact BIGINT sum per code row.
+    Driver config uses K=8 codes per subspace so the oracle SQL stays
+    readable; production uses K=256 (one byte per code). Smaller adc_u
+    is NEARER (ADC approximates squared L2), ties on vec_id."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = SIM.make_pq_codebooks(EMB_DIM, PQ_M, PQ_K)
+    out = SIM.pq_adc_topk(SIM.pq_encode(emb, cbs), queries, cbs, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "adc_u",
+    )
+
+
+def q_ann_pq_oracle() -> str:
+    """DuckDB twin: re-derives the codes (same first-occurrence argmin
+    over the same identical-IEEE distance trees) and the query LUT
+    lists, then the same M-lookup integer ADC sum."""
+    cbs = SIM.make_pq_codebooks(EMB_DIM, PQ_M, PQ_K)
+    codes = ", ".join(
+        f"{SIM.pq_code_sql('embedding', cbs, i, 'duckdb')} AS code{i}"
+        for i in range(PQ_M)
+    )
+    luts = ", ".join(
+        "list_value("
+        + ", ".join(
+            SIM.pq_lut_elem_sql("embedding", cbs, i, j, "duckdb")
+            for j in range(PQ_K)
+        )
+        + f") AS lut{i}"
+        for i in range(PQ_M)
+    )
+    adc = " + ".join(f"lut{i}[code{i} + 1]" for i in range(PQ_M))
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, {luts}
+          FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (SELECT vec_id, {codes} FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id, CAST({adc} AS BIGINT) AS adc_u
+          FROM c CROSS JOIN q
+        )
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_u, vec_id)::BIGINT AS rank,
+               vec_id::BIGINT AS vec_id, adc_u
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
 def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance, proven equivalent to monolithic:
     the corpus splits into a base (vec_id % 17 != 0, ~94%) indexed with the
@@ -3475,6 +3541,7 @@ QUERIES = {
     "mm_interleave_pack": q_mm_interleave_pack,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -3550,6 +3617,7 @@ ORACLES = {
     "mm_interleave_pack": q_mm_interleave_pack_oracle(),
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),
+    "ann_pq": q_ann_pq_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

@@ -878,3 +878,226 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cos_u")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 10^12-row memory-side companion to IVF
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WHICH rows are scanned; PQ shrinks WHAT a scan reads: each
+# embedding compresses to M small integer codes (one per dimension
+# subspace), and query scoring reads ONLY the codes via asymmetric
+# distance computation (ADC) — the query builds one M x K lookup table
+# of subspace distances, and a corpus row's approximate distance is M
+# table lookups + M-1 adds. At 64 dims / float32 that is 256 bytes ->
+# M=4 bytes per vector (64x), which is the difference between an
+# embedding table that fits executor memory at 10^12 rows and one that
+# does not. Reference parity note: the reference has no ANN at all
+# (its nearest-feature lookup is a brute scan, spatial_index.cpp:91-121);
+# PQ extends this engine's similarity family (brute / LSH / IVF) with
+# the standard compressed-domain member (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+#
+# Engine shape (everything JVM-side codegen, zero Python):
+# * ``pq_encode``: per subspace, K identical-IEEE-tree distance
+#   expressions -> array -> array_position(arr, array_min(arr)) - 1
+#   (first-occurrence argmin == lowest-index tie rule; each distance
+#   expression appears ONCE in the array literal, so Catalyst's
+#   projection collapse cannot duplicate it multiplicatively — the
+#   CASE-chain argmin used for the 8-bucket IVF assign references each
+#   distance O(K) times and would blow up at K=16).
+# * ``pq_adc_topk``: the query side projects M LUT *arrays* in-plan
+#   (each element an integerized subspace distance to one codebook
+#   entry), broadcasts, and the score is element_at(lut_m, code_m + 1)
+#   summed as exact BIGINTs — the ADC lookup expressed relationally.
+#
+# Cross-engine determinism: every LUT element / encode distance is the
+# same textually-identical double expression tree in both dialects
+# (``centroid_dist_sql``'s fixed left-to-right sum over literal
+# centroids), integerized with the floor-to-BIGINT canon BEFORE the
+# (order-free) integer sum; ranking ties break on vec_id.
+
+
+def make_pq_codebooks(
+    dim: int, m: int = 4, k: int = 16, seed: int = 13
+) -> np.ndarray:
+    """Deterministic PQ codebooks, shape (m, k, dim//m) — seeded Gaussian
+    rounded to 6 decimals so SQL literals are engine-exact (the
+    ``make_centroids`` convention). Data-trained codebooks come from
+    ``pq_fit``."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return np.round(rng.standard_normal((m, k, dim // m)) * 0.5, 6)
+
+
+def pq_fit(
+    vectors: np.ndarray, m: int = 4, k: int = 16, iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a driver-side sample (the same
+    dimension-scale-state contract as ``kmeans_fit``: at 10^12 rows the
+    input is a hash-filtered ~10^4-row pull). Returns (m, k, dim//m),
+    rounded to 6 decimals for engine-exact literals."""
+    dim = vectors.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    return np.stack([
+        kmeans_fit(vectors[:, i * ds:(i + 1) * ds], k, iters=iters, seed=seed + i)
+        for i in range(m)
+    ])
+
+
+def pq_sub_dist_sql(
+    vec: str, sub_centroid: np.ndarray, m_idx: int, ds: int,
+    dialect: str = "spark",
+) -> str:
+    """Squared L2 distance between subspace ``m_idx`` of ``vec`` (dims
+    [m_idx*ds, (m_idx+1)*ds)) and one codebook entry — the same fixed
+    left-to-right identical-IEEE tree as ``centroid_dist_sql``."""
+    base = (0 if dialect == "spark" else 1) + m_idx * ds
+    terms = " + ".join(
+        f"(CAST({vec}[{i + base}] AS DOUBLE) - ({w!r})) * "
+        f"(CAST({vec}[{i + base}] AS DOUBLE) - ({w!r}))"
+        for i, w in enumerate(sub_centroid.tolist())
+    )
+    return f"({terms})"
+
+
+def _arr_sql(elems: list[str], dialect: str) -> str:
+    inner = ", ".join(elems)
+    return f"array({inner})" if dialect == "spark" else f"list_value({inner})"
+
+
+def pq_code_sql(
+    vec: str, codebooks: np.ndarray, m_idx: int, dialect: str = "spark"
+) -> str:
+    """Subspace code (0..K-1) = first-occurrence argmin over the K
+    codebook distances. The K distance expressions sit ONCE each inside
+    an array literal; argmin is array_position(arr, array_min(arr)) - 1
+    (both engines: 1-based first match on the bit-identical min value),
+    so projection collapse duplicates nothing."""
+    ds = codebooks.shape[2]
+    dists = [
+        pq_sub_dist_sql(vec, codebooks[m_idx, j], m_idx, ds, dialect)
+        for j in range(codebooks.shape[1])
+    ]
+    arr = _arr_sql(dists, dialect)
+    if dialect == "spark":
+        return (
+            f"(CAST(array_position({arr}, array_min({arr})) AS INT) - 1)"
+        )
+    return f"(CAST(list_position({arr}, list_min({arr})) AS INT) - 1)"
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus -> compact code table (id + M int codes), one scan-side
+    codegen projection, zero exchanges — the index-build step a pipeline
+    runs once per crawl batch and persists (codes parquet is the ANN
+    working set; the raw embedding column never needs to be read again
+    for search)."""
+    m = codebooks.shape[0]
+    cols = [F.col(id_col)] + [F.col(c) for c in carry_cols] + [
+        F.expr(pq_code_sql(vec_col, codebooks, i, "spark")).alias(f"code{i}")
+        for i in range(m)
+    ]
+    return df.select(*cols)
+
+
+PQ_SCALE_DIST = 1_000_000  # 1e6: per-LUT-element integerization
+
+
+def pq_lut_elem_sql(
+    qvec: str, codebooks: np.ndarray, m_idx: int, j: int,
+    dialect: str = "spark",
+) -> str:
+    """One integerized LUT element: floor(1e6 * d2(query_sub, cb[m][j]))."""
+    ds = codebooks.shape[2]
+    d = pq_sub_dist_sql(qvec, codebooks[m_idx, j], m_idx, ds, dialect)
+    return f"CAST(floor({d} * {PQ_SCALE_DIST}) AS BIGINT)"
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over a PQ code table: the query side projects M
+    integerized LUT arrays in-plan and broadcasts (queries are batch-
+    scale by contract); each corpus code row costs M element_at lookups
+    + an exact BIGINT sum. One shuffle total (the per-query top-k
+    window) — the compressed-domain brute scan whose cost is O(rows x
+    M) lookups instead of O(rows x dim) multiplies, on 64x less I/O.
+
+    Output: (query_id, rank, vec_id, adc_u), rank 1..k by (adc_u ASC,
+    vec_id ASC) — ADC approximates DISTANCE, so smaller is nearer.
+    """
+    m, kk, _ds = codebooks.shape
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    for i in range(m):
+        elems = ", ".join(
+            pq_lut_elem_sql("_qv", codebooks, i, j, "spark")
+            for j in range(kk)
+        )
+        q = q.withColumn(f"_lut{i}", F.expr(f"array({elems})"))
+    q = F.broadcast(q.drop("_qv"))
+    adc = " + ".join(
+        f"element_at(_lut{i}, code{i} + 1)" for i in range(m)
+    )
+    scored = codes.crossJoin(q).withColumn("adc_u", F.expr(adc))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_u"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "adc_u")
+    )
+
+
+def pq_numpy_twin(
+    vectors: np.ndarray,
+    query: np.ndarray,
+    codebooks: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact python twin of (encode, ADC score) with the engine's
+    left-to-right accumulation and integerization — for pytest parity
+    (returns (codes[n, m] int, adc_u[n] int64) for one query)."""
+    m, kk, ds = codebooks.shape
+    n = len(vectors)
+    codes = np.zeros((n, m), np.int64)
+    lut = np.zeros((m, kk), np.int64)
+    for mi in range(m):
+        sub = vectors[:, mi * ds:(mi + 1) * ds].astype(np.float64)
+        qs = query[mi * ds:(mi + 1) * ds].astype(np.float64)
+        # left-to-right scalar accumulation == the SQL term chain
+        d = np.zeros((n, kk), np.float64)
+        dq = np.zeros(kk, np.float64)
+        for j in range(kk):
+            cw = codebooks[mi, j]
+            acc = np.zeros(n, np.float64)
+            accq = 0.0
+            for t in range(ds):
+                acc = acc + (sub[:, t] - cw[t]) * (sub[:, t] - cw[t])
+                accq = accq + (qs[t] - cw[t]) * (qs[t] - cw[t])
+            d[:, j] = acc
+            dq[j] = accq
+        codes[:, mi] = d.argmin(axis=1)  # numpy argmin = first occurrence
+        lut[mi] = np.floor(dq * PQ_SCALE_DIST).astype(np.int64)
+    adc = np.zeros(n, np.int64)
+    for mi in range(m):
+        adc += lut[mi][codes[:, mi]]
+    return codes, adc

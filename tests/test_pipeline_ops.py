@@ -1479,3 +1479,87 @@ def test_substring_dedup_fuzz_matches_python_oracle(spark):
 def test_substring_dedup_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         DD.substring_dedup(None, k=1)
+
+
+def test_pq_encode_and_adc_match_numpy_twin(spark):
+    """PQ codes and ADC scores == the exact python twin (same
+    left-to-right IEEE accumulation, same first-occurrence argmin, same
+    floor-integerized LUT), and the top-k ranking follows (adc_u ASC,
+    vec_id ASC)."""
+    pdf = _vecs(150, dim=16)
+    vmat = np.array([np.array(e, np.float64) for e in pdf["embedding"]])
+    cbs = SIM.make_pq_codebooks(16, m=4, k=8, seed=5)
+    df = spark.createDataFrame(pdf)
+    codes = SIM.pq_encode(df, cbs).toPandas().sort_values("vec_id")
+    assert list(codes.columns) == ["vec_id", "code0", "code1", "code2", "code3"]
+    q = vmat[0]
+    exp_codes, exp_adc = SIM.pq_numpy_twin(vmat, q, cbs)
+    got_codes = codes[["code0", "code1", "code2", "code3"]].to_numpy()
+    assert (got_codes == exp_codes).all()
+    assert got_codes.min() >= 0 and got_codes.max() < 8
+
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = (
+        SIM.pq_adc_topk(SIM.pq_encode(df, cbs), queries, cbs, k=10)
+        .toPandas().sort_values("rank")
+    )
+    order = np.lexsort((np.arange(len(exp_adc)), exp_adc))[:10]
+    assert list(out["vec_id"]) == [int(i) for i in order]
+    assert list(out["adc_u"]) == [int(exp_adc[i]) for i in order]
+    assert list(out["rank"]) == list(range(1, 11))
+
+
+def test_pq_trained_recall_beats_random_codebooks(spark):
+    """pq_fit (per-subspace Lloyd on a sample) must yield usable ADC
+    recall@10 vs exact L2 and beat untrained Gaussian codebooks
+    (quantization quality is a MEASURED property, the ann_recall
+    discipline). Corpus is a cluster mixture — on ISOTROPIC Gaussian
+    data training provably cannot help (no subspace structure; measured
+    0.3875 == 0.3875), so a structured corpus is the honest fixture.
+    The random-codebook arm runs through the python twin (engine ==
+    twin is pinned exactly by the parity test above)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 2
+    assign = rng.randint(0, 8, 400)
+    vmat = centers[assign] + rng.standard_normal((400, 16)) * 0.3
+    pdf = pd.DataFrame({
+        "vec_id": range(400), "embedding": [r.tolist() for r in vmat]
+    })
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        qi: set(
+            np.argsort(((vmat - vmat[qi]) ** 2).sum(axis=1), kind="stable")[:10]
+        )
+        for qi in range(8)
+    }
+    trained_cb = SIM.pq_fit(vmat, m=4, k=16)
+    out = SIM.pq_adc_topk(
+        SIM.pq_encode(df, trained_cb), queries, trained_cb, k=10
+    ).toPandas()
+    trained = sum(
+        int(r.vec_id) in exact[int(r.query_id)] for r in out.itertuples()
+    ) / (8 * 10)
+
+    random_cb = SIM.make_pq_codebooks(16, m=4, k=16)
+    hits = 0
+    for qi in range(8):
+        _, adc = SIM.pq_numpy_twin(vmat, vmat[qi], random_cb)
+        order = np.lexsort((np.arange(len(adc)), adc))[:10]
+        hits += len(set(order) & exact[qi])
+    untrained = hits / (8 * 10)
+    assert trained >= 0.3, trained  # measured 0.375
+    assert trained > untrained, (trained, untrained)  # measured 0.2875
+
+
+def test_pq_validation():
+    with pytest.raises(ValueError):
+        SIM.make_pq_codebooks(10, m=4)
+    with pytest.raises(ValueError):
+        SIM.pq_fit(np.zeros((10, 10)), m=4)
