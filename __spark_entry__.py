@@ -57,8 +57,10 @@ _PRIORITY = [
     "road_crossings", "border_crossings", "od_matrix",
     # big-big planar self-joins
     "point_pairs", "knn_self",
-    # geodesic (great-circle) family
-    "geo_nearest", "geo_within_km", "geo_polygon_area", "stay_points",
+    # geodesic (great-circle) family (geo_polygon_area rotated out
+    # mid-round-5 for ann_ivfpq; ring-measure kernels stay pinned by
+    # pytest and the geodesic family by geo_nearest/geo_within_km)
+    "geo_nearest", "geo_within_km", "stay_points",
     # raster / density family (+ idw_loocv: never driver-verified)
     "density_contours", "adaptive_grid", "idw", "idw_loocv",
     # point-pattern / space-time statistics (never driver-verified)
@@ -75,7 +77,8 @@ _PRIORITY = [
     "image_quality", "box_nms", "caption_consistency",
     # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed;
     # ann_pq added mid-round-5 — new query, needs its first driver row)
-    "ann_ivf", "ann_pq", "ann_ivf_delta", "ann_filtered", "ann_recall",
+    "ann_ivf", "ann_pq", "ann_ivfpq", "ann_ivf_delta", "ann_filtered",
+    "ann_recall",
     # multimodal flagships + shard sink
     "image_tiling", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
@@ -86,7 +89,8 @@ _PRIORITY = [
     # (CORRECTNESS_r01..r04 — ledger in COVERAGE.md); all remain
     # runnable via tools/check_correctness.py ----
     # displaced by the round-5 rotation (all r4-green):
-    "nearest_road", "nearest_road_big", "vector_outline", "geo_pairs",
+    "nearest_road", "geo_polygon_area",
+    "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):
     "pip_first_hit", "within_distance", "reverse_geocode", "tile_bounds",

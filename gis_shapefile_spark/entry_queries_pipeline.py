@@ -2680,6 +2680,81 @@ def q_ann_pq_oracle() -> str:
     """
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 — the composed 10^12-row production shape: the
+    corpus writes ONCE to a bucket-partitioned CODES-ONLY index (coarse
+    IVF bucket + M=4 PQ subspace codes per row, NO embedding column —
+    a ~64x smaller ANN working set), then each query batch probes its
+    nprobe nearest buckets (static partition pruning at the source) and
+    scores only code rows via the broadcast LUT ADC sum. IVF prunes
+    WHICH rows are scanned; PQ shrinks WHAT a scan reads; this query
+    exercises both reductions together against an oracle that re-derives
+    buckets, codes, LUTs, and the ADC ranking in SQL."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.make_centroids(EMB_DIM, IVF_CENTROIDS)
+    cbs = SIM.make_pq_codebooks(EMB_DIM, PQ_M, PQ_K)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(FX.FIXTURE_DIR, f"ivfpq_index_{tag}")
+    SIM.ivfpq_write_index(emb, cents, cbs, path)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivfpq_topk_indexed(
+        spark, path, queries, k=5, centroids=cents, codebooks=cbs,
+        nprobe=IVF_NPROBE,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "adc_u",
+    )
+
+
+def q_ann_ivfpq_oracle() -> str:
+    """DuckDB twin: IVF probe scaffolding (``_ivf_oracle_ctes`` — the
+    shared bucket argmin + probe tie-break) composed with the PQ
+    fragments (codes re-derived per corpus row, LUT lists per query,
+    M-lookup integer ADC), ranked by (adc_u ASC, vec_id)."""
+    c = _ivf_oracle_ctes(n_queries=10)
+    cbs = SIM.make_pq_codebooks(EMB_DIM, PQ_M, PQ_K)
+    codes = ", ".join(
+        f"{SIM.pq_code_sql('embedding', cbs, i, 'duckdb')} AS code{i}"
+        for i in range(PQ_M)
+    )
+    luts = ", ".join(
+        "list_value("
+        + ", ".join(
+            SIM.pq_lut_elem_sql("qv", cbs, i, j, "duckdb")
+            for j in range(PQ_K)
+        )
+        + f") AS lut{i}"
+        for i in range(PQ_M)
+    )
+    adc = " + ".join(f"lut{i}[code{i} + 1]" for i in range(PQ_M))
+    return f"""
+        WITH q AS ({c["q"]}),
+        probes AS ({c["probes"]}),
+        qlut AS (SELECT query_id, {luts} FROM (SELECT DISTINCT query_id, qv FROM q)),
+        cb AS ({c["cb"]}),
+        ccodes AS (SELECT vec_id, bucket, {codes} FROM (SELECT vec_id, embedding, bucket FROM cb)),
+        scored AS (
+          SELECT p.query_id, c.vec_id, CAST({adc} AS BIGINT) AS adc_u
+          FROM ccodes c
+          JOIN probes p USING (bucket)
+          JOIN qlut USING (query_id)
+        )
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_u, vec_id)::BIGINT AS rank,
+               vec_id::BIGINT AS vec_id, adc_u
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
 def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance, proven equivalent to monolithic:
     the corpus splits into a base (vec_id % 17 != 0, ~94%) indexed with the
@@ -3542,6 +3617,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -3618,6 +3694,7 @@ ORACLES = {
     "ann_topk": q_ann_topk_oracle(),
     "ann_ivf": q_ann_ivf_oracle(),
     "ann_pq": q_ann_pq_oracle(),
+    "ann_ivfpq": q_ann_ivfpq_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

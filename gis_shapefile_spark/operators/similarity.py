@@ -1101,3 +1101,108 @@ def pq_numpy_twin(
     for mi in range(m):
         adc += lut[mi][codes[:, mi]]
     return codes, adc
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 10^12-row production shape (probe-pruned
+# partitions x compressed-domain scoring — FAISS's IVFPQ layout,
+# expressed relationally)
+# ---------------------------------------------------------------------------
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """One-time IVF-PQ index build: coarse bucket assignment (IVF) +
+    per-subspace PQ codes, written BUCKET-PARTITIONED — and, unlike
+    ``ivf_write_index``, the embedding column is NOT stored: the index
+    holds (id, code0..codeM-1 [, carry]) only. At 10^12 x 64-dim
+    float32 that is the difference between a ~256 TB index and a ~4 TB
+    one; queries touch ~nprobe/C of the partitions (source pruning) and
+    read M small ints per candidate (ADC), never a vector. Both
+    assignment and encoding are one scan-side codegen projection."""
+    cols = [F.col(id_col), *(F.col(c) for c in carry_cols)]
+    m = codebooks.shape[0]
+    encoded = ivf_assign_batch(
+        corpus.select(F.col(id_col), F.col(vec_col),
+                      *(F.col(c) for c in carry_cols)),
+        centroids, vec_col,
+    ).select(
+        *cols, "bucket",
+        *[
+            F.expr(pq_code_sql(vec_col, codebooks, i, "spark")).alias(f"code{i}")
+            for i in range(m)
+        ],
+    )
+    encoded.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    where: str | None = None,
+) -> DataFrame:
+    """ADC top-k over a prebuilt IVF-PQ index: the probe table (query x
+    nprobe nearest coarse buckets, the ``_probe_table_pdf`` machinery)
+    broadcasts with M integerized LUT arrays projected IN-PLAN from the
+    probe's own query vector; its bucket set statically prunes the
+    partitioned code read, and scoring is M element_at lookups + an
+    exact BIGINT sum per candidate code row. ``where`` composes exactly
+    like ``ivf_topk_indexed``'s: a carry-column predicate pushed into
+    the pruned scan. With ``nprobe == n_centroids`` the result equals
+    ``pq_adc_topk`` over the full code table (tested) — the IVF layer
+    only ever REMOVES candidates, it never changes a survivor's score.
+
+    Output: (query_id, rank, vec_id, adc_u), rank by (adc_u ASC, id)."""
+    m, kk, _ds = codebooks.shape
+    probes_pdf = _probe_table_pdf(queries, centroids, nprobe, vec_col, query_id_col)
+    codes = spark.read.parquet(index_path)
+    if where is not None:
+        codes = codes.where(F.expr(where))
+    if len(probes_pdf) == 0:
+        return (
+            codes.select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.lit(0).alias("rank"),
+                F.col(id_col),
+                F.lit(0).cast("long").alias("adc_u"),
+            ).where(F.lit(False))
+        )
+    probes = spark.createDataFrame(
+        probes_pdf, schema=_probe_schema(queries, query_id_col)
+    )
+    for i in range(m):
+        elems = ", ".join(
+            pq_lut_elem_sql("_qvec", codebooks, i, j, "spark")
+            for j in range(kk)
+        )
+        probes = probes.withColumn(f"_lut{i}", F.expr(f"array({elems})"))
+    probes = probes.drop("_qvec", "_qn")
+    buckets = sorted(set(probes_pdf["bucket"].tolist()))
+    adc = " + ".join(f"element_at(_lut{i}, code{i} + 1)" for i in range(m))
+    scored = (
+        codes.where(F.col("bucket").isin(buckets))  # partition pruning
+        .join(F.broadcast(probes), "bucket")
+        .withColumn("adc_u", F.expr(adc))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_u"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "adc_u")
+    )

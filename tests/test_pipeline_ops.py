@@ -1563,3 +1563,58 @@ def test_pq_validation():
         SIM.make_pq_codebooks(10, m=4)
     with pytest.raises(ValueError):
         SIM.pq_fit(np.zeros((10, 10)), m=4)
+
+
+def test_ivfpq_index_matches_pq_brute_and_prunes(spark, tmp_path):
+    """IVF-PQ composition: (a) the index stores CODES ONLY (no embedding
+    column — the 64x point); (b) nprobe == n_centroids degrades exactly
+    to pq_adc_topk over the full code table (the IVF layer only removes
+    candidates, never rescores); (c) the probed read prunes partitions;
+    (d) a carry-col `where` equals pre-filtered PQ brute."""
+    import os
+
+    pdf = _vecs(150)
+    pdf["label"] = [i % 3 for i in range(150)]
+    df = spark.createDataFrame(pdf)
+    vmat = np.array([np.array(e) for e in pdf["embedding"]])
+    cents = SIM.kmeans_fit(vmat, n_centroids=4)
+    cbs = SIM.make_pq_codebooks(16, m=4, k=8, seed=5)
+    idx = str(tmp_path / "ivfpq_idx")
+    SIM.ivfpq_write_index(df, cents, cbs, idx, carry_cols=("label",))
+    stored = spark.read.parquet(idx)
+    assert "embedding" not in stored.columns
+    assert {"vec_id", "label", "code0", "code1", "code2", "code3"} <= set(
+        stored.columns
+    )
+    assert sum(
+        1 for d in os.listdir(idx) if d.startswith("bucket=")
+    ) >= 2
+
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.adc_u) for r in rows
+    )
+    full_probe = SIM.ivfpq_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, codebooks=cbs, nprobe=4
+    )
+    brute = SIM.pq_adc_topk(SIM.pq_encode(df, cbs), queries, cbs, k=5)
+    assert key(full_probe.collect()) == key(brute.collect())
+
+    pruned = SIM.ivfpq_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, codebooks=cbs, nprobe=2
+    )
+    rows = pruned.collect()
+    assert len(rows) == 4 * 5
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+    filtered = SIM.ivfpq_topk_indexed(
+        spark, idx, queries, k=5, centroids=cents, codebooks=cbs, nprobe=4,
+        where="label = 1",
+    )
+    brute_f = SIM.pq_adc_topk(
+        SIM.pq_encode(df.where("label = 1"), cbs), queries, cbs, k=5
+    )
+    assert key(filtered.collect()) == key(brute_f.collect())
