@@ -54,9 +54,12 @@ _PRIORITY = [
     # family stays in-cap via road_buffer/map_match/road_crossings)
     "hotspot_clusters", "getis_ord", "road_buffer",
     "map_match", "trajectory", "zonal_stats",
-    "road_crossings", "border_crossings", "od_matrix",
-    # big-big planar self-joins
-    "point_pairs", "knn_self",
+    "road_crossings", "border_crossings",
+    # big-big planar self-joins + the graph layer over their edges
+    # (shortest_path added mid-round-5 — needs its first driver row;
+    # od_matrix rotated out: r4-green, mobility rollup family stays
+    # in-cap via trajectory/stay_points/heading_profile)
+    "point_pairs", "knn_self", "shortest_path",
     # geodesic (great-circle) family (geo_polygon_area rotated out
     # mid-round-5 for ann_ivfpq; ring-measure kernels stay pinned by
     # pytest and the geodesic family by geo_nearest/geo_within_km)
@@ -76,8 +79,11 @@ _PRIORITY = [
     "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
     "image_quality", "box_nms", "caption_consistency",
     # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed;
-    # ann_pq added mid-round-5 — new query, needs its first driver row)
-    "ann_ivf", "ann_pq", "ann_ivfpq", "ann_ivf_delta", "ann_filtered",
+    # ann_pq/ann_ivfpq/ann_rerank added mid-round-5 — new queries, each
+    # needs its first driver row. ann_ivf rotated out for ann_rerank:
+    # r4-green, and the IVF probe machinery stays in-cap via
+    # ann_ivfpq/ann_ivf_delta/ann_filtered/ann_recall)
+    "ann_pq", "ann_ivfpq", "ann_rerank", "ann_ivf_delta", "ann_filtered",
     "ann_recall",
     # multimodal flagships + shard sink
     "image_tiling", "ar_bucket", "corpus_curation",
@@ -89,7 +95,7 @@ _PRIORITY = [
     # (CORRECTNESS_r01..r04 — ledger in COVERAGE.md); all remain
     # runnable via tools/check_correctness.py ----
     # displaced by the round-5 rotation (all r4-green):
-    "nearest_road", "geo_polygon_area",
+    "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

@@ -1944,6 +1944,82 @@ def q_point_pairs_oracle() -> str:
     """
 
 
+SP_HOPS = 6
+SP_ROOTS = 3
+
+
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop shortest paths over the proximity graph:
+    the ``point_pairs`` big-big self-join becomes the EDGE table
+    (symmetrized, weight = the same floor(dist * 1e6) BIGINT) and a
+    Pregel-style Bellman-Ford loop relaxes 6 hops from 3 root points —
+    reachability + network distance, the question a mobility pipeline
+    asks right after proximity pairing. The engine is O(hops x |E|)
+    (one join + one integer-min groupBy per hop, state checkpointed so
+    the plan never deepens); the oracle ENUMERATES walks with a
+    recursive CTE — exponential in the hop bound and only viable at
+    gate scale, which is precisely the scale argument for the
+    relaxation form. All-integer arithmetic end to end: no float enters
+    the iteration, so engines agree bit-for-bit."""
+    from .operators import graph as GR
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    pairs = SJ.within_distance_self_join(pts, distance=PAIR_DIST)
+    fwd = pairs.select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst"),
+        F.col("dist_u").alias("w_u"),
+    )
+    rev = pairs.select(
+        F.col("id_2").alias("src"), F.col("id_1").alias("dst"),
+        F.col("dist_u").alias("w_u"),
+    )
+    sources = pts.where(F.col("point_id") <= SP_ROOTS).select(
+        F.col("point_id").alias("root")
+    )
+    out = GR.shortest_paths(fwd.unionByName(rev), sources, max_hops=SP_HOPS)
+    return out.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("node").cast("long").alias("node"),
+        F.col("dist_u").alias("dist_u"),
+    )
+
+
+def q_shortest_path_oracle() -> str:
+    """DuckDB twin: the SAME edge predicate/weight text as the
+    ``point_pairs`` oracle (both directions via ``<>``), then a
+    recursive CTE that enumerates hop-bounded walks and takes the
+    integer min per (root, node) — equivalent to ``max_hops``
+    Bellman-Ford relaxations because iteration h covers exactly the
+    walks of <= h edges."""
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+        WITH RECURSIVE pts AS ({_points_oracle_cte()}),
+        edges AS (
+          SELECT a.point_id AS src, b.point_id AS dst,
+                 CAST(floor({d2} * 1000000.0) AS BIGINT) AS w_u
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+          WHERE {d2} <= {PAIR_DIST}
+        ),
+        walk AS (
+          SELECT point_id AS root, point_id AS node,
+                 CAST(0 AS BIGINT) AS dist_u, 0 AS hop
+          FROM pts WHERE point_id <= {SP_ROOTS}
+          UNION
+          SELECT w.root, e.dst AS node, w.dist_u + e.w_u AS dist_u,
+                 w.hop + 1 AS hop
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < {SP_HOPS}
+        )
+        SELECT root::BIGINT AS root, node::BIGINT AS node,
+               min(dist_u) AS dist_u
+        FROM walk GROUP BY root, node
+    """
+
+
 def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree binning: the multi-resolution leaf cover where
     every leaf cell holds <= ADAPTIVE_CAP points (coarse over sparse
@@ -2235,6 +2311,7 @@ QUERIES = {
     "density_contours": q_density_contours,
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
+    "shortest_path": q_shortest_path,
     "ripley_k": q_ripley_k,
     "g_function": q_g_function,
     "knn_self": q_knn_self,
@@ -2288,6 +2365,7 @@ ORACLES = {
     "density_contours": q_density_contours_oracle(),
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),
+    "shortest_path": q_shortest_path_oracle(),
     "ripley_k": q_ripley_k_oracle(),
     "g_function": q_g_function_oracle(),
     "knn_self": q_knn_self_oracle(),

@@ -2755,6 +2755,94 @@ def q_ann_ivfpq_oracle() -> str:
     """
 
 
+ANN_SHORTLIST = 20
+
+
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (ADC shortlist -> exact rescore) — the
+    production serving shape composed from the PQ family: stage 1 runs
+    the compressed-domain ADC scan over the codes-only table and keeps a
+    20-deep candidate shortlist per query; stage 2 fetches ONLY those
+    ids' full vectors (candidate broadcast join — the sole place an
+    embedding is read) and re-ranks them with the exact integerized
+    cosine. PQ distortion can cost recall (a neighbor absent from the
+    shortlist stays absent) but never precision among survivors: with
+    shortlist >= corpus size the output is bit-exact ``cosine_topk``.
+    At 10^12 rows the vectors column is never scanned — codes (~4 TB)
+    plus nq x 20 id-fetched rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = SIM.make_pq_codebooks(EMB_DIM, PQ_M, PQ_K)
+    out = SIM.pq_rerank_topk(
+        emb, SIM.pq_encode(emb, cbs), queries, cbs,
+        shortlist=ANN_SHORTLIST, k=5,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_u",
+    )
+
+
+def q_ann_rerank_oracle() -> str:
+    """DuckDB twin: the PQ scored CTE (codes + LUTs re-derived, integer
+    ADC) ranked to the 20-deep shortlist by (adc_u ASC, vec_id), then an
+    id join back to ``embeddings`` for the exact integerized cosine and
+    the final (cos_u DESC, vec_id) top-5."""
+    cbs = SIM.make_pq_codebooks(EMB_DIM, PQ_M, PQ_K)
+    codes = ", ".join(
+        f"{SIM.pq_code_sql('embedding', cbs, i, 'duckdb')} AS code{i}"
+        for i in range(PQ_M)
+    )
+    luts = ", ".join(
+        "list_value("
+        + ", ".join(
+            SIM.pq_lut_elem_sql("qv", cbs, i, j, "duckdb")
+            for j in range(PQ_K)
+        )
+        + f") AS lut{i}"
+        for i in range(PQ_M)
+    )
+    adc = " + ".join(f"lut{i}[code{i} + 1]" for i in range(PQ_M))
+    cos = SIM.cosine_u_sql(
+        SIM.dot_u_sql("e.embedding", "q.qv", "duckdb"),
+        SIM.norm_u_sql("e.embedding", "duckdb"),
+        SIM.norm_u_sql("q.qv", "duckdb"),
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv, {luts}
+          FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (SELECT vec_id, {codes} FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id, CAST({adc} AS BIGINT) AS adc_u
+          FROM c CROSS JOIN q
+        ),
+        short AS (
+          SELECT query_id, vec_id
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_u, vec_id) <= {ANN_SHORTLIST}
+        ),
+        resc AS (
+          SELECT s.query_id, s.vec_id, {cos} AS cos_u
+          FROM short s
+          JOIN embeddings e ON e.vec_id = s.vec_id
+          JOIN q ON q.query_id = s.query_id
+        )
+        SELECT query_id::BIGINT AS query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_u DESC, vec_id)::BIGINT AS rank,
+               vec_id::BIGINT AS vec_id, cos_u
+        FROM resc
+        QUALIFY rank <= 5
+    """
+
+
 def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance, proven equivalent to monolithic:
     the corpus splits into a base (vec_id % 17 != 0, ~94%) indexed with the
@@ -3618,6 +3706,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
+    "ann_rerank": q_ann_rerank,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -3695,6 +3784,7 @@ ORACLES = {
     "ann_ivf": q_ann_ivf_oracle(),
     "ann_pq": q_ann_pq_oracle(),
     "ann_ivfpq": q_ann_ivfpq_oracle(),
+    "ann_rerank": q_ann_rerank_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

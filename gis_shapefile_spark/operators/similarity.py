@@ -1103,6 +1103,70 @@ def pq_numpy_twin(
     return codes, adc
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    shortlist: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval (the production serving shape): stage 1 is
+    the compressed-domain ADC scan (``pq_adc_topk`` over the codes-only
+    table — O(rows x M) int lookups, never a vector) producing a
+    ``shortlist``-sized candidate set per query; stage 2 fetches ONLY
+    the shortlisted ids' full vectors (candidate ids broadcast into the
+    corpus join — nq x shortlist rows survive, the only place a full
+    embedding is ever read) and rescores them with the exact integerized
+    cosine, re-ranking to the final top-k by (cos_u DESC, id ASC).
+
+    PQ distortion costs RECALL (a true neighbor missing from the
+    shortlist stays missing) but never PRECISION among survivors — the
+    exact rescoring makes the final ordering of shortlisted rows
+    identical to brute force, so shortlist == corpus size degrades
+    bit-exactly to ``cosine_topk``. At 10^12 rows the ADC stage reads
+    ~4 TB of codes and stage 2 reads nq x shortlist vectors by id —
+    the full-vector corpus is never scanned.
+
+    Output: (query_id, rank, vec_id, cos_u), rank 1..k.
+    """
+    cand = pq_adc_topk(
+        codes, queries, codebooks, k=shortlist,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    qv = F.broadcast(
+        _with_norm(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col).alias("_qvec")
+            ),
+            "_qvec",
+            "_qn",
+        )
+    )
+    fetched = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(cand), on=id_col
+    )
+    rescored = _with_norm(fetched, vec_col, "_cn").join(
+        qv, on=query_id_col
+    ).withColumn(
+        "cos_u",
+        F.expr(
+            cosine_u_sql(dot_u_sql(vec_col, "_qvec", "spark"), "_cn", "_qn")
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_u"), F.asc(id_col)
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_u")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: the composed 10^12-row production shape (probe-pruned
 # partitions x compressed-domain scoring — FAISS's IVFPQ layout,

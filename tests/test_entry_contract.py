@@ -58,7 +58,11 @@ MUST_BE_IN_CAP = {
     # knn3 rotated out late round 4 (triple-green; the kNN family
     # stays in-cap via knn_self/geo_knn_self/nearest_road top-k windows)
     "pip_grid_join", "tile_pyramid",
-    "geocode_forward", "merge_upsert", "ann_ivf", "image_tiling",
+    # ann_ivf rotated out mid-round-5 for ann_rerank (r4-green; the IVF
+    # probe machinery stays in-cap via the composed ann_ivfpq +
+    # ann_ivf_delta/ann_filtered/ann_recall) — the family anchor is now
+    # the composed index
+    "geocode_forward", "merge_upsert", "ann_ivfpq", "image_tiling",
     # caption_curation rotated out late round 4 (r3-green; the joint
     # image+text curation family stays in-cap via image_tiling +
     # corpus_curation + image_quality)

