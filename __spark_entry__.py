@@ -53,8 +53,11 @@ _PRIORITY = [
     # nearest_road rotated out mid-round-5 for ann_pq — the road top-1
     # family stays in-cap via road_buffer/map_match/road_crossings)
     "hotspot_clusters", "getis_ord", "road_buffer",
+    # (border_crossings rotated out mid-round-5 for bm25_rank: r4-green,
+    # the polyline x boundary overlay family stays in-cap via
+    # road_crossings + map_match + road_buffer)
     "map_match", "trajectory", "zonal_stats",
-    "road_crossings", "border_crossings",
+    "road_crossings",
     # big-big planar self-joins + the graph layer over their edges
     # (shortest_path added mid-round-5 — needs its first driver row;
     # od_matrix rotated out: r4-green, mobility rollup family stays
@@ -71,9 +74,11 @@ _PRIORITY = [
     "heading_profile",
     # geocoder + storage anchors
     "geocode_forward", "merge_upsert",
-    # curation / dedup additions
+    # curation / dedup additions (+ bm25_rank, mid-round-5: the
+    # retrieval-scoring member of the text family — needs its first
+    # driver row)
     "mm_interleave_pack", "seq_pack", "pii_scrub",
-    "substring_dedup", "dedup_jaccard",
+    "substring_dedup", "dedup_jaccard", "bm25_rank",
     # image family additions (+ caption_consistency: never
     # driver-verified)
     "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
@@ -96,6 +101,7 @@ _PRIORITY = [
     # runnable via tools/check_correctness.py ----
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
+    "border_crossings",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

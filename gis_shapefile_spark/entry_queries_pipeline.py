@@ -2370,6 +2370,105 @@ def q_vocab_topk_oracle() -> str:
     """
 
 
+BM25_TERMS = ("spark", "join", "window")
+BM25_TOPK = 20
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the document corpus for a fixed query
+    (the retrieval-scoring member of the text family — dedup finds
+    copies, quality filters junk, BM25 finds RELEVANCE; the curation
+    use is query-anchored corpus slicing and decontamination-by-topic).
+
+    Scale shape: the query is tiny by contract, so there is NO posting
+    join — per-doc term frequencies and length are ONE scan-side
+    projection (a filtered-length per literal term); corpus stats
+    (N, sum_dl, per-term df) are ONE global aggregate row broadcast
+    back; scoring is a second scan + the top-k window. Two corpus
+    scans total (stats amortize per corpus refresh in a pipeline),
+    zero Python, no shuffle until the final top-k.
+
+    Determinism: per-term scores integerize at 1e6 BEFORE the
+    cross-term sum (order-free BIGINT adds); the one libm call (ln in
+    the idf) is pinned engine-vs-oracle over the full df domain by
+    `test_bm25_idf_ln_parity_exhaustive`."""
+    from pyspark.sql import Window
+
+    toks = TA.tokens_sql("text", "spark")
+    per = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(TA._arr_len(toks, "spark")).alias("dl"),
+        *[
+            F.expr(TA.term_tf_sql(toks, t, "spark")).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = " + ".join(
+        TA.bm25_term_score_sql(f"tf{i}", f"df{i}", "dl", "n_docs", "sum_dl")
+        for i in range(len(BM25_TERMS))
+    )
+    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .withColumn("score_u", F.expr(score))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score_u",
+            F.col("dl").cast("long").alias("dl"),
+        )
+    )
+
+
+def q_bm25_rank_oracle() -> str:
+    """DuckDB twin: same projection/stats/score text (the score builder
+    emits ONE dialect-identical tree; only the tokenizer spells
+    differently)."""
+    toks = TA.tokens_sql("text", "duckdb")
+    tfs = ", ".join(
+        f"{TA.term_tf_sql(toks, t, 'duckdb')} AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        TA.bm25_term_score_sql(f"tf{i}", f"df{i}", "dl", "n_docs", "sum_dl")
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+        WITH per AS (
+          SELECT doc_id, {TA._arr_len(toks, 'duckdb')} AS dl, {tfs}
+          FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl, {dfs}
+          FROM per
+        ),
+        scored AS (
+          SELECT doc_id, dl, {score} AS score_u
+          FROM per CROSS JOIN stats
+        )
+        SELECT row_number() OVER (ORDER BY score_u DESC, doc_id)::BIGINT
+                 AS rank,
+               doc_id::BIGINT AS doc_id, score_u, dl::BIGINT AS dl
+        FROM scored
+        QUALIFY rank <= {BM25_TOPK}
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -3707,6 +3806,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
     "ann_rerank": q_ann_rerank,
+    "bm25_rank": q_bm25_rank,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -3785,6 +3885,7 @@ ORACLES = {
     "ann_pq": q_ann_pq_oracle(),
     "ann_ivfpq": q_ann_ivfpq_oracle(),
     "ann_rerank": q_ann_rerank_oracle(),
+    "bm25_rank": q_bm25_rank_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

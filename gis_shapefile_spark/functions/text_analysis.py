@@ -287,6 +287,44 @@ def fingerprint_sql(text: str, n: int = 8, dialect: str = "spark") -> str:
     return minhash_sql(token_hashes_sql(sh, dialect), 0, dialect)
 
 
+def term_tf_sql(tokens: str, term: str, dialect: str = "spark") -> str:
+    """Term frequency of a literal ``term`` in a token-array expression
+    (integer; a plain filtered length — per-term projection work, no
+    posting join, so corpus scoring is one scan)."""
+    if "'" in term or "\\" in term:
+        raise ValueError(f"term must be a plain literal: {term!r}")
+    return _arr_len(_arr_filter(tokens, "t", f"t = '{term}'", dialect), dialect)
+
+
+def bm25_term_score_sql(tf: str, df: str, dl: str, n_docs: str,
+                        sum_dl: str) -> str:
+    """One BM25 term's contribution, floor-integerized at 1e6 — IDENTICAL
+    text in both dialects (per-term integerization makes the cross-term
+    accumulation an order-free BIGINT sum).
+
+    idf is the Robertson/Sparck-Jones form with the +1 guard
+    (``ln((N - df + 0.5)/(df + 0.5) + 1)``, always positive); the
+    saturation term uses k1 = 1.2, b = 0.75. Every input is an exact
+    integer cast to DOUBLE, and +,-,*,/ are exactly-rounded IEEE ops, so
+    the only cross-engine risk is the one ``ln`` libm call (JVM
+    Math.log vs DuckDB's std::log) — its input domain is the FINITE set
+    of df/N ratios, which ``test_bm25_idf_ln_parity_exhaustive`` pins
+    engine-vs-oracle over every df the gate and bench corpora can
+    produce. Short decimal literals (0.5, 1.2, 2.2) cast exactly in
+    both parsers (the litsql 17-digit hazard does not apply)."""
+    d = "CAST({} AS DOUBLE)".format
+    idf = (
+        f"ln((({d(n_docs)} - {d(df)} + {d('0.5')}) / "
+        f"({d(df)} + {d('0.5')})) + {d('1.0')})"
+    )
+    sat = (
+        f"(({d(tf)} * {d('2.2')}) / ({d(tf)} + {d('1.2')} * "
+        f"({d('1.0')} - {d('0.75')} + {d('0.75')} * {d(dl)} / "
+        f"({d(sum_dl)} / {d(n_docs)}))))"
+    )
+    return f"CAST(floor({d('1000000')} * {idf} * {sat}) AS BIGINT)"
+
+
 # PII redaction patterns, applied in precedence order: the earlier a
 # pattern runs the more specific it is, so an SSN is tagged <SSN> before
 # the phone pattern could eat its digit runs, and an IPv4 before the

@@ -1681,3 +1681,117 @@ def test_ivfpq_index_matches_pq_brute_and_prunes(spark, tmp_path):
         SIM.pq_encode(df.where("label = 1"), cbs), queries, cbs, k=5
     )
     assert key(filtered.collect()) == key(brute_f.collect())
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (functions/text_analysis.py::bm25_term_score_sql)
+# ---------------------------------------------------------------------------
+
+def test_bm25_idf_ln_parity_exhaustive(spark):
+    """The ONE libm call in the BM25 tree (ln in the idf) pinned
+    engine-vs-oracle over the ENTIRE df domain the corpora can produce:
+    every df in 0..N for several N, crossed with representative
+    (tf, dl, sum_dl) values, must floor-integerize identically in Spark
+    (JVM Math.log) and DuckDB (std::log). Exhaustive over the actual
+    input set, not a sample — if this passes, the gate's hash can never
+    flip on an idf ulp."""
+    import duckdb
+
+    rows = []
+    for n_docs, sum_dl in ((500, 24_000), (601, 90_017)):
+        for df in range(0, n_docs + 1):
+            for tf, dl in ((1, 7), (3, 40), (25, 553)):
+                rows.append((tf, df, dl, n_docs, sum_dl))
+    pdf = pd.DataFrame(
+        rows, columns=["tf", "df", "dl", "n_docs", "sum_dl"]
+    ).astype("int64")
+    expr = TA.bm25_term_score_sql("tf", "df", "dl", "n_docs", "sum_dl")
+    got = (
+        spark.createDataFrame(pdf)
+        .select("tf", "df", F.expr(expr).alias("s"))
+        .toPandas()
+        .sort_values(["df", "tf"])["s"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = (
+        con.sql(f"SELECT tf, df, {expr} AS s FROM t ORDER BY df, tf")
+        .df()["s"]
+        .tolist()
+    )
+    assert got == exp
+
+
+def test_bm25_rank_matches_python_twin_and_orders_sanely(spark):
+    """End-to-end BM25 over a hand corpus == a python twin evaluating
+    the same expression tree with math.log (exact integer equality),
+    and the ranking behaves: term-stuffed short doc first, passing
+    mention later, term-free docs score exactly 0 and sort by doc_id."""
+    import math
+
+    texts = {
+        0: "spark spark spark join",                      # stuffed, short
+        1: "the corpus has one spark mention " + "filler " * 20,
+        2: "nothing relevant here at all " + "pad " * 10,
+        3: "join window join window spark",               # all three terms
+        4: "plain words only",
+    }
+    terms = ("spark", "join", "window")
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    docs = spark.createDataFrame(pdf)
+    toks = TA.tokens_sql("text", "spark")
+    per = docs.select(
+        "doc_id",
+        F.expr(TA._arr_len(toks, "spark")).alias("dl"),
+        *[
+            F.expr(TA.term_tf_sql(toks, t, "spark")).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = " + ".join(
+        TA.bm25_term_score_sql(f"tf{i}", f"df{i}", "dl", "n_docs", "sum_dl")
+        for i in range(len(terms))
+    )
+    got = {
+        r.doc_id: r.score_u
+        for r in per.crossJoin(F.broadcast(stats))
+        .withColumn("score_u", F.expr(score))
+        .collect()
+    }
+
+    # python twin: same tree, same evaluation order, floor per term
+    tok = {d: t.strip().lower().split() for d, t in texts.items()}
+    n = len(texts)
+    dls = {d: len(ts) for d, ts in tok.items()}
+    sum_dl = sum(dls.values())
+    exp = {}
+    for d, ts in tok.items():
+        s = 0
+        for t in terms:
+            tf = ts.count(t)
+            df = sum(1 for ts2 in tok.values() if t in ts2)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            sat = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / (sum_dl / n)))
+            s += math.floor(1000000.0 * idf * sat)
+        exp[d] = s
+    assert got == exp
+    order = sorted(got, key=lambda d: (-got[d], d))
+    assert order[0] == 3 or order[0] == 0  # term-rich docs lead
+    assert got[2] == 0 and got[4] == 0     # term-free docs score exactly 0
+    assert got[0] > got[1]                 # stuffed short beats passing mention
+
+
+def test_bm25_term_tf_rejects_unsafe_literals():
+    with pytest.raises(ValueError):
+        TA.term_tf_sql("toks", "o'brien")
