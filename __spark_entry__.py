@@ -61,12 +61,16 @@ _PRIORITY = [
     # big-big planar self-joins + the graph layer over their edges
     # (shortest_path added mid-round-5 — needs its first driver row;
     # od_matrix rotated out: r4-green, mobility rollup family stays
-    # in-cap via trajectory/stay_points/heading_profile)
+    # in-cap via trajectory/heading_profile/co_movement)
     "point_pairs", "knn_self", "shortest_path",
     # geodesic (great-circle) family (geo_polygon_area rotated out
     # mid-round-5 for ann_ivfpq; ring-measure kernels stay pinned by
-    # pytest and the geodesic family by geo_nearest/geo_within_km)
-    "geo_nearest", "geo_within_km", "stay_points",
+    # pytest and the geodesic family by geo_nearest/geo_within_km).
+    # co_movement added mid-round-5 (the space-time pair join — needs
+    # its first driver row); stay_points rotated out: r4-green, the
+    # trajectory/dwell family stays in-cap via trajectory +
+    # heading_profile + co_movement
+    "geo_nearest", "geo_within_km", "co_movement",
     # raster / density family (+ idw_loocv: never driver-verified)
     "density_contours", "adaptive_grid", "idw", "idw_loocv",
     # point-pattern / space-time statistics (never driver-verified)
@@ -101,7 +105,7 @@ _PRIORITY = [
     # runnable via tools/check_correctness.py ----
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
-    "border_crossings",
+    "border_crossings", "stay_points",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

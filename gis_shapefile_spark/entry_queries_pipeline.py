@@ -728,6 +728,48 @@ def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TJ.trajectory_stats(ev, v_max_udeg_per_s=TRAJ_V_MAX)
 
 
+COMOVE_DIST = 2.0
+COMOVE_BUCKET_S = 86400
+COMOVE_MIN_BUCKETS = 15
+
+
+def q_co_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-movement mining over geotagged events: device pairs within
+    2 Euclidean degrees on >= 15 distinct DAYS — the convoy /
+    companionship primitive (contact tracing, carpool discovery;
+    image-corpus reading: camera pairs shooting the same places on the
+    same days). The space-TIME member of the big-big join family: one
+    representative fix per (device, day) via a single window pass, then
+    ``within_distance_self_join(key_cols=("bucket",))`` blocks pairs on
+    (day, 3x3 cell) — the temporal key rides the shuffle, so the
+    all-time corpus joins day-slice by day-slice and no cross-day
+    candidate is ever generated."""
+    from .operators import trajectory as TJ
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts",
+        F.expr(TRAJ_LNG_SQL).alias("lng"),
+        F.expr(TRAJ_LAT_SQL).alias("lat"),
+    )
+    return TJ.co_movement(
+        ev, distance=COMOVE_DIST, bucket_s=COMOVE_BUCKET_S,
+        min_buckets=COMOVE_MIN_BUCKETS,
+    )
+
+
+def q_co_movement_oracle() -> str:
+    from .operators import trajectory as TJ
+
+    src = (
+        f"SELECT user_id, event_id, ts, {TRAJ_LNG_SQL} AS lng, "
+        f"{TRAJ_LAT_SQL} AS lat FROM events"
+    )
+    return TJ.co_movement_oracle_sql(
+        src, distance=COMOVE_DIST, bucket_s=COMOVE_BUCKET_S,
+        min_buckets=COMOVE_MIN_BUCKETS,
+    )
+
+
 def q_trajectory_oracle() -> str:
     from .operators import trajectory as TJ
 
@@ -3815,6 +3857,7 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "trajectory": q_trajectory,
+    "co_movement": q_co_movement,
     "trajectory_geo": q_trajectory_geo,
     "stay_points": q_stay_points,
     "map_match": q_map_match,
@@ -3894,6 +3937,7 @@ ORACLES = {
     "events_window": q_events_window_oracle(),
     "sessionize": q_sessionize_oracle(),
     "trajectory": q_trajectory_oracle(),
+    "co_movement": q_co_movement_oracle(),
     "trajectory_geo": q_trajectory_geo_oracle(),
     "stay_points": q_stay_points_oracle(),
     "map_match": q_map_match_oracle(),

@@ -780,6 +780,7 @@ def within_distance_self_join(
     id_col: str = "point_id",
     lng_col: str = "lng",
     lat_col: str = "lat",
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All UNORDERED point pairs within Euclidean-degrees ``distance`` —
     the LARGE x LARGE spatial self-join (every other distance join here
@@ -818,8 +819,16 @@ def within_distance_self_join(
     this join and nothing else. At corpus scale SMJ is what the planner
     would pick anyway; at test scale the difference is noise.
 
-    Output: (id_1, id_2, dist_u) with id_1 < id_2, dist_u = floor(dist *
-    1e6) (IEEE-exact on identical inputs, the within_distance canon).
+    ``key_cols``: optional equi-keys BOTH pair members must share (the
+    space-TIME extension: pass a time-bucket column and the join blocks
+    on (bucket, cell) — pairs only form inside one bucket, so the
+    shuffle key gains temporal selectivity for free and a 10^12-ping
+    corpus joins per-slice instead of all-time). Key columns pass
+    through to the output.
+
+    Output: (*key_cols, id_1, id_2, dist_u) with id_1 < id_2, dist_u =
+    floor(dist * 1e6) (IEEE-exact on identical inputs, the
+    within_distance canon).
     """
     import math
 
@@ -835,8 +844,9 @@ def within_distance_self_join(
             f"cell at res {res} is smaller than distance {distance}; "
             "the 3x3 neighborhood would miss pairs"
         )
+    ks = [F.col(k) for k in key_cols]
     pts = points.select(
-        F.col(id_col), F.col(lng_col), F.col(lat_col)
+        F.col(id_col), F.col(lng_col), F.col(lat_col), *ks
     ).withColumn("cell", C.cell_col(lng_col, lat_col, res))
     ax = pts.select(
         F.col(id_col).alias("id_1"),
@@ -844,6 +854,7 @@ def within_distance_self_join(
         F.col(lat_col).alias("_lat1"),
         F.expr(C.cell_axis_sql("cell", "x", "spark")).alias("_x"),
         F.expr(C.cell_axis_sql("cell", "y", "spark")).alias("_y"),
+        *ks,
     )
     offs = ", ".join(
         f"struct({dx} as dx, {dy} as dy)"
@@ -851,11 +862,11 @@ def within_distance_self_join(
         for dy in (-1, 0, 1)
     )
     left = ax.select(
-        "id_1", "_lng1", "_lat1",
+        "id_1", "_lng1", "_lat1", *key_cols,
         F.expr(f"explode(array({offs}))").alias("_o"),
         "_x", "_y",
     ).select(
-        "id_1", "_lng1", "_lat1",
+        "id_1", "_lng1", "_lat1", *key_cols,
         F.expr(
             C.pack_xy_sql("(_x + _o.dx)", "(_y + _o.dy)", res, "spark")
         ).alias("_nb"),
@@ -865,18 +876,19 @@ def within_distance_self_join(
         F.col(lng_col).alias("_lng2"),
         F.col(lat_col).alias("_lat2"),
         F.col("cell").alias("_nb"),
+        *ks,
     )
     dist = F.sqrt(
         (F.col("_lng1") - F.col("_lng2")) * (F.col("_lng1") - F.col("_lng2"))
         + (F.col("_lat1") - F.col("_lat2")) * (F.col("_lat1") - F.col("_lat2"))
     )
     return (
-        left.hint("merge").join(right, "_nb")
+        left.hint("merge").join(right, ["_nb", *key_cols])
         .where(F.col("id_1") < F.col("id_2"))
         .withColumn("_d", dist)
         .where(F.col("_d") <= F.lit(distance))
         .select(
-            "id_1", "id_2",
+            *key_cols, "id_1", "id_2",
             F.floor(F.col("_d") * 1e6).cast("long").alias("dist_u"),
         )
     )

@@ -440,3 +440,131 @@ def heading_profile(
             "CAST(n_hops AS BIGINT) AS n_hops",
         )
     )
+
+
+def co_movement(
+    events: DataFrame,
+    distance: float,
+    bucket_s: int = 86400,
+    min_buckets: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Co-movement mining — device pairs repeatedly CLOSE IN SPACE *AND*
+    TIME (convoy/companionship detection, the contact-tracing and
+    carpool-discovery primitive; for an image corpus: camera pairs that
+    shoot the same places on the same days).
+
+    Per (device, time bucket) a single REPRESENTATIVE fix is chosen —
+    the first by (ts, event_id), one window pass, deterministic and
+    float-free — then the space-time pair join runs through
+    ``within_distance_self_join(key_cols=("bucket",))``: blocking is on
+    (bucket, 3x3 cell), so pairs only form inside one bucket and the
+    all-time corpus joins slice by slice (the temporal key rides the
+    shuffle for free — at 10^12 pings no cross-day candidate is ever
+    generated). Pairs then roll up per (device, device): bucket count +
+    integer min/max distance, kept when seen in >= ``min_buckets``
+    distinct buckets.
+
+    One representative per (device, bucket) makes ``count(*)`` already
+    a DISTINCT bucket count — no countDistinct shuffle. Time buckets:
+    the canonical textually-identical double floor of the repo-rule
+    epoch (unix_timestamp == floor(epoch(ts))).
+
+    Output: (user_1, user_2, n_buckets, min_dist_u, max_dist_u),
+    user_1 < user_2, all BIGINT.
+    """
+    from . import spatial_join as SJ
+
+    if min_buckets < 1:
+        raise ValueError(f"min_buckets must be >= 1, got {min_buckets}")
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    hb = (
+        f"CAST(floor(CAST(__ep AS DOUBLE) / CAST({int(bucket_s)} AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+    pos = (
+        events.withColumn("__ep", F.unix_timestamp(F.col(ts_col)))
+        .withColumn("bucket", F.expr(hb))
+    )
+    w = Window.partitionBy(user_col, "bucket").orderBy(ts_col, id_col)
+    reps = (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(user_col).alias("point_id"), "bucket",
+            F.col(lng_col).alias("lng"), F.col(lat_col).alias("lat"),
+        )
+    )
+    pairs = SJ.within_distance_self_join(
+        reps, distance=distance, key_cols=("bucket",)
+    )
+    return (
+        pairs.groupBy("id_1", "id_2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.min("dist_u").alias("min_dist_u"),
+            F.max("dist_u").alias("max_dist_u"),
+        )
+        .where(F.col("n_buckets") >= min_buckets)
+        .select(
+            F.col("id_1").cast("long").alias("user_1"),
+            F.col("id_2").cast("long").alias("user_2"),
+            "n_buckets", "min_dist_u", "max_dist_u",
+        )
+    )
+
+
+def co_movement_oracle_sql(
+    source_sql: str,
+    distance: float,
+    bucket_s: int = 86400,
+    min_buckets: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin: identical bucket/representative SQL, then the BRUTE
+    same-bucket pair join (a.id < b.id, raw-distance filter, the
+    point_pairs dist text) — the blocked join's exactly-once contract
+    re-derived without cells."""
+    hb = (
+        f"CAST(floor(CAST(ep AS DOUBLE) / CAST({int(bucket_s)} AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+        WITH pos AS ({source_sql}),
+        epd AS (
+          SELECT {user_col} AS uid, {ts_col} AS uts, {id_col} AS uev,
+                 lng, lat, CAST(floor(epoch({ts_col})) AS BIGINT) AS ep
+          FROM pos
+        ),
+        reps AS (
+          SELECT uid, {hb} AS bucket, lng, lat
+          FROM epd
+          QUALIFY row_number() OVER (
+            PARTITION BY uid, {hb} ORDER BY uts, uev
+          ) = 1
+        ),
+        pairs AS (
+          SELECT a.uid AS user_1, b.uid AS user_2,
+                 CAST(floor({d2} * 1000000.0) AS BIGINT) AS dist_u
+          FROM reps a JOIN reps b
+            ON a.bucket = b.bucket AND a.uid < b.uid
+          WHERE {d2} <= {distance}
+        )
+        SELECT user_1::BIGINT AS user_1, user_2::BIGINT AS user_2,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               min(dist_u) AS min_dist_u, max(dist_u) AS max_dist_u
+        FROM pairs
+        GROUP BY user_1, user_2
+        HAVING count(*) >= {min_buckets}
+    """

@@ -228,3 +228,118 @@ def test_od_matrix_aggregates_flows(spark):
     cb = int(C.cell_of_numpy(np.array([b[0]]), np.array([b[1]]), res)[0])
     assert (int(r.o_cell), int(r.d_cell), int(r.n_trips), int(r.n_users)) \
         == (ca, cb, 4, 3)
+
+
+def test_co_movement_micro(spark):
+    """Hand-built convoy: devices 1+2 travel together on 3 days, device
+    3 shares a position with them on ONE day only, device 4 is far away
+    every day. min_buckets=2 keeps exactly the (1,2) pair with the
+    right bucket count and integer distance extremes; min_buckets=1
+    also admits the one-day contacts."""
+    day = 86400
+    rows = []
+    # devices 1 and 2: ~0.1 deg apart on days 0, 1, 2 (several fixes/day;
+    # the representative is the FIRST by ts)
+    for d in range(3):
+        for k in range(3):
+            rows.append((1, d * 10 + k, _ts(d * day + k * 60),
+                         10.0 + d, 20.0))
+            rows.append((2, d * 10 + k, _ts(d * day + k * 60 + 30),
+                         10.1 + d, 20.0))
+    # device 3 joins the convoy on day 1 only, then leaves the canvas
+    rows.append((3, 100, _ts(1 * day + 7), 11.05, 20.0))
+    rows.append((3, 101, _ts(2 * day + 7), 50.0, 50.0))
+    # device 4: always far
+    for d in range(3):
+        rows.append((4, 200 + d, _ts(d * day + 5), -100.0, 40.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lng", "lat"])
+    ev = spark.createDataFrame(pdf)
+
+    got = {
+        (r.user_1, r.user_2): (r.n_buckets, r.min_dist_u, r.max_dist_u)
+        for r in TJ.co_movement(
+            ev, distance=0.5, bucket_s=day, min_buckets=2
+        ).collect()
+    }
+    # |lng1 - lng2| = 0.1 every day -> dist_u = floor(0.1 * 1e6) with the
+    # engine's sqrt((10.x+d) deltas) tree; compute the exact twin value
+    import math
+    exp_d = [
+        math.floor(math.sqrt(((10.0 + d) - (10.1 + d)) ** 2 + 0.0) * 1e6)
+        for d in range(3)
+    ]
+    assert got == {(1, 2): (3, min(exp_d), max(exp_d))}
+
+    loose = {
+        (r.user_1, r.user_2): r.n_buckets
+        for r in TJ.co_movement(
+            ev, distance=0.5, bucket_s=day, min_buckets=1
+        ).collect()
+    }
+    assert loose[(1, 2)] == 3
+    assert loose[(1, 3)] == 1 and loose[(2, 3)] == 1  # one-day contact
+    assert not any(4 in k for k in loose)  # far device never pairs
+
+
+def test_co_movement_same_place_different_day_never_pairs(spark):
+    """The temporal key is load-bearing: two devices at the IDENTICAL
+    position on DIFFERENT days must produce zero pairs (the keyed
+    within_distance_self_join blocks on (bucket, cell))."""
+    rows = [
+        (1, 0, _ts(0), 10.0, 20.0),
+        (2, 1, _ts(86400 + 1), 10.0, 20.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lng", "lat"])
+    out = TJ.co_movement(
+        spark.createDataFrame(pdf), distance=1.0, bucket_s=86400,
+        min_buckets=1,
+    )
+    assert out.count() == 0
+
+
+def test_co_movement_representative_is_first_fix(spark):
+    """Within a bucket only the FIRST fix (by ts, event_id) represents
+    the device: device 2's later in-range fix must not create a pair
+    when its first fix is out of range."""
+    rows = [
+        (1, 0, _ts(0), 10.0, 20.0),
+        (2, 1, _ts(10), 40.0, 40.0),   # first fix: far
+        (2, 2, _ts(20), 10.0, 20.0),   # later fix: close, must be ignored
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lng", "lat"])
+    out = TJ.co_movement(
+        spark.createDataFrame(pdf), distance=1.0, bucket_s=86400,
+        min_buckets=1,
+    )
+    assert out.count() == 0
+
+
+def test_within_distance_keyed_matches_per_key_brute(spark):
+    """within_distance_self_join(key_cols=...) == running the plain join
+    independently per key value, across cell borders (fuzz positions
+    span many cells), and the key column passes through the output."""
+    from gis_shapefile_spark.operators import spatial_join as SJ
+
+    rng = np.random.RandomState(5)
+    rows = []
+    pid = 0
+    for b in (0, 1, 2):
+        for _ in range(60):
+            rows.append(
+                (pid, b, float(rng.uniform(-10, 10)),
+                 float(rng.uniform(-10, 10)))
+            )
+            pid += 1
+    pdf = pd.DataFrame(rows, columns=["point_id", "bucket", "lng", "lat"])
+    df = spark.createDataFrame(pdf)
+    keyed = SJ.within_distance_self_join(
+        df, distance=2.5, key_cols=("bucket",)
+    )
+    assert keyed.columns == ["bucket", "id_1", "id_2", "dist_u"]
+    got = {(r.bucket, r.id_1, r.id_2, r.dist_u) for r in keyed.collect()}
+    exp = set()
+    for b in (0, 1, 2):
+        sub = df.where(f"bucket = {b}").drop("bucket")
+        for r in SJ.within_distance_self_join(sub, distance=2.5).collect():
+            exp.add((b, r.id_1, r.id_2, r.dist_u))
+    assert got == exp and len(got) > 50
