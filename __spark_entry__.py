@@ -52,17 +52,24 @@ _PRIORITY = [
     # road/line overlays + grid-DBSCAN (r4-green, kept as family anchors;
     # nearest_road rotated out mid-round-5 for ann_pq — the road top-1
     # family stays in-cap via road_buffer/map_match/road_crossings)
-    "hotspot_clusters", "getis_ord", "road_buffer",
+    # (road_buffer rotated out mid-round-5 for line_interpolate: both
+    # are point/position-on-segment kernels; the road family stays
+    # in-cap via map_match + road_crossings + line_interpolate)
+    "hotspot_clusters", "getis_ord",
     # (border_crossings rotated out mid-round-5 for bm25_rank: r4-green,
     # the polyline x boundary overlay family stays in-cap via
     # road_crossings + map_match + road_buffer)
     "map_match", "trajectory", "zonal_stats",
-    "road_crossings",
+    "road_crossings", "line_interpolate",
     # big-big planar self-joins + the graph layer over their edges
     # (shortest_path added mid-round-5 — needs its first driver row;
     # od_matrix rotated out: r4-green, mobility rollup family stays
     # in-cap via trajectory/heading_profile/co_movement)
-    "point_pairs", "knn_self", "shortest_path",
+    # (pagerank: the second Pregel-style consumer, mid-round-5 — needs
+    # its first driver row; adaptive_grid rotated out: r4-green, the
+    # tiling/quadtree family stays in-cap via tile_pyramid +
+    # image_tiling, the quadtree kernels pytest-pinned)
+    "point_pairs", "knn_self", "shortest_path", "pagerank",
     # geodesic (great-circle) family (geo_polygon_area rotated out
     # mid-round-5 for ann_ivfpq; ring-measure kernels stay pinned by
     # pytest and the geodesic family by geo_nearest/geo_within_km).
@@ -72,7 +79,7 @@ _PRIORITY = [
     # heading_profile + co_movement
     "geo_nearest", "geo_within_km", "co_movement",
     # raster / density family (+ idw_loocv: never driver-verified)
-    "density_contours", "adaptive_grid", "idw", "idw_loocv",
+    "density_contours", "idw", "idw_loocv",
     # point-pattern / space-time statistics (never driver-verified)
     "ripley_k", "g_function", "cross_k", "emerging_hotspots",
     "heading_profile",
@@ -105,7 +112,7 @@ _PRIORITY = [
     # runnable via tools/check_correctness.py ----
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
-    "border_crossings", "stay_points",
+    "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

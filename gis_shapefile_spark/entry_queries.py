@@ -2020,6 +2020,49 @@ def q_shortest_path_oracle() -> str:
     """
 
 
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank importance over the proximity graph (3 damped
+    iterations): the second Pregel-style consumer of the ``point_pairs``
+    edge table after ``shortest_path`` — which points sit in everyone's
+    neighborhood. Integerized-iteration canon: BIGINT micro-unit ranks,
+    per-edge contributions floor-integerized BEFORE the order-free
+    integer sum, exact 150000 base term — no float state crosses an
+    iteration, so the unrolled-CTE SQL twin matches bit-for-bit. The
+    engine's loop is one join + one groupBy per iteration over
+    checkpointed state (O(iters x E)); the oracle pays the same
+    recurrence as 3 chained CTEs."""
+    from .operators import graph as GR
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    pairs = SJ.within_distance_self_join(pts, distance=PAIR_DIST)
+    fwd = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    rev = pairs.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst"))
+    out = GR.pagerank(fwd.unionByName(rev), iters=PR_ITERS)
+    return out.select(
+        F.col("node").cast("long").alias("node"), "r_u"
+    )
+
+
+def q_pagerank_oracle() -> str:
+    from .operators import graph as GR
+
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    edges = f"""
+        SELECT a.point_id AS src, b.point_id AS dst
+        FROM ({_points_oracle_cte()}) a
+        JOIN ({_points_oracle_cte()}) b ON a.point_id <> b.point_id
+        WHERE {d2} <= {PAIR_DIST}
+    """
+    return GR.pagerank_oracle_sql(edges, iters=PR_ITERS)
+
+
 def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree binning: the multi-resolution leaf cover where
     every leaf cell holds <= ADAPTIVE_CAP points (coarse over sparse
@@ -2064,6 +2107,34 @@ def q_road_crossings_oracle() -> str:
     from .operators import lines as LN
 
     return LN.segment_intersections_oracle_sql(_road_segment_values_sql())
+
+
+LINE_FRACS = (25, 50, 75)
+
+
+def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (ST_LineInterpolatePoint): the point at 25/50/
+    75% of each road's length — mileposting, label placement, probe
+    positioning. One road-keyed window pass builds the µdeg-integerized
+    cumulative-length walk (BIGINT running sums — a float cumsum would
+    hang determinism on window-evaluation order), the fraction set
+    explodes in-plan, and the covering segment is the first whose span
+    reaches the target. At 10^8 roads: scan + one window shuffle, no
+    pairwise work."""
+    from .operators import lines as LN
+
+    segs = LN.polyline_segments(FX.make_road_features())
+    return LN.line_interpolate(
+        spark.createDataFrame(segs), fracs=LINE_FRACS
+    )
+
+
+def q_line_interpolate_oracle() -> str:
+    from .operators import lines as LN
+
+    return LN.line_interpolate_oracle_sql(
+        _road_segment_values_sql(), fracs=LINE_FRACS
+    )
 
 
 BORDER_RES = 5
@@ -2296,6 +2367,7 @@ QUERIES = {
     "nearest_road_big": q_nearest_road_big,
     "road_buffer": q_road_buffer,
     "road_crossings": q_road_crossings,
+    "line_interpolate": q_line_interpolate,
     "border_crossings": q_border_crossings,
     "zonal_stats": q_zonal_stats,
     "vector_outline": q_vector_outline,
@@ -2312,6 +2384,7 @@ QUERIES = {
     "adaptive_grid": q_adaptive_grid,
     "point_pairs": q_point_pairs,
     "shortest_path": q_shortest_path,
+    "pagerank": q_pagerank,
     "ripley_k": q_ripley_k,
     "g_function": q_g_function,
     "knn_self": q_knn_self,
@@ -2350,6 +2423,7 @@ ORACLES = {
     "nearest_road_big": q_nearest_road_oracle(),
     "road_buffer": q_road_buffer_oracle(),
     "road_crossings": q_road_crossings_oracle(),
+    "line_interpolate": q_line_interpolate_oracle(),
     "border_crossings": q_border_crossings_oracle(),
     "zonal_stats": q_zonal_stats_oracle(),
     "vector_outline": q_vector_outline_oracle(),
@@ -2366,6 +2440,7 @@ ORACLES = {
     "adaptive_grid": q_adaptive_grid_oracle(),
     "point_pairs": q_point_pairs_oracle(),
     "shortest_path": q_shortest_path_oracle(),
+    "pagerank": q_pagerank_oracle(),
     "ripley_k": q_ripley_k_oracle(),
     "g_function": q_g_function_oracle(),
     "knn_self": q_knn_self_oracle(),

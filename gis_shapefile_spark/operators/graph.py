@@ -96,3 +96,113 @@ def reachable_counts(paths: DataFrame) -> DataFrame:
         F.max("dist_u").alias("max_dist_u"),
         F.sum("dist_u").alias("sum_dist_u"),
     )
+
+
+PR_SCALE = 1_000_000
+PR_BASE_U = 150_000  # floor(0.15 * PR_SCALE), exact
+
+
+def pr_contrib_sql(r: str, deg: str) -> str:
+    """One edge's damped rank contribution, floor-integerized — IDENTICAL
+    text in both dialects (0.85 casts exactly; inputs are integers, so
+    the double multiply/divide tree is bit-identical cross-engine and
+    the BIGINT sum over in-edges is order-free)."""
+    return (
+        f"CAST(floor(CAST(0.85 AS DOUBLE) * CAST({r} AS DOUBLE) / "
+        f"CAST({deg} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table — importance
+    scoring for the proximity/road graph (which nodes sit on everyone's
+    path), the second member of the engine's Pregel-style family after
+    ``shortest_paths`` and the same execution discipline: per iteration
+    ONE rank-to-edges equi-join + ONE integer-sum groupBy + a left join
+    back onto the node set, state eagerly checkpointed so the iterated
+    plan never deepens.
+
+    Determinism is the integerized-iteration canon: ranks live in BIGINT
+    micro-units (start 1e6 per node), each edge's damped contribution is
+    floor-integerized BEFORE the per-node sum (order-free integer adds),
+    and the 0.15 base term is the exact integer 150000 — no float state
+    ever crosses an iteration boundary, so a recursive SQL twin matches
+    bit-for-bit. The naive-variant caveats are documented, not hidden:
+    dangling nodes (out-degree 0) leak their mass, isolated nodes (no
+    edges at all) are out of the node set, and the fixed iteration count
+    is the convergence contract (production runs until an L1 epsilon —
+    same loop, one extra aggregate per round).
+
+    Output: (node, r_u) for every node with at least one in- or
+    out-edge.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+    )
+    nodes = (
+        e.select(F.col("_es").alias("node"))
+        .unionByName(e.select(F.col("_ed").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("_es").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    ed = e.join(deg, "_es").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("r_u", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["_es"] == ranks["node"])
+            .select(
+                F.col("_ed").alias("node"),
+                F.expr(pr_contrib_sql("r_u", "_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(PR_BASE_U).cast("long")
+                 + F.coalesce(F.col("_m"), F.lit(0))).alias("r_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin: the same integerized recurrence unrolled as chained
+    CTEs (r0..rN) — contribution text shared verbatim via
+    ``pr_contrib_sql``."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    c = pr_contrib_sql("p.r_u", "d.outdeg")
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg "
+        "FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r_u FROM nodes)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"r{t + 1} AS ("
+            f"SELECT n.node, CAST({PR_BASE_U} + coalesce(s.m, 0) AS BIGINT)"
+            f" AS r_u FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum({c}) AS m "
+            f"FROM e JOIN deg d ON d.src = e.src "
+            f"JOIN r{t} p ON p.node = e.src GROUP BY e.dst) s "
+            f"ON s.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + f"\n        SELECT node, r_u FROM r{iters}"
+    )

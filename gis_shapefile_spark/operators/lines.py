@@ -652,3 +652,137 @@ def segment_intersections_join(
             f"{seg_ixy_u_sql('y')} AS iy_u",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear referencing (ST_LineInterpolatePoint): the point at fraction f
+# along a polyline's length — route mileposting, label placement, probe
+# positioning. Lengths integerize to µdeg BEFORE the running sum so the
+# cumulative walk is order-free BIGINT math (a float cumsum would hang
+# cross-engine determinism on window-aggregation ORDER — DuckDB's
+# segment-tree windows may pair-sum where Spark folds left); position
+# granularity is therefore 1 µdeg of arc length, documented (the
+# idw_loocv weight-granularity class).
+# ---------------------------------------------------------------------------
+
+def seg_len_u_sql() -> str:
+    """Segment length floor-integerized at 1e6 — identical text in both
+    dialects over (ax, ay, bx, by)."""
+    d = "sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"
+    return f"CAST(floor({d} * 1000000.0) AS BIGINT)"
+
+
+def _interp_target_u_sql(total: str, pct: str) -> str:
+    """floor(total_u * pct / 100) as the canonical double-floor tree
+    (total_u * pct < 2^53 by contract: µdeg lengths x percent)."""
+    return (
+        f"CAST(floor(CAST({total} AS DOUBLE) * CAST({pct} AS DOUBLE) / "
+        f"CAST(100 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _interp_xy_u_sql(a: str, b: str, target: str, cum0: str,
+                     ln: str) -> str:
+    """Interpolated coordinate floor-integerized at 1e6: a + t*(b-a)
+    with t = (target - cum0) / len — every input an exact integer or a
+    VALUES-literal double, one identical IEEE tree."""
+    t = f"(CAST({target} - {cum0} AS DOUBLE) / CAST({ln} AS DOUBLE))"
+    return (
+        f"CAST(floor(({a} + {t} * ({b} - {a})) * 1000000.0) AS BIGINT)"
+    )
+
+
+def line_interpolate(segments: DataFrame, fracs: tuple[int, ...]) -> DataFrame:
+    """Locate the point at ``pct``% of each road's length, for each pct
+    in ``fracs`` (integer percents — exactness by construction).
+
+    Plan: one window pass per road (seg_id order) builds the BIGINT
+    cumulative-length walk, each road's fraction targets come from an
+    in-plan literal explode (fractions are a tiny fixed set — query-side
+    work, no join), and the covering segment is the FIRST whose
+    cumulative span reaches the target (row_number over (road, pct)).
+    At 10^8 roads this is scan + one road-keyed window shuffle — no
+    pairwise anything. Zero-µdeg segments are excluded from candidacy
+    (their interpolation would divide by zero) but still contribute
+    their (zero) length to the walk.
+
+    Output: (road_id, pct, x_u, y_u), one row per road x fraction.
+    """
+    if not fracs or any(not 0 < int(p) <= 100 for p in fracs):
+        raise ValueError(f"fracs must be integer percents in (0, 100]: {fracs}")
+    segs = segments.selectExpr(
+        "road_id", "seg_id", "ax", "ay", "bx", "by",
+        f"{seg_len_u_sql()} AS len_u",
+    )
+    w = (
+        Window.partitionBy("road_id")
+        .orderBy("seg_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("road_id")
+    cum = (
+        segs.withColumn("cum_end", F.sum("len_u").over(w))
+        .withColumn("cum0", F.col("cum_end") - F.col("len_u"))
+        .withColumn("total_u", F.sum("len_u").over(wt))
+    )
+    pcts = ", ".join(str(int(p)) for p in fracs)
+    exploded = cum.selectExpr(
+        "*", f"explode(array({pcts})) AS pct"
+    ).selectExpr(
+        "*", f"{_interp_target_u_sql('total_u', 'pct')} AS target_u"
+    )
+    wr = Window.partitionBy("road_id", "pct").orderBy("seg_id")
+    hit = (
+        exploded.where(
+            "len_u > 0 AND cum0 <= target_u AND cum_end >= target_u"
+        )
+        .withColumn("__rn", F.row_number().over(wr))
+        .where(F.col("__rn") == 1)
+    )
+    return hit.selectExpr(
+        "CAST(road_id AS BIGINT) AS road_id",
+        "CAST(pct AS BIGINT) AS pct",
+        f"{_interp_xy_u_sql('ax', 'bx', 'target_u', 'cum0', 'len_u')} AS x_u",
+        f"{_interp_xy_u_sql('ay', 'by', 'target_u', 'cum0', 'len_u')} AS y_u",
+    )
+
+
+def line_interpolate_oracle_sql(segment_values_sql: str,
+                                fracs: tuple[int, ...]) -> str:
+    """DuckDB twin: identical length/target/interpolation text over the
+    VALUES segment table; the window sums run over BIGINTs so engine
+    window-evaluation order cannot matter."""
+    if not fracs or any(not 0 < int(p) <= 100 for p in fracs):
+        raise ValueError(f"fracs must be integer percents in (0, 100]: {fracs}")
+    pcts = ", ".join(f"({int(p)})" for p in fracs)
+    return f"""
+        WITH segs AS MATERIALIZED (
+          SELECT road_id, seg_id, ax, ay, bx, by, {seg_len_u_sql()} AS len_u
+          FROM {segment_values_sql}
+        ),
+        cum AS (
+          SELECT *,
+                 CAST(sum(len_u) OVER (PARTITION BY road_id ORDER BY seg_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_end,
+                 CAST(sum(len_u) OVER (PARTITION BY road_id)
+                   AS BIGINT) AS total_u
+          FROM segs
+        ),
+        ex AS (
+          SELECT c.*, c.cum_end - c.len_u AS cum0, p.pct,
+                 {_interp_target_u_sql('c.total_u', 'p.pct')} AS target_u
+          FROM cum c CROSS JOIN (VALUES {pcts}) AS p(pct)
+        ),
+        hit AS (
+          SELECT * FROM ex
+          WHERE len_u > 0 AND cum0 <= target_u AND cum_end >= target_u
+          QUALIFY row_number() OVER (
+            PARTITION BY road_id, pct ORDER BY seg_id) = 1
+        )
+        SELECT CAST(road_id AS BIGINT) AS road_id,
+               CAST(pct AS BIGINT) AS pct,
+               {_interp_xy_u_sql('ax', 'bx', 'target_u', 'cum0', 'len_u')} AS x_u,
+               {_interp_xy_u_sql('ay', 'by', 'target_u', 'cum0', 'len_u')} AS y_u
+        FROM hit
+    """

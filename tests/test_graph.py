@@ -95,3 +95,72 @@ def test_reachable_counts_rollup(spark):
 def test_rejects_zero_hops(spark):
     with pytest.raises(ValueError):
         GR.shortest_paths(None, None, max_hops=0)
+
+
+def _pr_twin(edges, iters):
+    """Integerized PageRank recurrence (the engine's exact tree:
+    floor((0.85 * r) / deg) per edge, integer sums, +150000 base)."""
+    import math
+
+    nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        m = {n: 0 for n in nodes}
+        for a, b in edges:
+            m[b] += math.floor(0.85 * r[a] / deg[a])
+        r = {n: 150_000 + m[n] for n in nodes}
+    return r
+
+
+def test_pagerank_star_and_twin(spark):
+    """Star graph: the hub out-ranks every leaf, exact values == the
+    integerized python twin; a leaf-only receiver (dangling node) keeps
+    its base+inflow and leaks nothing back — no crash, documented naive
+    semantics."""
+    edges = [(i, 99, 1) for i in range(1, 6)] + [(99, i, 1) for i in range(1, 6)]
+    e = [(a, b) for a, b, _ in edges] + [(7, 99)]  # 7 is dangling-source only
+    edf = spark.createDataFrame(e, "src long, dst long")
+    got = {r.node: r.r_u for r in GR.pagerank(edf, iters=3).collect()}
+    exp = _pr_twin(e, 3)
+    assert got == exp
+    assert got[99] > max(got[i] for i in range(1, 6))
+    assert 7 in got  # appears as a node (it has an out-edge)
+
+
+def test_pagerank_matches_twin_on_random_graph(spark):
+    rng = np.random.RandomState(23)
+    e = set()
+    while len(e) < 120:
+        a, b = rng.randint(1, 30, 2)
+        if a != b:
+            e.add((int(a), int(b)))
+    e = sorted(e)
+    edf = spark.createDataFrame(e, "src long, dst long")
+    for iters in (1, 4):
+        got = {r.node: r.r_u for r in GR.pagerank(edf, iters=iters).collect()}
+        assert got == _pr_twin(e, iters), iters
+
+
+def test_pagerank_oracle_sql_matches_twin():
+    """The unrolled-CTE DuckDB twin (no Spark involved) == the python
+    recurrence — closes the engine == oracle == twin triangle."""
+    import duckdb
+
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+    vals = ", ".join(f"({a}, {b})" for a, b in e)
+    sql = GR.pagerank_oracle_sql(
+        f"SELECT src, dst FROM (VALUES {vals}) AS t(src, dst)", iters=3
+    )
+    con = duckdb.connect()
+    got = {int(r.node): int(r.r_u) for r in con.sql(sql).df().itertuples()}
+    assert got == _pr_twin(e, 3)
+
+
+def test_pagerank_rejects_zero_iters(spark):
+    with pytest.raises(ValueError):
+        GR.pagerank(None, iters=0)
+    with pytest.raises(ValueError):
+        GR.pagerank_oracle_sql("SELECT 1", iters=0)

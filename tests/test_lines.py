@@ -492,3 +492,109 @@ def test_segment_pair_join_in_out_crossing(spark):
     assert list(got.proper_i) == [1, 1]
     assert [int(v) for v in got.ix_u] == [-2_000_000, 2_000_000]
     assert [int(v) for v in got.iy_u] == [5_000_000, 5_000_000]
+
+
+# ---------------------------------------------------------------------------
+# line_interpolate (linear referencing)
+# ---------------------------------------------------------------------------
+
+def _li_twin(segs, fracs):
+    """Integer-walk python twin of line_interpolate: same floor trees."""
+    import math
+    from collections import defaultdict
+
+    by_road = defaultdict(list)
+    for r in segs:
+        by_road[r[0]].append(r)
+    out = {}
+    for road, rows in by_road.items():
+        rows.sort(key=lambda r: r[1])
+        lens = [
+            math.floor(
+                math.sqrt((bx - ax) ** 2 + (by - ay) ** 2) * 1000000.0
+            )
+            for _, _, ax, ay, bx, by in rows
+        ]
+        total = sum(lens)
+        for pct in fracs:
+            target = math.floor(total * pct / 100.0)
+            cum0 = 0
+            for (rid, sid, ax, ay, bx, by), ln in zip(rows, lens):
+                if ln > 0 and cum0 <= target <= cum0 + ln:
+                    t = (target - cum0) / ln
+                    out[(road, pct)] = (
+                        math.floor((ax + t * (bx - ax)) * 1000000.0),
+                        math.floor((ay + t * (by - ay)) * 1000000.0),
+                    )
+                    break
+                cum0 += ln
+    return out
+
+
+def test_line_interpolate_micro_exact(spark):
+    """L-shaped 2-segment road: exact milepost positions at 25/50/75%,
+    the 50% target landing exactly on the segment boundary resolves to
+    the FIRST covering segment (t = 1.0, same point either way)."""
+    segs = [(1, 0, 0.0, 0.0, 1.0, 0.0), (1, 1, 1.0, 0.0, 1.0, 1.0)]
+    df = spark.createDataFrame(
+        segs, "road_id long, seg_id long, ax double, ay double, "
+        "bx double, by double"
+    )
+    got = {
+        (r.road_id, r.pct): (r.x_u, r.y_u)
+        for r in LN.line_interpolate(df, fracs=(25, 50, 75)).collect()
+    }
+    assert got == {
+        (1, 25): (500000, 0),
+        (1, 50): (1000000, 0),
+        (1, 75): (1000000, 500000),
+    }
+    assert got == _li_twin(segs, (25, 50, 75))
+
+
+def test_line_interpolate_skips_subudeg_segments(spark):
+    """A segment shorter than 1 µdeg (len_u = 0) cannot host a milepost
+    (division by zero) but stays in the walk; the target lands on the
+    next real segment."""
+    segs = [
+        (7, 0, 0.0, 0.0, 1.0, 0.0),
+        (7, 1, 1.0, 0.0, 1.0 + 4e-7, 0.0),   # len_u = 0
+        (7, 2, 1.0 + 4e-7, 0.0, 2.0 + 4e-7, 0.0),
+    ]
+    df = spark.createDataFrame(
+        segs, "road_id long, seg_id long, ax double, ay double, "
+        "bx double, by double"
+    )
+    got = {
+        (r.road_id, r.pct): (r.x_u, r.y_u)
+        for r in LN.line_interpolate(df, fracs=(50, 100)).collect()
+    }
+    assert got == _li_twin(segs, (50, 100))
+    assert got[(7, 50)][1] == 0 and abs(got[(7, 50)][0] - 1000000) <= 1
+    assert got[(7, 100)][0] == 2000000  # 100% = the far endpoint (floored)
+
+
+def test_line_interpolate_matches_twin_on_road_fixture(spark):
+    """All 40 fixture roads (incl. the two-part ones — the walk is
+    length-contiguous across part gaps, documented) x 3 fractions ==
+    the integer-walk twin exactly."""
+    segs_pdf = LN.polyline_segments(FX.make_road_features())
+    segs = [tuple(r) for r in segs_pdf.itertuples(index=False)]
+    df = spark.createDataFrame(segs_pdf)
+    got = {
+        (r.road_id, r.pct): (r.x_u, r.y_u)
+        for r in LN.line_interpolate(df, fracs=(25, 50, 75)).collect()
+    }
+    exp = _li_twin(segs, (25, 50, 75))
+    assert got == exp and len(got) == 120
+
+
+def test_line_interpolate_rejects_bad_fracs(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        LN.line_interpolate(None, fracs=())
+    with _pytest.raises(ValueError):
+        LN.line_interpolate(None, fracs=(0,))
+    with _pytest.raises(ValueError):
+        LN.line_interpolate_oracle_sql("s", fracs=(101,))
