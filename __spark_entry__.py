@@ -47,8 +47,12 @@ _PRIORITY = [
     # idw_loocv`). 7 r4-green anchors rotate out to make room, each
     # with an in-cap family sibling — ledger in COVERAGE.md.
     #
-    # spatial anchors (SURVEY J/P/A flagships, kept in-cap)
-    "pip_grid_join", "tile_pyramid",
+    # spatial anchors (SURVEY J/P/A flagships, kept in-cap) + pip_anti
+    # (mid-round-5: the exclusion/anti member of the PIP family — needs
+    # its first driver row; image_takedown rotated out: r4-green, the
+    # takedown purge stays pytest-pinned by the streaming suite and the
+    # decode/phash path in-cap via image_canon + cross_scale_neardup)
+    "pip_grid_join", "pip_anti", "tile_pyramid",
     # road/line overlays + grid-DBSCAN (r4-green, kept as family anchors;
     # nearest_road rotated out mid-round-5 for ann_pq — the road top-1
     # family stays in-cap via road_buffer/map_match/road_crossings)
@@ -92,7 +96,7 @@ _PRIORITY = [
     "substring_dedup", "dedup_jaccard", "bm25_rank",
     # image family additions (+ caption_consistency: never
     # driver-verified)
-    "image_canon", "image_takedown", "joint_dedup", "cross_scale_neardup",
+    "image_canon", "joint_dedup", "cross_scale_neardup",
     "image_quality", "box_nms", "caption_consistency",
     # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed;
     # ann_pq/ann_ivfpq/ann_rerank added mid-round-5 — new queries, each
@@ -113,6 +117,7 @@ _PRIORITY = [
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
+    "image_takedown",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

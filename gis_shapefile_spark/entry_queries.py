@@ -129,6 +129,42 @@ def q_pip_grid_join_oracle() -> str:
     """
 
 
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI-join: points covered by NO state rectangle — the
+    exclusion-zone curation predicate (drop images inside embargoed
+    areas; find the uncovered remainder). The complement of
+    ``pip_grid_join`` computed as a LEFT ANTI id join over the exact
+    PIP candidate set — no NOT-IN null traps, one extra narrow id
+    shuffle. Coordinates integerize at 1e6 (the points are exact
+    1e-6-degree rationals, so the floor is clean)."""
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    out = SJ.point_in_polygon_anti_join(
+        spark, pts, FX.make_grid_features(), res=8, point_id_col="point_id"
+    )
+    return out.selectExpr(
+        "CAST(point_id AS BIGINT) AS point_id",
+        "CAST(floor(lng * 1000000.0) AS BIGINT) AS x_u",
+        "CAST(floor(lat * 1000000.0) AS BIGINT) AS y_u",
+    )
+
+
+def q_pip_anti_oracle() -> str:
+    return f"""
+        WITH pts AS ({_points_oracle_cte()})
+        SELECT point_id,
+               CAST(floor(lng * 1000000.0) AS BIGINT) AS x_u,
+               CAST(floor(lat * 1000000.0) AS BIGINT) AS y_u
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {_grid_values_sql()}
+          WHERE p.lng >= g.x0 AND p.lng < g.x1
+            AND p.lat >= g.y0 AND p.lat < g.y1
+        )
+    """
+
+
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point quadkey cell at res 12 (the tiling key of every image row)."""
     return _points_df(spark, sf_dir).select(
@@ -2340,6 +2376,7 @@ def q_idw_loocv_oracle() -> str:
 
 QUERIES = {
     "pip_grid_join": q_pip_grid_join,
+    "pip_anti": q_pip_anti,
     "pip_first_hit": q_pip_first_hit,
     "cell_assign": q_cell_assign,
     "cell_hist": q_cell_hist,
@@ -2396,6 +2433,7 @@ QUERIES = {
 
 ORACLES = {
     "pip_grid_join": q_pip_grid_join_oracle(),
+    "pip_anti": q_pip_anti_oracle(),
     "pip_first_hit": q_pip_first_hit_oracle(),
     "cell_assign": q_cell_assign_oracle(),
     "cell_hist": q_cell_hist_oracle(),

@@ -574,3 +574,17 @@ def test_within_distance_cross_join_matches_bruteforce(spark):
     assert got_set == exp
     assert len(got) == len(got_set)  # exactly once, no dedup pass
     assert len(exp) > 1000  # dense enough to cross many cell borders
+
+
+def test_pip_anti_join_is_exact_complement(spark, features, points_pdf):
+    """The anti join returns EXACTLY the points the reference-oracle
+    transliteration places in no polygon — matched ∪ anti == all ids,
+    disjoint, original columns preserved."""
+    points = spark.createDataFrame(points_pdf)
+    anti = SJ.point_in_polygon_anti_join(spark, points, features, res=8)
+    assert anti.columns == list(points_pdf.columns)
+    anti_ids = {r.image_id for r in anti.collect()}
+    oracle_in = {pid for pid, _ in oracle_pip_pairs(features, points_pdf)}
+    all_ids = set(points_pdf["image_id"])
+    assert anti_ids == all_ids - oracle_in
+    assert anti_ids and oracle_in  # both sides non-trivial on the fixture
