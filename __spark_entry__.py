@@ -93,11 +93,15 @@ _PRIORITY = [
     # retrieval-scoring member of the text family — needs its first
     # driver row)
     "mm_interleave_pack", "seq_pack", "pii_scrub",
-    "substring_dedup", "dedup_jaccard", "bm25_rank",
+    # (doc_logprob: CCNet-style unigram-LM perplexity buckets,
+    # mid-round-5 — needs its first driver row; image_quality rotated
+    # out: r4-green, LAION-stat filters stay in-cap composed inside
+    # corpus_curation, the decode path via image_canon)
+    "substring_dedup", "dedup_jaccard", "bm25_rank", "doc_logprob",
     # image family additions (+ caption_consistency: never
     # driver-verified)
     "image_canon", "joint_dedup", "cross_scale_neardup",
-    "image_quality", "box_nms", "caption_consistency",
+    "box_nms", "caption_consistency",
     # ANN family (ann_ivf_delta + ann_filtered: r4 red rows, fixed;
     # ann_pq/ann_ivfpq/ann_rerank added mid-round-5 — new queries, each
     # needs its first driver row. ann_ivf rotated out for ann_rerank:
@@ -117,7 +121,7 @@ _PRIORITY = [
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
-    "image_takedown",
+    "image_takedown", "image_quality",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

@@ -2511,6 +2511,89 @@ def q_bm25_rank_oracle() -> str:
     """
 
 
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM log-probability scoring (the CCNet/perplexity-bucket
+    curation signal): every document scored under the corpus's own
+    unigram model — low mean log-prob = surprising/junk text, high =
+    boilerplate-ish; curation buckets on exactly this number.
+
+    Scale shape: token explode -> ONE token-keyed shuffle builds the
+    vocabulary model (count per token; total tokens is a 1-row agg) ->
+    the model broadcasts back onto the exploded stream (production caps
+    the broadcast with a top-V vocabulary + one OOV bucket — same plan,
+    one extra coalesce) -> per-doc integer rollup. Per-token log-probs
+    floor-integerize at 1e6 BEFORE the per-doc sum (order-free BIGINT
+    adds, the bm25 canon); the mean is a final floored quotient of two
+    exact integers. ln parity rests on the same JVM-vs-libm pin the
+    exhaustive bm25 test measures (3,306/3,306 identical floors across
+    the ratio domain).
+
+    Output: (doc_id, n_tokens, sum_logp_u, neg_mean_mu) — neg_mean_mu
+    the mean negative log-prob in micro-nats (the perplexity proxy)."""
+    toks = TA.tokens_sql("text", "spark")
+    ex = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .where(F.col("token") != "")
+    )
+    vocab = ex.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    logp = (
+        "CAST(floor(CAST(1000000 AS DOUBLE) * "
+        "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)"
+    )
+    model = F.broadcast(
+        vocab.crossJoin(F.broadcast(total)).selectExpr(
+            "token", f"{logp} AS logp_u"
+        )
+    )
+    return (
+        ex.join(model, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("logp_u").alias("sum_logp_u"),
+        )
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id", "n_tokens", "sum_logp_u",
+            "CAST(floor(CAST(-sum_logp_u AS DOUBLE) / "
+            "CAST(n_tokens AS DOUBLE)) AS BIGINT) AS neg_mean_mu",
+        )
+    )
+
+
+def q_doc_logprob_oracle() -> str:
+    toks = TA.tokens_sql("text", "duckdb")
+    logp = (
+        "CAST(floor(CAST(1000000 AS DOUBLE) * "
+        "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({toks}) AS token FROM documents
+        ),
+        ex2 AS (SELECT * FROM ex WHERE token <> ''),
+        vocab AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          FROM ex2 GROUP BY token
+        ),
+        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        model AS (
+          SELECT token, {logp} AS logp_u FROM vocab CROSS JOIN total
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(logp_u) AS BIGINT) AS sum_logp_u,
+               CAST(floor(CAST(-CAST(sum(logp_u) AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(count(*) AS BIGINT) AS DOUBLE)) AS BIGINT)
+                 AS neg_mean_mu
+        FROM ex2 JOIN model USING (token)
+        GROUP BY doc_id
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -3849,6 +3932,7 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_rerank": q_ann_rerank,
     "bm25_rank": q_bm25_rank,
+    "doc_logprob": q_doc_logprob,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -3929,6 +4013,7 @@ ORACLES = {
     "ann_ivfpq": q_ann_ivfpq_oracle(),
     "ann_rerank": q_ann_rerank_oracle(),
     "bm25_rank": q_bm25_rank_oracle(),
+    "doc_logprob": q_doc_logprob_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

@@ -1795,3 +1795,53 @@ def test_bm25_rank_matches_python_twin_and_orders_sanely(spark):
 def test_bm25_term_tf_rejects_unsafe_literals():
     with pytest.raises(ValueError):
         TA.term_tf_sql("toks", "o'brien")
+
+
+def test_doc_logprob_matches_python_twin(spark):
+    """Unigram-LM scoring == a math.log python twin evaluating the same
+    integerized trees (floor@1e6 per token BEFORE the doc sum, final
+    floored mean of two exact integers); ranking sanity: the doc made
+    of corpus-common tokens scores a LOWER mean surprise than the doc
+    of hapaxes."""
+    import math
+
+    texts = {
+        0: "the the the cat sat",
+        1: "the cat sat on the mat",
+        2: "zyx qwv plk jhg",          # all hapaxes
+        3: "the the the the",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    docs = spark.createDataFrame(pdf)
+    toks = TA.tokens_sql("text", "spark")
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(toks)).alias("token")
+    ).where(F.col("token") != "")
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    logp = ("CAST(floor(CAST(1000000 AS DOUBLE) * "
+            "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)")
+    model = vocab.crossJoin(F.broadcast(total)).selectExpr(
+        "token", f"{logp} AS logp_u"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_logp_u)
+        for r in ex.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.sum("logp_u").alias("sum_logp_u"))
+        .collect()
+    }
+
+    tok = {d: t.split() for d, t in texts.items()}
+    cnt: dict = {}
+    for ts in tok.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    total_n = sum(cnt.values())
+    lp = {t: math.floor(1000000.0 * math.log(c / total_n))
+          for t, c in cnt.items()}
+    exp = {d: (len(ts), sum(lp[t] for t in ts)) for d, ts in tok.items()}
+    assert got == exp
+    mean = {d: -s / n for d, (n, s) in got.items()}
+    assert mean[3] < mean[0] < mean[2]  # common-only < mixed < hapax-only
