@@ -73,7 +73,11 @@ _PRIORITY = [
     # its first driver row; adaptive_grid rotated out: r4-green, the
     # tiling/quadtree family stays in-cap via tile_pyramid +
     # image_tiling, the quadtree kernels pytest-pinned)
-    "point_pairs", "knn_self", "shortest_path", "pagerank",
+    # (isochrone: service-area bands over the Bellman-Ford field,
+    # mid-round-5 — needs its first driver row; ann_recall rotated out:
+    # r4-green, the ANN family keeps 5 in-cap members incl. the recall
+    # subject ann_ivfpq and the brute baseline inside ann_rerank)
+    "point_pairs", "knn_self", "shortest_path", "pagerank", "isochrone",
     # geodesic (great-circle) family (geo_polygon_area rotated out
     # mid-round-5 for ann_ivfpq; ring-measure kernels stay pinned by
     # pytest and the geodesic family by geo_nearest/geo_within_km).
@@ -108,7 +112,6 @@ _PRIORITY = [
     # r4-green, and the IVF probe machinery stays in-cap via
     # ann_ivfpq/ann_ivf_delta/ann_filtered/ann_recall)
     "ann_pq", "ann_ivfpq", "ann_rerank", "ann_ivf_delta", "ann_filtered",
-    "ann_recall",
     # multimodal flagships + shard sink
     "image_tiling", "ar_bucket", "corpus_curation",
     "wds_roundtrip",
@@ -121,7 +124,7 @@ _PRIORITY = [
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
-    "image_takedown", "image_quality",
+    "image_takedown", "image_quality", "ann_recall",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

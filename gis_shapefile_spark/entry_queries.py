@@ -2056,6 +2056,91 @@ def q_shortest_path_oracle() -> str:
     """
 
 
+ISO_BAND_U = 500_000  # 0.5 deg of network distance per band, in µdeg
+
+
+def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone / service-area bands: the ``shortest_path`` distance
+    field bucketed into 0.5-degree network-distance rings per root —
+    the coverage product a dispatch planner draws (how much sits within
+    one band, two bands, ... of each depot). One extra integer band
+    projection + rollup over the Bellman-Ford state; the band is the
+    canonical double-floor of two exact integers."""
+    from .operators import graph as GR
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    pairs = SJ.within_distance_self_join(pts, distance=PAIR_DIST)
+    fwd = pairs.select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst"),
+        F.col("dist_u").alias("w_u"),
+    )
+    rev = pairs.select(
+        F.col("id_2").alias("src"), F.col("id_1").alias("dst"),
+        F.col("dist_u").alias("w_u"),
+    )
+    sources = pts.where(F.col("point_id") <= SP_ROOTS).select(
+        F.col("point_id").alias("root")
+    )
+    paths = GR.shortest_paths(
+        fwd.unionByName(rev), sources, max_hops=SP_HOPS
+    )
+    return (
+        paths.selectExpr(
+            "root", "dist_u",
+            f"CAST(floor(CAST(dist_u AS DOUBLE) / "
+            f"CAST({ISO_BAND_U} AS DOUBLE)) AS BIGINT) AS band",
+        )
+        .groupBy("root", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.max("dist_u").alias("max_dist_u"),
+        )
+        .selectExpr(
+            "CAST(root AS BIGINT) AS root", "band", "n_nodes", "max_dist_u"
+        )
+    )
+
+
+def q_isochrone_oracle() -> str:
+    """DuckDB twin: the shortest_path walk-enumeration CTE + the same
+    band floor and rollup."""
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+        WITH RECURSIVE pts AS ({_points_oracle_cte()}),
+        edges AS (
+          SELECT a.point_id AS src, b.point_id AS dst,
+                 CAST(floor({d2} * 1000000.0) AS BIGINT) AS w_u
+          FROM pts a JOIN pts b ON a.point_id <> b.point_id
+          WHERE {d2} <= {PAIR_DIST}
+        ),
+        walk AS (
+          SELECT point_id AS root, point_id AS node,
+                 CAST(0 AS BIGINT) AS dist_u, 0 AS hop
+          FROM pts WHERE point_id <= {SP_ROOTS}
+          UNION
+          SELECT w.root, e.dst AS node, w.dist_u + e.w_u AS dist_u,
+                 w.hop + 1 AS hop
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < {SP_HOPS}
+        ),
+        best AS (
+          SELECT root, node, min(dist_u) AS dist_u
+          FROM walk GROUP BY root, node
+        )
+        SELECT root::BIGINT AS root,
+               CAST(floor(CAST(dist_u AS DOUBLE) /
+                 CAST({ISO_BAND_U} AS DOUBLE)) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               max(dist_u) AS max_dist_u
+        FROM best
+        GROUP BY root, band
+    """
+
+
 PR_ITERS = 3
 
 
@@ -2422,6 +2507,7 @@ QUERIES = {
     "point_pairs": q_point_pairs,
     "shortest_path": q_shortest_path,
     "pagerank": q_pagerank,
+    "isochrone": q_isochrone,
     "ripley_k": q_ripley_k,
     "g_function": q_g_function,
     "knn_self": q_knn_self,
@@ -2479,6 +2565,7 @@ ORACLES = {
     "point_pairs": q_point_pairs_oracle(),
     "shortest_path": q_shortest_path_oracle(),
     "pagerank": q_pagerank_oracle(),
+    "isochrone": q_isochrone_oracle(),
     "ripley_k": q_ripley_k_oracle(),
     "g_function": q_g_function_oracle(),
     "knn_self": q_knn_self_oracle(),

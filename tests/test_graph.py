@@ -164,3 +164,29 @@ def test_pagerank_rejects_zero_iters(spark):
         GR.pagerank(None, iters=0)
     with pytest.raises(ValueError):
         GR.pagerank_oracle_sql("SELECT 1", iters=0)
+
+
+def test_isochrone_banding_rollup(spark):
+    """Service-area bands over a known distance field: chain weights
+    place nodes in exact bands (floor(dist / width)); counts and
+    per-band max distances pin the rollup."""
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2, 3), (2, 1, 3), (2, 3, 4), (3, 2, 4)]
+    edf = spark.createDataFrame(edges, "src long, dst long, w_u long")
+    rdf = spark.createDataFrame([(1,)], "root long")
+    paths = GR.shortest_paths(edf, rdf, max_hops=2)  # {1:0, 2:3, 3:7}
+    width = 5
+    got = {
+        (r.root, r.band): (r.n_nodes, r.max_dist_u)
+        for r in paths.selectExpr(
+            "root", "dist_u",
+            f"CAST(floor(CAST(dist_u AS DOUBLE) / CAST({width} AS DOUBLE))"
+            " AS BIGINT) AS band",
+        )
+        .groupBy("root", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+             F.max("dist_u").alias("max_dist_u"))
+        .collect()
+    }
+    assert got == {(1, 0): (2, 3), (1, 1): (1, 7)}
