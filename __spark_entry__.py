@@ -87,7 +87,7 @@ _PRIORITY = [
     # heading_profile + co_movement
     "geo_nearest", "geo_within_km", "co_movement",
     # raster / density family (+ idw_loocv: never driver-verified)
-    "density_contours", "idw", "idw_loocv",
+    "idw", "idw_loocv",
     # point-pattern / space-time statistics (never driver-verified)
     "ripley_k", "g_function", "cross_k", "emerging_hotspots",
     "heading_profile",
@@ -101,7 +101,13 @@ _PRIORITY = [
     # mid-round-5 — needs its first driver row; image_quality rotated
     # out: r4-green, LAION-stat filters stay in-cap composed inside
     # corpus_curation, the decode path via image_canon)
+    # (cms_topk: the mergeable count-min sketch with oracle-checked
+    # VALUES, mid-round-5 — needs its first driver row;
+    # density_contours rotated out: r4-green, the KDE classify /
+    # polygonize kernels stay pytest-pinned and the grid-density family
+    # in-cap via hotspot_clusters + idw + zonal_stats)
     "substring_dedup", "dedup_jaccard", "bm25_rank", "doc_logprob",
+    "cms_topk",
     # image family additions (+ caption_consistency: never
     # driver-verified)
     "image_canon", "joint_dedup", "cross_scale_neardup",
@@ -124,7 +130,7 @@ _PRIORITY = [
     # displaced by the round-5 rotation (all r4-green):
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
-    "image_takedown", "image_quality", "ann_recall",
+    "image_takedown", "image_quality", "ann_recall", "density_contours",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

@@ -2594,6 +2594,84 @@ def q_doc_logprob_oracle() -> str:
     """
 
 
+CMS_TOPK = 10
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, estimate vs truth side by side:
+    the corpus token stream sketches into a fixed 4 x 64 integer grid
+    (map-side, mergeable — at 10^12 tokens each partition ships 256
+    BIGINTs instead of a universe shuffle), and the true top-10 tokens'
+    frequencies read back as the min of their 4 counters. The sketch
+    VALUES are oracle-checked, not just the contract: every counter and
+    every estimate is integer math over fixed literal salts, identical
+    in both engines. est_cnt >= true_cnt always (CMS never
+    underestimates; equality = no collisions in any of the token's 4
+    cells)."""
+    from .operators import sketch as SK
+
+    toks = TA.tokens_sql("text", "spark")
+    ex = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(toks)).alias("token"))
+        .where(F.col("token") != "")
+    )
+    sk = SK.cms_build(ex, "token")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("token"))
+    top = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= CMS_TOPK)
+    )
+    est = SK.cms_estimate(top.select("token"), sk, "token")
+    return (
+        top.join(est, "token")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token", "true_cnt", F.col("est_cnt").alias("est_cnt"),
+        )
+    )
+
+
+def q_cms_topk_oracle() -> str:
+    from .operators import sketch as SK
+
+    toks = TA.tokens_sql("text", "duckdb")
+    src = (
+        f"SELECT token FROM (SELECT unnest({toks}) AS token "
+        f"FROM documents) WHERE token <> ''"
+    )
+    c = SK.cms_oracle_ctes(src, "token")
+    h = TA.hash60_sql("token", "duckdb")
+    qarms = " UNION ALL ".join(
+        f"SELECT token, {i} AS row, {SK.cms_bucket_sql(h, i)} AS bucket "
+        f"FROM top"
+        for i in range(SK.CMS_D)
+    )
+    return f"""
+        WITH src AS ({c["src"]}),
+        cells AS ({c["cells"]}),
+        sketch AS ({c["sketch"]}),
+        top AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS true_cnt,
+                 row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+          FROM src GROUP BY token
+          QUALIFY rank <= {CMS_TOPK}
+        ),
+        qc AS ({qarms}),
+        est AS (
+          SELECT token, min(cnt) AS est_cnt
+          FROM qc JOIN sketch USING (row, bucket)
+          GROUP BY token
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, token, true_cnt, est_cnt
+        FROM top JOIN est USING (token)
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -3933,6 +4011,7 @@ QUERIES = {
     "ann_rerank": q_ann_rerank,
     "bm25_rank": q_bm25_rank,
     "doc_logprob": q_doc_logprob,
+    "cms_topk": q_cms_topk,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -4014,6 +4093,7 @@ ORACLES = {
     "ann_rerank": q_ann_rerank_oracle(),
     "bm25_rank": q_bm25_rank_oracle(),
     "doc_logprob": q_doc_logprob_oracle(),
+    "cms_topk": q_cms_topk_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

@@ -1,0 +1,108 @@
+"""Count-min sketch (operators/sketch.py): exact-twin counters,
+overestimate-only estimates, and the mergeability contract."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_shapefile_spark.operators import sketch as SK
+
+P = 2_147_483_647
+
+
+def _h60(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+
+def _bucket(tok: str, row: int, w: int) -> int:
+    a, b = SK.CMS_SALTS[row]
+    return ((a * (_h60(tok) % P) + b) % P) % w
+
+
+def _twin(tokens, d, w):
+    grid = Counter()
+    for t in tokens:
+        for i in range(d):
+            grid[(i, _bucket(t, i, w))] += 1
+    est = {
+        t: min(grid[(i, _bucket(t, i, w))] for i in range(d))
+        for t in set(tokens)
+    }
+    return grid, est
+
+
+def _tok_df(spark, tokens):
+    return spark.createDataFrame(
+        pd.DataFrame({"token": tokens})
+    )
+
+
+def test_cms_counters_and_estimates_match_python_twin(spark):
+    """Every counter cell and every point estimate == the md5-twin; the
+    CMS invariant est >= true holds for EVERY token, and with w = 64 on
+    a 12-token vocab no cells collide so est == true exactly."""
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i}" for i in range(12)]
+    tokens = [vocab[i] for i in rng.randint(0, 12, 500)]
+    df = _tok_df(spark, tokens)
+    sk = SK.cms_build(df, "token")
+    grid, est = _twin(tokens, SK.CMS_D, SK.CMS_W)
+    got_grid = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    assert got_grid == dict(grid)
+    q = _tok_df(spark, sorted(set(tokens)))
+    got_est = {
+        r.token: r.est_cnt for r in SK.cms_estimate(q, sk, "token").collect()
+    }
+    true = Counter(tokens)
+    assert got_est == est
+    assert all(got_est[t] >= true[t] for t in true)
+    assert got_est == dict(true)  # w=64, 12 tokens: collision-free here
+
+
+def test_cms_narrow_width_overestimates_never_under(spark):
+    """Squeezed to w = 4 the 30-token vocab MUST collide: estimates
+    still never underestimate, and at least one strictly overestimates
+    (the honest failure mode of the sketch)."""
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(30)]
+    tokens = [vocab[i] for i in rng.randint(0, 30, 400)]
+    df = _tok_df(spark, tokens)
+    sk = SK.cms_build(df, "token", w=4)
+    q = _tok_df(spark, sorted(set(tokens)))
+    got = {
+        r.token: r.est_cnt
+        for r in SK.cms_estimate(q, sk, "token", w=4).collect()
+    }
+    true = Counter(tokens)
+    assert all(got[t] >= true[t] for t in true)
+    assert any(got[t] > true[t] for t in true)
+    _, est = _twin(tokens, SK.CMS_D, 4)
+    assert got == est
+
+
+def test_cms_merge_equals_whole(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the property that
+    lets 10^12 tokens sketch per-partition with zero coordination."""
+    rng = np.random.RandomState(5)
+    vocab = [f"m{i}" for i in range(20)]
+    a = [vocab[i] for i in rng.randint(0, 20, 300)]
+    b = [vocab[i] for i in rng.randint(0, 20, 200)]
+    whole = SK.cms_build(_tok_df(spark, a + b), "token")
+    merged = SK.cms_merge(
+        SK.cms_build(_tok_df(spark, a), "token"),
+        SK.cms_build(_tok_df(spark, b), "token"),
+    )
+    key = lambda rows: {(r.row, r.bucket): r.cnt for r in rows}
+    assert key(whole.collect()) == key(merged.collect())
+
+
+def test_cms_rejects_bad_d():
+    with pytest.raises(ValueError):
+        SK.cms_build(None, "token", d=0)
+    with pytest.raises(ValueError):
+        SK.cms_build(None, "token", d=9)
