@@ -77,7 +77,12 @@ _PRIORITY = [
     # mid-round-5 — needs its first driver row; ann_recall rotated out:
     # r4-green, the ANN family keeps 5 in-cap members incl. the recall
     # subject ann_ivfpq and the brute baseline inside ann_rerank)
+    # (triangles: degree-oriented triangle counting, mid-round-5 —
+    # needs its first driver row; geo_within_km rotated out: r4-green,
+    # the great-circle kernel stays in-cap via geo_nearest and the
+    # planar within-distance family via point_pairs + co_movement)
     "point_pairs", "knn_self", "shortest_path", "pagerank", "isochrone",
+    "triangles",
     # geodesic (great-circle) family (geo_polygon_area rotated out
     # mid-round-5 for ann_ivfpq; ring-measure kernels stay pinned by
     # pytest and the geodesic family by geo_nearest/geo_within_km).
@@ -85,7 +90,7 @@ _PRIORITY = [
     # its first driver row); stay_points rotated out: r4-green, the
     # trajectory/dwell family stays in-cap via trajectory +
     # heading_profile + co_movement
-    "geo_nearest", "geo_within_km", "co_movement",
+    "geo_nearest", "co_movement",
     # raster / density family (+ idw_loocv: never driver-verified)
     "idw", "idw_loocv",
     # point-pattern / space-time statistics (never driver-verified)
@@ -131,6 +136,7 @@ _PRIORITY = [
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
     "image_takedown", "image_quality", "ann_recall", "density_contours",
+    "geo_within_km",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

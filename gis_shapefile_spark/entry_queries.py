@@ -2056,6 +2056,61 @@ def q_shortest_path_oracle() -> str:
     """
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation + degree over the proximity
+    graph — the clustering-structure primitive (local clustering
+    coefficient numerator; clumped vs scattered corpora). The engine
+    uses DEGREE ORIENTATION (each triangle enumerated exactly once from
+    its one doubly-out-oriented node; out-degree bounded O(sqrt(E))
+    even at celebrity nodes — the standard distributed formulation);
+    the oracle brute-forces the 3-way canonical join, viable only at
+    gate scale."""
+    from .operators import graph as GR
+    from .operators import spatial_join as SJ
+
+    pts = _points_df(spark, sf_dir)
+    pairs = SJ.within_distance_self_join(pts, distance=PAIR_DIST)
+    return GR.triangle_counts(pairs).select(
+        F.col("node").cast("long").alias("node"), "degree", "n_triangles"
+    )
+
+
+def q_triangles_oracle() -> str:
+    d2 = (
+        "sqrt((a.lng - b.lng) * (a.lng - b.lng)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+        WITH pts AS ({_points_oracle_cte()}),
+        e AS (
+          SELECT a.point_id AS a, b.point_id AS b
+          FROM pts a JOIN pts b ON a.point_id < b.point_id
+          WHERE {d2} <= {PAIR_DIST}
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+          GROUP BY node
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        member AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tri UNION ALL
+            SELECT y AS node FROM tri UNION ALL
+            SELECT z AS node FROM tri)
+          GROUP BY node
+        )
+        SELECT d.node::BIGINT AS node, d.degree,
+               CAST(coalesce(m.n_triangles, 0) AS BIGINT) AS n_triangles
+        FROM deg d LEFT JOIN member m ON m.node = d.node
+    """
+
+
 ISO_BAND_U = 500_000  # 0.5 deg of network distance per band, in µdeg
 
 
@@ -2508,6 +2563,7 @@ QUERIES = {
     "shortest_path": q_shortest_path,
     "pagerank": q_pagerank,
     "isochrone": q_isochrone,
+    "triangles": q_triangles,
     "ripley_k": q_ripley_k,
     "g_function": q_g_function,
     "knn_self": q_knn_self,
@@ -2566,6 +2622,7 @@ ORACLES = {
     "shortest_path": q_shortest_path_oracle(),
     "pagerank": q_pagerank_oracle(),
     "isochrone": q_isochrone_oracle(),
+    "triangles": q_triangles_oracle(),
     "ripley_k": q_ripley_k_oracle(),
     "g_function": q_g_function_oracle(),
     "knn_self": q_knn_self_oracle(),

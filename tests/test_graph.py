@@ -190,3 +190,59 @@ def test_isochrone_banding_rollup(spark):
         .collect()
     }
     assert got == {(1, 0): (2, 3), (1, 1): (1, 7)}
+
+
+def _tri_twin(pairs):
+    """Brute python triangle membership + degree (set-based)."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    tri = {n: 0 for n in adj}
+    seen = set()
+    for a, b in pairs:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t not in seen:
+                seen.add(t)
+                for n in t:
+                    tri[n] += 1
+    return {n: (deg[n], tri[n]) for n in adj}
+
+
+def test_triangle_counts_micro(spark):
+    """Planted structure: one triangle (1,2,3), a square (4,5,6,7 — no
+    triangle), a pendant (8). Exact membership counts, zero rows for
+    triangle-free nodes still present with their degree."""
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6), (6, 7), (4, 7), (3, 8)]
+    df = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in GR.triangle_counts(df).collect()
+    }
+    assert got == _tri_twin(pairs)
+    assert got[1] == (2, 1) and got[3] == (3, 1)
+    assert got[4] == (2, 0) and got[8] == (1, 0)
+
+
+def test_triangle_counts_random_graph_vs_twin(spark):
+    """Random graph incl. a celebrity node connected to everyone (the
+    degree-orientation stress: its out-degree stays tiny) == brute."""
+    rng = np.random.RandomState(17)
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = sorted(rng.randint(1, 40, 2))
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs |= {(i, 99) for i in range(1, 40)}  # celebrity
+    pairs = sorted(pairs)
+    df = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in GR.triangle_counts(df).collect()
+    }
+    exp = _tri_twin(pairs)
+    assert got == exp
+    total = sum(t for _, t in got.values())
+    assert total % 3 == 0 and total > 0  # each triangle counted 3x by node
