@@ -106,3 +106,49 @@ def test_cms_rejects_bad_d():
         SK.cms_build(None, "token", d=0)
     with pytest.raises(ValueError):
         SK.cms_build(None, "token", d=9)
+
+
+def test_streaming_cms_equals_batch_and_replay_noop(spark, tmp_path):
+    """The streamed sketch (4 micro-batches) == the batch sketch of the
+    whole feed bit-for-bit (integer-add associativity), estimates agree,
+    and a same-checkpoint rerun is a no-op."""
+    from pyspark.sql import types as T
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+    from gis_shapefile_spark.streaming import sketch_stream as SS
+
+    rng = np.random.RandomState(41)
+    vocab = [f"s{i}" for i in range(25)]
+    tokens = [vocab[i] for i in rng.randint(0, 25, 600)]
+    d = str(tmp_path / "feed")
+    _tok_df(spark, tokens).repartition(4).write.parquet(d)
+
+    schema = T.StructType([T.StructField("token", T.StringType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    table = CheckpointTable(spark, str(tmp_path / "tbl"))
+    ck = str(tmp_path / "ck")
+    SS.streaming_cms_sink(spark, stream, table, "cms", "token", ck)
+
+    key = lambda rows: {(r.row, r.bucket): r.cnt for r in rows}
+    got = key(table.read_stage("cms").collect())
+    exp = key(SK.cms_build(spark.read.parquet(d), "token").collect())
+    assert got == exp
+
+    q = _tok_df(spark, sorted(set(tokens)))
+    est = {
+        r.token: r.est_cnt
+        for r in SK.cms_estimate(q, table.read_stage("cms"), "token").collect()
+    }
+    true = Counter(tokens)
+    assert all(est[t] >= true[t] for t in true)
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    SS.streaming_cms_sink(spark, stream2, table, "cms", "token", ck)
+    assert key(table.read_stage("cms").collect()) == got
