@@ -232,10 +232,17 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_1",
     Returns (node, degree, n_triangles) for every node in the edge set
     (0 triangles included via the left join).
     """
-    e = pairs.select(
-        F.col(a_col).cast("long").alias("a"),
-        F.col(b_col).cast("long").alias("b"),
-    ).where(F.col("a") < F.col("b")).distinct().localCheckpoint(eager=True)
+    # normalize: accept edges in either order (self-loops dropped), so a
+    # caller with unordered pairs loses nothing silently
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

@@ -710,6 +710,8 @@ def line_interpolate(segments: DataFrame, fracs: tuple[int, ...]) -> DataFrame:
     """
     if not fracs or any(not 0 < int(p) <= 100 for p in fracs):
         raise ValueError(f"fracs must be integer percents in (0, 100]: {fracs}")
+    if len(set(int(p) for p in fracs)) != len(fracs):
+        raise ValueError(f"fracs must be distinct: {fracs}")
     segs = segments.selectExpr(
         "road_id", "seg_id", "ax", "ay", "bx", "by",
         f"{seg_len_u_sql()} AS len_u",
@@ -754,6 +756,8 @@ def line_interpolate_oracle_sql(segment_values_sql: str,
     window-evaluation order cannot matter."""
     if not fracs or any(not 0 < int(p) <= 100 for p in fracs):
         raise ValueError(f"fracs must be integer percents in (0, 100]: {fracs}")
+    if len(set(int(p) for p in fracs)) != len(fracs):
+        raise ValueError(f"fracs must be distinct: {fracs}")
     pcts = ", ".join(f"({int(p)})" for p in fracs)
     return f"""
         WITH segs AS MATERIALIZED (

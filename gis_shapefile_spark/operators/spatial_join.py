@@ -865,6 +865,14 @@ def within_distance_self_join(
 
     if distance <= 0:
         raise ValueError(f"distance must be > 0, got {distance}")
+    reserved = {"cell", "_nb", "_x", "_y", "_o", "_lng1", "_lat1",
+                "_lng2", "_lat2", "id_1", "id_2", "dist_u",
+                id_col, lng_col, lat_col}
+    bad = [k for k in key_cols if k in reserved]
+    if bad:
+        raise ValueError(
+            f"key_cols collide with internal/positional columns: {bad}"
+        )
     if res is None:
         # largest res whose cell is >= distance on the tighter (lat) axis
         res = min(25, int(math.floor(math.log2(180.0 / distance))))

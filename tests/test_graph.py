@@ -246,3 +246,15 @@ def test_triangle_counts_random_graph_vs_twin(spark):
     assert got == exp
     total = sum(t for _, t in got.values())
     assert total % 3 == 0 and total > 0  # each triangle counted 3x by node
+
+
+def test_triangle_counts_normalizes_unordered_edges(spark):
+    """Edges given in either order (and duplicated both ways) count
+    once; self-loops drop."""
+    pairs = [(2, 1), (1, 3), (3, 2), (2, 3), (5, 5)]
+    df = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in GR.triangle_counts(df).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
