@@ -59,7 +59,12 @@ _PRIORITY = [
     # (road_buffer rotated out mid-round-5 for line_interpolate: both
     # are point/position-on-segment kernels; the road family stays
     # in-cap via map_match + road_crossings + line_interpolate)
-    "hotspot_clusters", "getis_ord",
+    # (hll_distinct: the cardinality sketch beside cms_topk's frequency
+    # sketch, mid-round-5 — needs its first driver row; getis_ord
+    # rotated out: r4-green, the spatial-statistics family keeps
+    # hotspot_clusters + ripley_k + g_function + cross_k +
+    # emerging_hotspots in-cap)
+    "hotspot_clusters",
     # (border_crossings rotated out mid-round-5 for bm25_rank: r4-green,
     # the polyline x boundary overlay family stays in-cap via
     # road_crossings + map_match + road_buffer)
@@ -112,7 +117,7 @@ _PRIORITY = [
     # polygonize kernels stay pytest-pinned and the grid-density family
     # in-cap via hotspot_clusters + idw + zonal_stats)
     "substring_dedup", "dedup_jaccard", "bm25_rank", "doc_logprob",
-    "cms_topk",
+    "cms_topk", "hll_distinct",
     # image family additions (+ caption_consistency: never
     # driver-verified)
     "image_canon", "joint_dedup", "cross_scale_neardup",
@@ -136,7 +141,7 @@ _PRIORITY = [
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
     "image_takedown", "image_quality", "ann_recall", "density_contours",
-    "geo_within_km",
+    "geo_within_km", "getis_ord",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

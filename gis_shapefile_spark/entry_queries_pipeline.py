@@ -2672,6 +2672,89 @@ def q_cms_topk_oracle() -> str:
     """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation per event type, estimate
+    beside exact truth — the cardinality twin of ``cms_topk`` (CMS
+    answers "how often", HLL "how many distinct"): per group the state
+    is 64 integer registers (max rank per bucket — order-free,
+    mergeable by elementwise max), so a 10^12-event feed counts
+    distinct users in |groups| x 64 BIGINTs of state where exact
+    countDistinct shuffles the universe. Deterministic cross-engine by
+    construction: bucket and rank come from DISJOINT md5 substrings (no
+    division), the rank and harmonic terms are generated integer CASE
+    ladders, and the single estimate division is one identical IEEE
+    tree over exact integers. Raw estimator, no corrections — expected
+    error ~1.04/sqrt(64) ~= 13%, asserted in pytest."""
+    from .operators import sketch as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "CAST(user_id AS STRING) AS uid"
+    )
+    regs = SK.hll_build(ev, "uid", group_cols=("event_type",))
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(
+            spark.range(SK.HLL_M).select(F.col("id").cast("long").alias("bucket"))
+        )
+    )
+    sums = (
+        grid.join(regs, ["event_type", "bucket"], "left")
+        .selectExpr("event_type", "CAST(coalesce(r, 0) AS BIGINT) AS r0")
+        .selectExpr("event_type", f"{SK.hll_term_sql('r0')} AS term")
+        .groupBy("event_type")
+        .agg(F.sum("term").cast("long").alias("s"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("uid").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(sums, "event_type")
+        .selectExpr(
+            "event_type", "n_exact",
+            f"{SK.hll_estimate_sql('s')} AS n_hll",
+        )
+    )
+
+
+def q_hll_distinct_oracle() -> str:
+    from .operators import sketch as SK
+
+    b = SK.hll_bucket_sql("uid", "duckdb")
+    r = SK.hll_rank_sql("uid", "duckdb")
+    return f"""
+        WITH ev AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+        ),
+        regs AS (
+          SELECT event_type, {b} AS bucket, CAST(max({r}) AS BIGINT) AS r
+          FROM ev GROUP BY event_type, bucket
+        ),
+        grid AS (
+          SELECT et.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM ev) et
+          CROSS JOIN (SELECT range AS bucket FROM range({SK.HLL_M})) g
+        ),
+        fullg AS (
+          SELECT grid.event_type, grid.bucket,
+                 CAST(coalesce(regs.r, 0) AS BIGINT) AS r0
+          FROM grid LEFT JOIN regs
+            ON regs.event_type = grid.event_type
+           AND regs.bucket = grid.bucket
+        ),
+        sums AS (
+          SELECT event_type,
+                 CAST(sum({SK.hll_term_sql('r0')}) AS BIGINT) AS s
+          FROM fullg GROUP BY event_type
+        ),
+        exact AS (
+          SELECT event_type, CAST(count(DISTINCT uid) AS BIGINT) AS n_exact
+          FROM ev GROUP BY event_type
+        )
+        SELECT event_type, n_exact, {SK.hll_estimate_sql('s')} AS n_hll
+        FROM exact JOIN sums USING (event_type)
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -4012,6 +4095,7 @@ QUERIES = {
     "bm25_rank": q_bm25_rank,
     "doc_logprob": q_doc_logprob,
     "cms_topk": q_cms_topk,
+    "hll_distinct": q_hll_distinct,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -4094,6 +4178,7 @@ ORACLES = {
     "bm25_rank": q_bm25_rank_oracle(),
     "doc_logprob": q_doc_logprob_oracle(),
     "cms_topk": q_cms_topk_oracle(),
+    "hll_distinct": q_hll_distinct_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

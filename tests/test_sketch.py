@@ -152,3 +152,58 @@ def test_streaming_cms_equals_batch_and_replay_noop(spark, tmp_path):
     )
     SS.streaming_cms_sink(spark, stream2, table, "cms", "token", ck)
     assert key(table.read_stage("cms").collect()) == got
+
+
+def _hll_twin(items, groups=None):
+    """Register twin from md5 fields (bucket: chars 1-2, rank field:
+    chars 3-14, 48 bits)."""
+    regs = {}
+    for it in items:
+        hx = hashlib.md5(it.encode()).hexdigest()
+        b = int(hx[0:2], 16) % SK.HLL_M
+        w = int(hx[2:14], 16)
+        r = 49
+        for k in range(1, 49):
+            if w >= 1 << (48 - k):
+                r = k
+                break
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+def test_hll_registers_match_twin_and_duplicates_free(spark):
+    vals = [f"u{i}" for i in range(200)]
+    df = _tok_df(spark, vals)
+    regs = {r.bucket: r.r for r in SK.hll_build(df, "token").collect()}
+    assert regs == _hll_twin(vals)
+    # duplicates cannot move a max-register
+    df5 = _tok_df(spark, vals * 5)
+    regs5 = {r.bucket: r.r for r in SK.hll_build(df5, "token").collect()}
+    assert regs5 == regs
+
+
+def test_hll_merge_equals_whole_and_estimate_accuracy(spark):
+    a = [f"a{i}" for i in range(80)]
+    b = [f"b{i}" for i in range(90)] + a[:20]  # overlapping shards
+    whole = SK.hll_build(_tok_df(spark, a + b), "token")
+    merged = SK.hll_merge(
+        SK.hll_build(_tok_df(spark, a), "token"),
+        SK.hll_build(_tok_df(spark, b), "token"),
+    )
+    key = lambda rows: {r.bucket: r.r for r in rows}
+    assert key(whole.collect()) == key(merged.collect())
+
+    # estimate accuracy on the union (170 distinct): raw HLL at m=64 is
+    # ~13% 1-sigma; assert a generous 30% envelope on this fixed seed
+    import pyspark.sql.functions as F
+
+    grid = spark.range(SK.HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    s = (
+        grid.join(whole, "bucket", "left")
+        .selectExpr("CAST(coalesce(r, 0) AS BIGINT) AS r0")
+        .selectExpr(f"{SK.hll_term_sql('r0')} AS term")
+        .agg(F.sum("term").cast("long").alias("s"))
+    )
+    est = s.selectExpr(f"{SK.hll_estimate_sql('s')} AS e").collect()[0].e
+    true = len(set(a + b))
+    assert abs(est - true) / true < 0.30, (est, true)
