@@ -2457,12 +2457,20 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         TA.bm25_term_score_sql(f"tf{i}", f"df{i}", "dl", "n_docs", "sum_dl")
         for i in range(len(BM25_TERMS))
     )
-    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
-    return (
+    # global top-k via orderBy + limit (TakeOrderedAndProject — a
+    # distributed partial top-k per partition folded on the driver),
+    # NOT an unpartitioned row_number window, which would funnel the
+    # whole corpus through one sort partition at 10^12 docs. The rank
+    # window then runs over the k surviving rows only.
+    top = (
         per.crossJoin(F.broadcast(stats))
         .withColumn("score_u", F.expr(score))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= BM25_TOPK)
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("rank").cast("long").alias("rank"),
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -2619,13 +2627,16 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = SK.cms_build(ex, "token")
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("true_cnt"), F.asc("token"))
-    top = (
+    # same TakeOrderedAndProject discipline as bm25_rank: the token
+    # universe never funnels through one sort partition
+    topk = (
         ex.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= CMS_TOPK)
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(CMS_TOPK)
     )
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("token"))
+    top = topk.withColumn("rank", F.row_number().over(w))
     est = SK.cms_estimate(top.select("token"), sk, "token")
     return (
         top.join(est, "token")
