@@ -39,13 +39,16 @@ DRIVER_CAP = 50
 
 _PRIORITY = [
     # ---- slots 1-50: the driver-gate window ----
-    # Round-5 rotation: the 9 queries without a driver-green artifact
-    # row all sit in-cap — the 2 round-4 red rows (`ann_ivf_delta`,
-    # `ann_filtered`, fixed: plain-float probe lists + explicit schema)
-    # and the 7 round-5-queue queries (`emerging_hotspots
-    # heading_profile ripley_k g_function cross_k caption_consistency
-    # idw_loocv`). 7 r4-green anchors rotate out to make room, each
-    # with an in-cap family sibling — ledger in COVERAGE.md.
+    # End-of-round-5 rotation: the 23 queries without a driver-green
+    # artifact row all sit in-cap — the 2 fixed round-4 red rows, the 7
+    # round-5-queue statistics/caption queries, and the 14 mid-round-5
+    # additions (ann_pq ann_ivfpq ann_rerank shortest_path bm25_rank
+    # co_movement pagerank line_interpolate pip_anti doc_logprob
+    # isochrone cms_topk triangles hll_distinct). Each displaced
+    # r4-green anchor has an in-cap family sibling — per-rotation
+    # rationale inline below, ledger in COVERAGE.md. Every in-cap entry
+    # is green through the local --no-arrow oracle gate (three
+    # consecutive full-registry runs, FAILURES: 0).
     #
     # spatial anchors (SURVEY J/P/A flagships, kept in-cap) + pip_anti
     # (mid-round-5: the exclusion/anti member of the PIP family — needs
