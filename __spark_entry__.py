@@ -39,12 +39,13 @@ DRIVER_CAP = 50
 
 _PRIORITY = [
     # ---- slots 1-50: the driver-gate window ----
-    # End-of-round-5 rotation: the 23 queries without a driver-green
+    # End-of-round-5 rotation: the 24 queries without a driver-green
     # artifact row all sit in-cap — the 2 fixed round-4 red rows, the 7
-    # round-5-queue statistics/caption queries, and the 14 mid-round-5
+    # round-5-queue statistics/caption queries, and the 15 mid-round-5
     # additions (ann_pq ann_ivfpq ann_rerank shortest_path bm25_rank
     # co_movement pagerank line_interpolate pip_anti doc_logprob
-    # isochrone cms_topk triangles hll_distinct). Each displaced
+    # isochrone cms_topk triangles hll_distinct bloom_prefilter). Each
+    # displaced
     # r4-green anchor has an in-cap family sibling — per-rotation
     # rationale inline below, ledger in COVERAGE.md. Every in-cap entry
     # is green through the local --no-arrow oracle gate (three
@@ -119,8 +120,12 @@ _PRIORITY = [
     # density_contours rotated out: r4-green, the KDE classify /
     # polygonize kernels stay pytest-pinned and the grid-density family
     # in-cap via hotspot_clusters + idw + zonal_stats)
+    # (bloom_prefilter: the membership sketch completing the family,
+    # mid-round-5 — needs its first driver row; ar_bucket rotated out:
+    # r4-green, the image batch-formation family stays in-cap via
+    # image_tiling + mm_interleave_pack)
     "substring_dedup", "dedup_jaccard", "bm25_rank", "doc_logprob",
-    "cms_topk", "hll_distinct",
+    "cms_topk", "hll_distinct", "bloom_prefilter",
     # image family additions (+ caption_consistency: never
     # driver-verified)
     "image_canon", "joint_dedup", "cross_scale_neardup",
@@ -132,7 +137,7 @@ _PRIORITY = [
     # ann_ivfpq/ann_ivf_delta/ann_filtered/ann_recall)
     "ann_pq", "ann_ivfpq", "ann_rerank", "ann_ivf_delta", "ann_filtered",
     # multimodal flagships + shard sink
-    "image_tiling", "ar_bucket", "corpus_curation",
+    "image_tiling", "corpus_curation",
     "wds_roundtrip",
     # ANALYZE-style column profile
     "table_stats",
@@ -144,7 +149,7 @@ _PRIORITY = [
     "nearest_road", "geo_polygon_area", "ann_ivf", "od_matrix",
     "border_crossings", "stay_points", "adaptive_grid", "road_buffer",
     "image_takedown", "image_quality", "ann_recall", "density_contours",
-    "geo_within_km", "getis_ord",
+    "geo_within_km", "getis_ord", "ar_bucket",
     "nearest_road_big", "vector_outline", "geo_pairs",
     "geo_knn_self", "trajectory_geo", "raster_smooth", "paragraph_dedup",
     # displaced by the late-round-4 full rotation (all r3-green):

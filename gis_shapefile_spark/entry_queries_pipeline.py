@@ -2766,6 +2766,67 @@ def q_hll_distinct_oracle() -> str:
     """
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-screen — the third sketch, completing
+    the family (CMS: how often; HLL: how many distinct; Bloom: is it in
+    the set). The decontamination/takedown composition at 10^12 rows:
+    the banned-id set compresses to a <= 512-row broadcast bit table,
+    every corpus row pays k=4 integer hashes against it, and ONLY the
+    passers (true members + the documented (1-e^(-kn/m))^k false
+    positives) reach the expensive exact verify join. Never a false
+    negative — every truly banned doc passes, pytest- and oracle-
+    visible in the is_banned column. Bit positions reuse the CMS salt
+    family (pure integer math, identical both engines)."""
+    from .operators import sketch as SK
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "CAST(doc_id AS STRING) AS key"
+    )
+    banned = docs.where("doc_id % 7 = 0")
+    bloom = SK.bloom_build(banned.select("key"), "key")
+    tagged = SK.bloom_contains(docs, bloom, "key")
+    return (
+        tagged.where(F.col("in_bloom") == 1)
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS is_banned",
+        )
+    )
+
+
+def q_bloom_prefilter_oracle() -> str:
+    from .operators import sketch as SK
+
+    h = TA.hash60_sql("key", "duckdb")
+    bit_arms = " UNION ALL ".join(
+        f"SELECT {SK.bloom_bit_sql(h, j)} AS bit FROM banned"
+        for j in range(SK.BLOOM_K)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT doc_id, {SK.bloom_bit_sql(h, j)} AS bit FROM docs"
+        for j in range(SK.BLOOM_K)
+    )
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS key FROM documents
+        ),
+        banned AS (SELECT key FROM docs WHERE doc_id % 7 = 0),
+        bloombits AS (SELECT DISTINCT bit FROM ({bit_arms})),
+        probe AS ({probe_arms}),
+        hits AS (
+          SELECT doc_id, count(*) AS c
+          FROM probe JOIN bloombits USING (bit)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id::BIGINT AS doc_id,
+               CAST(CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_banned
+        FROM docs d JOIN hits h ON h.doc_id = d.doc_id
+        WHERE h.c = {SK.BLOOM_K}
+    """
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate: per event_type, exact distinct users + events
     (Catalyst plans the two-phase Expand + partial aggregate)."""
@@ -4107,6 +4168,7 @@ QUERIES = {
     "doc_logprob": q_doc_logprob,
     "cms_topk": q_cms_topk,
     "hll_distinct": q_hll_distinct,
+    "bloom_prefilter": q_bloom_prefilter,
     "ann_ivf_delta": q_ann_ivf_delta,
     "pii_scrub": q_pii_scrub,
     "seq_pack": q_seq_pack,
@@ -4190,6 +4252,7 @@ ORACLES = {
     "doc_logprob": q_doc_logprob_oracle(),
     "cms_topk": q_cms_topk_oracle(),
     "hll_distinct": q_hll_distinct_oracle(),
+    "bloom_prefilter": q_bloom_prefilter_oracle(),
     "ann_ivf_delta": q_ann_ivf_delta_oracle(),
     "pii_scrub": q_pii_scrub_oracle(),
     "seq_pack": q_seq_pack_oracle(),

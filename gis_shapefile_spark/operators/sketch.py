@@ -235,3 +235,77 @@ def hll_term_sql(r_col: str) -> str:
         for r in range(0, HLL_WBITS + 2)
     )
     return f"(CASE {arms} ELSE CAST(0 AS BIGINT) END)"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the membership member completing the sketch family
+# (CMS: how often; HLL: how many distinct; Bloom: is it in the set).
+# Pipeline story: broadcast a compact bit set of 10^9 banned ids to
+# prune a 10^12-row corpus scan BEFORE the exact anti-join — the bloom
+# pass costs k integer hashes per row against a broadcast bit table and
+# removes ~(1 - fp) of the corpus from the expensive exact join; no
+# false negatives ever (a banned row always passes to the verify), the
+# false-positive rate is the documented (1 - e^(-kn/m))^k trade.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 512  # bits
+BLOOM_K = 4    # hash functions (reuses the CMS salt family)
+
+
+def bloom_bit_sql(h: str, j: int, m: int = BLOOM_M) -> str:
+    """Bit position j-th hash — same integer permutation family as the
+    CMS rows, identical text both dialects."""
+    a, b = CMS_SALTS[j]
+    return f"({TA.perm_hash_sql(h, a, b)} % {m})"
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Build the bit set: each member fans to its k bit positions
+    in-plan, distinct folds them to <= m rows of (bit) — bounded state
+    regardless of member count, mergeable by plain union+distinct
+    (set OR). Broadcast-sized by construction."""
+    if k < 1 or k > len(CMS_SALTS):
+        raise ValueError(f"k must be in [1, {len(CMS_SALTS)}], got {k}")
+    h = TA.hash60_sql(item_col, "spark")
+    bits = ", ".join(bloom_bit_sql(h, j, m) for j in range(k))
+    return (
+        items.selectExpr(f"explode(array({bits})) AS bit")
+        .distinct()
+    )
+
+
+def bloom_contains(
+    probes: DataFrame,
+    bloom: DataFrame,
+    item_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Tag each probe row with ``in_bloom`` (1 = possibly a member,
+    0 = DEFINITELY not): the probe's k bit positions join the broadcast
+    bit set; membership requires ALL k bits present. Never a false
+    negative; false positives at the documented (1 - e^(-kn/m))^k
+    rate — the caller's exact verify join runs only on the passers."""
+    h = TA.hash60_sql(item_col, "spark")
+    bits = ", ".join(bloom_bit_sql(h, j, m) for j in range(k))
+    ex = probes.selectExpr(
+        item_col, f"explode(array({bits})) AS bit"
+    )
+    hits = (
+        ex.join(F.broadcast(bloom), "bit")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        probes.join(hits, item_col, "left")
+        .withColumn(
+            "in_bloom",
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).cast("long"),
+        )
+        .drop("_hits")
+    )

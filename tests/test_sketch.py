@@ -207,3 +207,46 @@ def test_hll_merge_equals_whole_and_estimate_accuracy(spark):
     est = s.selectExpr(f"{SK.hll_estimate_sql('s')} AS e").collect()[0].e
     true = len(set(a + b))
     assert abs(est - true) / true < 0.30, (est, true)
+
+
+def _bloom_bits(val: str):
+    h = _h60(val) % P
+    return [((a * h + b) % P) % SK.BLOOM_M for a, b in SK.CMS_SALTS]
+
+
+def test_bloom_no_false_negatives_and_twin_bits(spark):
+    """Every member passes (the load-bearing guarantee — a pre-filter
+    that could drop a banned row would be useless); bit positions == the
+    md5 python twin; non-members mostly fail with some honest false
+    positives at small m."""
+    members = [f"ban{i}" for i in range(60)]
+    others = [f"ok{i}" for i in range(300)]
+    bloom = SK.bloom_build(_tok_df(spark, members), "token")
+    got_bits = {r.bit for r in bloom.collect()}
+    exp_bits = {b for v in members for b in _bloom_bits(v)}
+    assert got_bits == exp_bits
+
+    tagged = SK.bloom_contains(
+        _tok_df(spark, members + others), bloom, "token"
+    )
+    got = {r.token: r.in_bloom for r in tagged.collect()}
+    assert all(got[v] == 1 for v in members)          # no false negatives
+    fps = [v for v in others if got[v] == 1]
+    assert all(
+        all(b in exp_bits for b in _bloom_bits(v)) for v in fps
+    )  # every FP is a genuine all-bits collision
+    assert len(fps) < len(others) * 0.2               # small-m honest bound
+
+
+def test_bloom_union_merge_is_set_or(spark):
+    a = [f"x{i}" for i in range(30)]
+    b = [f"y{i}" for i in range(30)]
+    whole = {r.bit for r in SK.bloom_build(_tok_df(spark, a + b), "token").collect()}
+    pa = {r.bit for r in SK.bloom_build(_tok_df(spark, a), "token").collect()}
+    pb = {r.bit for r in SK.bloom_build(_tok_df(spark, b), "token").collect()}
+    assert whole == pa | pb
+
+
+def test_bloom_rejects_bad_k():
+    with pytest.raises(ValueError):
+        SK.bloom_build(None, "token", k=0)
