@@ -59,3 +59,46 @@ def streaming_cms_sink(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_hll_sink(
+    spark: SparkSession,
+    items_stream: DataFrame,
+    table,
+    stage_name: str,
+    item_col: str,
+    checkpoint_dir: str,
+    group_cols: tuple[str, ...] = (),
+):
+    """Continuous HyperLogLog maintenance — the cardinality twin of the
+    CMS sink: each micro-batch builds its register grid (``hll_build``,
+    |groups| x 64 bounded) and folds into the committed grid by
+    elementwise integer MAX (``hll_merge``). Max is associative,
+    commutative, AND idempotent — re-merging a replayed batch cannot
+    move a register even without the manifest short-circuit, which
+    makes this the most replay-tolerant state in the engine; the
+    fingerprint commit still skips the work. The streamed grid equals
+    the batch grid of the full feed bit-for-bit (pytest-pinned)."""
+    from ..operators import sketch as SK
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_grid = SK.hll_build(batch_df, item_col, group_cols=group_cols)
+        try:
+            committed = table.read_stage(stage_name)
+            updated = SK.hll_merge(committed, batch_grid)
+        except KeyError:
+            updated = batch_grid
+        table.stage(
+            stage_name,
+            f"ck={checkpoint_dir}|batch:{batch_id}",
+            lambda: updated,
+        )
+
+    q = (
+        items_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -250,3 +250,34 @@ def test_bloom_union_merge_is_set_or(spark):
 def test_bloom_rejects_bad_k():
     with pytest.raises(ValueError):
         SK.bloom_build(None, "token", k=0)
+
+
+def test_streaming_hll_equals_batch_and_replay_noop(spark, tmp_path):
+    """Streamed HLL registers (4 micro-batches) == the batch grid
+    bit-for-bit (max is associative+commutative+idempotent), and a
+    same-checkpoint rerun is a no-op."""
+    from pyspark.sql import types as T
+    from gis_shapefile_spark.plans.checkpoint import CheckpointTable
+    from gis_shapefile_spark.streaming import sketch_stream as SS
+
+    vals = [f"hs{i}" for i in range(170)] * 2  # duplicates across batches
+    d = str(tmp_path / "hfeed")
+    _tok_df(spark, vals).repartition(4).write.parquet(d)
+    schema = T.StructType([T.StructField("token", T.StringType())])
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    table = CheckpointTable(spark, str(tmp_path / "htbl"))
+    ck = str(tmp_path / "hck")
+    SS.streaming_hll_sink(spark, stream(), table, "hll", "token", ck)
+    key = lambda rows: {r.bucket: r.r for r in rows}
+    got = key(table.read_stage("hll").collect())
+    exp = key(SK.hll_build(spark.read.parquet(d), "token").collect())
+    assert got == exp
+    SS.streaming_hll_sink(spark, stream(), table, "hll", "token", ck)
+    assert key(table.read_stage("hll").collect()) == got
